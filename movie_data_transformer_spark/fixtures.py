@@ -1,0 +1,137 @@
+"""Deterministic derivation of the reference-shaped nested `movies` table
+from the driver's read-only `events` parquet (FIXTURES.md §A1), plus edge-row
+fixtures for the semantic unit tests.
+
+The derivation must be reproducible BOTH in Spark (for queries()) and in
+DuckDB ANSI SQL (for oracle_sql()), so it uses only portable expressions —
+no engine-specific hash functions:
+
+    movieId      = 'm_' || event_type
+    title        = upper(event_type)
+    yearOfRelease= 1990 + (length(event_type)*7 + ascii(first char)) % 30
+    customer-id  = 'c' || (user_id % 150)
+    movie-id     = 'm_' || event_type   (the dead nested field)
+    rating       = 1 + (floor(value*100) % 5)          [value >= 0 in data]
+    date         = strftime(ts, '%Y-%m-%d')
+
+One `watchedBy` element per event row; `movies` groups these per movie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.schemas import MOVIE_INPUT
+from movie_data_transformer_spark.sources.tables import load_table
+
+#: DuckDB CTE producing the flat (exploded-equivalent) ratings table.
+#: Mirror of derive_ratings() below — keep the two in lockstep.
+RATINGS_ORACLE_CTE = """
+ratings AS (
+    SELECT
+        'm_' || event_type AS movieId,
+        upper(event_type) AS title,
+        CAST(1990 + (length(event_type) * 7 + ascii(substr(event_type, 1, 1))) % 30 AS INT)
+            AS yearOfRelease,
+        'c' || CAST(user_id % 150 AS VARCHAR) AS customerId,
+        CAST(1 + CAST(floor(value * 100) AS BIGINT) % 5 AS INT) AS rating,
+        strftime(ts, '%Y-%m-%d') AS "date"
+    FROM events
+)
+"""
+
+
+def derive_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat rating rows (one per event) — the portable derivation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("m_"), F.col("event_type")).alias("movieId"),
+        F.upper("event_type").alias("title"),
+        (
+            F.lit(1990)
+            + (F.length("event_type") * 7 + F.ascii(F.substring("event_type", 1, 1))) % 30
+        )
+        .cast("int")
+        .alias("yearOfRelease"),
+        F.concat(F.lit("c"), (F.col("user_id") % 150).cast("string")).alias("customerId"),
+        (F.lit(1) + F.floor(F.col("value") * 100) % 5).cast("int").alias("rating"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    )
+
+
+def derive_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested MovieInput-shaped table: one row per movie, watchedBy packed
+    back into array<struct> with the reference's kebab-case field names."""
+    flat = derive_ratings(spark, sf_dir)
+    return (
+        flat.groupBy("movieId", "title", "yearOfRelease")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("customerId").alias("customer-id"),
+                    F.col("movieId").alias("movie-id"),
+                    F.col("rating").alias("rating"),
+                    F.col("date").alias("date"),
+                )
+            ).alias("watchedBy")
+        )
+    )
+
+
+def edge_movies(spark: SparkSession) -> DataFrame:
+    """Literal edge rows exercising every SURVEY.md §2.2 semantic:
+    empty watchedBy; same (customer,movie) twice w/ different dates; twice
+    w/ same date; malformed date; nested movie-id differing from parent;
+    missing rating (->0 via Java int default) / missing title (null)."""
+    rows = [
+        # empty watchedBy -> contributes zero exploded rows (§2.2 item 6)
+        ("m_empty", "EMPTY", 2000, []),
+        # dup (c1, m_dup) different dates -> keep 2024-02-02 (§2.2 dedup-latest)
+        (
+            "m_dup",
+            "DUP",
+            2001,
+            [
+                ("c1", "m_dup", 3, "2024-01-01"),
+                ("c1", "m_dup", 5, "2024-02-02"),
+            ],
+        ),
+        # dup (c2, m_tie) same date -> tie; deterministic winner by rating desc
+        (
+            "m_tie",
+            "TIE",
+            2002,
+            [
+                ("c2", "m_tie", 2, "2024-03-03"),
+                ("c2", "m_tie", 4, "2024-03-03"),
+            ],
+        ),
+        # malformed date loses any conflict (§2.2 item 3)
+        (
+            "m_bad",
+            "BAD",
+            2003,
+            [
+                ("c3", "m_bad", 1, "not-a-date"),
+                ("c3", "m_bad", 2, "2024-04-04"),
+            ],
+        ),
+        # nested movie-id differs from parent -> parent wins (§2.2 item 5)
+        ("m_parent", "PARENT", 2004, [("c4", "m_WRONG", 5, "2024-05-05")]),
+        # missing rating -> 0, missing title -> null (§2.2 item 9)
+        ("m_miss", None, 2005, [("c5", "m_miss", None, "2024-06-06")]),
+    ]
+    data = [
+        {
+            "movieId": mid,
+            "title": title,
+            "yearOfRelease": year,
+            "watchedBy": [
+                {"customer-id": w[0], "movie-id": w[1], "rating": w[2], "date": w[3]}
+                for w in watched
+            ],
+        }
+        for mid, title, year, watched in rows
+    ]
+    return spark.createDataFrame(data, MOVIE_INPUT)

@@ -1,0 +1,141 @@
+"""Registry entries for the flagship movie pipeline (SURVEY.md §7 M1).
+
+The nested `movies` input is derived deterministically from `events`
+(fixtures.py); the DuckDB oracles re-derive the same flat ratings with the
+portable RATINGS_ORACLE_CTE, so the Spark side genuinely exercises
+nest -> explode -> window-dedup -> collect while the oracle stays ANSI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE, derive_movies
+from movie_data_transformer_spark.operators.movie_pipeline import (
+    dedup_latest,
+    explode_watched,
+    group_watched,
+    kv_serialize,
+)
+
+
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_watched(derive_movies(spark, sf_dir))
+
+
+def q_movies_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 3-6: decode + rename + explode + denormalizing projection."""
+    return _exploded(spark, sf_dir)
+
+
+SQL_MOVIES_EXPLODE = f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT movieId, title, yearOfRelease, customerId, rating, "date"
+FROM ratings
+"""
+
+
+def q_movies_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 10-11: last-write-wins per (customerId, movieId)."""
+    return dedup_latest(_exploded(spark, sf_dir))
+
+
+SQL_MOVIES_DEDUP_LATEST = f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT movieId, title, yearOfRelease, customerId, rating, "date"
+FROM (
+    SELECT r.*,
+           row_number() OVER (
+               PARTITION BY customerId, movieId
+               ORDER BY try_cast("date" AS DATE) DESC NULLS LAST,
+                        rating DESC, "date" DESC
+           ) AS _rn
+    FROM ratings r
+) t
+WHERE _rn = 1
+"""
+
+
+def q_movies_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7: group-by customer + list aggregation, projected to portable
+    scalars (count / sorted id list / rating sum) for oracle comparison."""
+    grouped = group_watched(dedup_latest(_exploded(spark, sf_dir)))
+    return grouped.select(
+        "customerId",
+        F.size("watchedMovies").cast("long").alias("n_movies"),
+        F.concat_ws(
+            ",", F.sort_array(F.transform("watchedMovies", lambda m: m["movieId"]))
+        ).alias("movie_ids"),
+        F.aggregate(
+            "watchedMovies", F.lit(0).cast("long"), lambda acc, m: acc + m["rating"]
+        ).alias("sum_rating"),
+    )
+
+
+SQL_MOVIES_GROUP_COLLECT = f"""
+WITH {RATINGS_ORACLE_CTE},
+dedup AS (
+    SELECT * FROM (
+        SELECT r.*,
+               row_number() OVER (
+                   PARTITION BY customerId, movieId
+                   ORDER BY try_cast("date" AS DATE) DESC NULLS LAST,
+                            rating DESC, "date" DESC
+               ) AS _rn
+        FROM ratings r
+    ) WHERE _rn = 1
+)
+SELECT customerId,
+       CAST(count(*) AS BIGINT) AS n_movies,
+       string_agg(movieId, ',' ORDER BY movieId) AS movie_ids,
+       CAST(sum(rating) AS BIGINT) AS sum_rating
+FROM dedup
+GROUP BY customerId
+"""
+
+
+def q_movies_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 17: keyed JSON serialization — the sink row format
+    ('customer:{id}', CustomerMovie JSON blob)."""
+    return kv_serialize(group_watched(dedup_latest(_exploded(spark, sf_dir))))
+
+
+# DuckDB builds the identical canonical JSON: watchedMovies sorted by the
+# same struct field order Spark's sort_array uses (movieId, title,
+# yearOfRelease, rating, date — lexicographic by field sequence).
+SQL_MOVIES_KV = f"""
+WITH {RATINGS_ORACLE_CTE},
+dedup AS (
+    SELECT * FROM (
+        SELECT r.*,
+               row_number() OVER (
+                   PARTITION BY customerId, movieId
+                   ORDER BY try_cast("date" AS DATE) DESC NULLS LAST,
+                            rating DESC, "date" DESC
+               ) AS _rn
+        FROM ratings r
+    ) WHERE _rn = 1
+)
+SELECT 'customer:' || customerId AS key,
+       to_json(struct_pack(
+           customerId := customerId,
+           watchedMovies := list_sort(list(struct_pack(
+               movieId := movieId,
+               title := title,
+               yearOfRelease := yearOfRelease,
+               rating := rating,
+               "date" := "date"
+           )))
+       )) AS value
+FROM dedup
+GROUP BY customerId
+"""
+
+
+QUERIES = {
+    "movies_explode": (q_movies_explode, SQL_MOVIES_EXPLODE),
+    "movies_dedup_latest": (q_movies_dedup_latest, SQL_MOVIES_DEDUP_LATEST),
+    "movies_group_collect": (q_movies_group_collect, SQL_MOVIES_GROUP_COLLECT),
+    "movies_kv": (q_movies_kv, SQL_MOVIES_KV),
+}

@@ -1,0 +1,45 @@
+"""Query registry: every operator exposed to the driver harness.
+
+Each module under operators/ (and streaming/) contributes a dict of
+  name -> (spark_fn, oracle_sql_or_None)
+via its `QUERIES` attribute. spark_fn: (spark, sf_dir) -> DataFrame.
+oracle is ANSI SQL runnable by DuckDB against views named after the
+parquet tables (region nation customer supplier part orders lineitem
+events documents embeddings). None -> rows-only check.
+
+Column-name discipline: the driver sorts columns by name before hashing,
+so every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.movie_queries",
+]
+
+
+def _load() -> dict[str, tuple[SparkQuery, str | None]]:
+    import importlib
+
+    out: dict[str, tuple[SparkQuery, str | None]] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        for name, pair in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name {name!r} from {modname}")
+            out[name] = pair
+    return out
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _load().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _load().items() if sql is not None}
