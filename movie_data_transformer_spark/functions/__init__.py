@@ -1,0 +1,8 @@
+from movie_data_transformer_spark.functions.core import (
+    decimal_sum,
+    deterministic_avg,
+    running_sum,
+    top_k_per_group,
+)
+
+__all__ = ["decimal_sum", "deterministic_avg", "top_k_per_group", "running_sum"]

@@ -1,0 +1,581 @@
+"""General relational operator library (SURVEY.md §7 M3) — the operator
+categories the reference lacks entirely (§2.3), each as an idiomatic
+Catalyst plan over the TPC-H-ish driver tables with a DuckDB oracle.
+
+Scale notes baked into the plans:
+  - dimension tables (region/nation/customer/supplier/part) are broadcast
+    (explicit F.broadcast) — no shuffle of the fact side for those joins;
+  - money aggregates use decimal (exact, order-independent — see
+    functions/core.py) so plans stay reproducible under any partitioning;
+  - top-k-per-group is a windowed row_number (single shuffle), never a
+    global sort; global top-n is sort+limit (Spark runs TakeOrdered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.functions import (
+    decimal_sum,
+    deterministic_avg,
+    running_sum,
+    top_k_per_group,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- joins -----------------------------------------------------------------
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join: lineitem |x| orders |x| customer |x| nation |x| region,
+    revenue per nation in EUROPE. Dims broadcast; only facts shuffle."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_MULTIWAY = """
+SELECT n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with at least one URGENT order."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no order above 400k."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+def q_join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null handling: per-customer order stats including
+    customers whose filtered order set is empty."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderstatus") == "P")
+    agg = recent.groupBy("o_custkey").agg(
+        F.count("*").alias("_n"), decimal_sum("o_totalprice", 2, "_spend")
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("_n", F.lit(0)).alias("n_pending"),
+        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(18,2)")).alias("pending_spend"),
+    )
+
+
+SQL_JOIN_OUTER_COALESCE = """
+SELECT c_custkey,
+       coalesce(_n, 0) AS n_pending,
+       coalesce(_spend, CAST(0 AS DECIMAL(18,2))) AS pending_spend
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS _n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS _spend
+    FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+) a ON c.c_custkey = a.o_custkey
+"""
+
+
+# --- aggregation variants ----------------------------------------------------
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        decimal_sum("o_totalprice", 2, "total_spend"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(decimal_sum("l_quantity", 2, "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), decimal_sum("o_totalprice", 2, "spend"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "spend",
+        )
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_AGG_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        deterministic_avg("l_extendedprice", 2, "avg_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice), 6) AS avg_price,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), decimal_sum("o_totalprice", 2, "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+SQL_AGG_HAVING = """
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one row per orderstatus, a column per priority
+    bucket (conditional aggregation under the hood)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("2-HIGH", F.lit(0)).alias("high"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("4-NOT SPECIFIED", F.lit(0)).alias("not_specified"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+    )
+
+
+SQL_AGG_PIVOT = """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- windows -----------------------------------------------------------------
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment (windowed row_number; total order
+    via the unique orderkey tiebreak)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    top = top_k_per_group(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return top.select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+
+
+SQL_WINDOW_TOPK_PER_GROUP = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rk <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order (rows frame)."""
+    o = _t(spark, sf_dir, "orders")
+    out = running_sum(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        alias="cum_spend",
+    )
+    return out.select("o_custkey", "o_orderkey", "cum_spend")
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+FROM orders
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since a customer's previous order (lag over event sequence)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lag(F.col("o_orderdate").cast("date")).over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+SQL_WINDOW_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with ties: suppliers ranked by account balance
+    within nation (s_acctbal can tie)."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+SQL_WINDOW_RANK_DENSE = """
+SELECT s_nationkey, s_suppkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+# --- sort / limit / set ops --------------------------------------------------
+
+
+def q_sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (sort+limit: Spark plans TakeOrderedAndProject —
+    per-partition top-k then a tiny driver merge, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_SORT_LIMIT_TOPN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT over customer key sets: BUILDING-segment
+    customers vs customers with a >300k order, tagged by membership."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey")).distinct()
+    return (
+        a.exceptAll(b).distinct().select(F.lit("only_building").alias("tag"), "custkey")
+        .unionAll(a.intersect(b).select(F.lit("both").alias("tag"), "custkey"))
+        .unionAll(b.exceptAll(a).distinct().select(F.lit("only_bigspender").alias("tag"), "custkey"))
+    )
+
+
+SQL_SET_OPS = """
+WITH a AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+SELECT 'only_building' AS tag, custkey FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+UNION ALL
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+UNION ALL
+SELECT 'only_bigspender' AS tag, custkey FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+"""
+
+
+# --- scalar function packs ---------------------------------------------------
+
+
+def q_scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").contains("red").cast("int").alias("is_red"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+SQL_SCALAR_STRING_PACK = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substr(p_name, 1, 3) AS name_pfx,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(contains(p_name, 'red') AS INT) AS is_red,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       split_part(p_name, ' ', 1) AS first_word,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+def q_scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_discount" ).cast("long").alias("disc_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 40, "mid")
+        .otherwise("high")
+        .alias("qty_bucket"),
+        F.sign(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+    )
+
+
+SQL_SCALAR_MATH_PACK = """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_discount) AS BIGINT) AS disc_ceil,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(l_partkey % 7 AS BIGINT) AS pk_mod,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS qty_bucket,
+       CAST(sign(l_quantity - 25) AS INT) AS qty_sign
+FROM lineitem
+"""
+
+
+def q_scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+SQL_SCALAR_DATE_PACK = """
+SELECT o_orderkey,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+       CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mon,
+       CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def q_expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_k"))
+    )
+
+
+SQL_EXPR_JSON = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(json_extract_string(props, '$.k')) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_outer_coalesce": (q_join_outer_coalesce, SQL_JOIN_OUTER_COALESCE),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "agg_stats": (q_agg_stats, SQL_AGG_STATS),
+    "agg_having": (q_agg_having, SQL_AGG_HAVING),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "window_topk_per_group": (q_window_topk_per_group, SQL_WINDOW_TOPK_PER_GROUP),
+    "window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "window_lag_lead": (q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
+    "window_rank_dense": (q_window_rank_dense, SQL_WINDOW_RANK_DENSE),
+    "sort_limit_topn": (q_sort_limit_topn, SQL_SORT_LIMIT_TOPN),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "scalar_string_pack": (q_scalar_string_pack, SQL_SCALAR_STRING_PACK),
+    "scalar_math_pack": (q_scalar_math_pack, SQL_SCALAR_MATH_PACK),
+    "scalar_date_pack": (q_scalar_date_pack, SQL_SCALAR_DATE_PACK),
+    "expr_json": (q_expr_json, SQL_EXPR_JSON),
+}

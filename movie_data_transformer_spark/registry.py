@@ -22,6 +22,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
+    "movie_data_transformer_spark.operators.relational_queries",
 ]
 
 

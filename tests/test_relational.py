@@ -1,0 +1,56 @@
+"""Relational operator library: plan-shape and approx-aggregate checks.
+
+(Value correctness for all registry queries is covered by the DuckDB
+oracle differential — tools/check_oracle.py; these tests pin the physical
+plan properties the oracle can't see.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.relational_queries import (
+    q_join_multiway,
+    q_sort_limit_topn,
+    q_window_topk_per_group,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = q_join_multiway(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # dims must not shuffle the fact side
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    plan = q_sort_limit_topn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_topk_per_group_single_shuffle(spark, sf_dir):
+    plan = q_window_topk_per_group(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the window partition keys; the dim join is broadcast
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_percentile_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    got = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("p50"))
+        .collect()[0]["p50"]
+    )
+    want = duckdb.sql(
+        f"SELECT quantile_cont(l_quantity, 0.5) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert abs(got - want) < 1e-9
