@@ -23,6 +23,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.relational_queries",
+    "movie_data_transformer_spark.streaming.streaming_queries",
 ]
 
 
