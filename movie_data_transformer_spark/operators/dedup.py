@@ -1,0 +1,301 @@
+"""Deduplication for LLM training-data pipelines (SURVEY.md §7 M5):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything uses the portable md5-prefix hash (text.portable_hash) so the
+DuckDB oracles can reproduce results bit-for-bit — and, more importantly,
+so results are engine- and partitioning-independent (a requirement for
+reproducible corpus curation at 100 TB).
+
+Scale design:
+  - exact dedup: hash-groupBy on the normalized-content digest — one
+    shuffle keyed by digest, no comparisons.
+  - MinHash+LSH: shingle -> 32 minhashes (16 bands x 2 rows) -> explode
+    bands -> self-join on (band, signature). Candidate generation is a
+    bucket join (shuffle on band signature), NEVER an all-pairs cross
+    join; verification joins only candidate pairs' shingle sets.
+  - SimHash: 32-bit fingerprint per doc from signed bit votes of token
+    hashes; candidate pairs via 8-bit band blocking (pigeonhole-complete
+    for Hamming<=3), verified by bit_count(xor) — bucket-join, not
+    cross-join.
+  - n-gram Jaccard: word-bigram sets joined on shingle within candidate
+    blocks; Jaccard = |inter| / (|a|+|b|-|inter|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.text import portable_hash, tokens
+
+# 32 affine minhash functions h_i(x) = (A_i * x + B_i) mod P (P = 2^31-1).
+MINHASH_P = 2147483647
+MINHASH_COEFFS = [(2 * i + 1, 7919 * (i + 1)) for i in range(32)]
+N_BANDS, ROWS_PER_BAND = 16, 2
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def augmented_corpus(docs: DataFrame) -> DataFrame:
+    """Documents + planted duplicates, so dedup operators have real work:
+      - docs 0-49: a NEAR-dup copy (doc_id+100000) with every word starting
+        with 's' removed (order-preserving array filter — portable SQL);
+      - docs 50-99: an EXACT copy (doc_id+200000).
+    Text is whitespace-normalized+lowercased up front so the planted copies
+    are well-defined. lang/n_chars keep their original values (blocking
+    keys only)."""
+    norm = normalize_text(F.col("text"))
+    base = docs.select("doc_id", norm.alias("text"), "lang", "n_chars")
+    near = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.filter(F.split(norm, " "), lambda w: F.substring(w, 1, 1) != "s"), " "
+            ).alias("text"),
+            "lang",
+            "n_chars",
+        )
+    )
+    exact = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select((F.col("doc_id") + 200000).alias("doc_id"), norm.alias("text"), "lang", "n_chars")
+    )
+    return base.unionAll(near).unionAll(exact)
+
+
+#: DuckDB mirror of augmented_corpus — keep in lockstep.
+CORPUS_ORACLE_CTE = r"""
+corpus AS (
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text,
+           lang, n_chars
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(list_filter(
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+               w -> substr(w, 1, 1) <> 's'), ' '),
+           lang, n_chars
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 200000,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+           lang, n_chars
+    FROM documents WHERE doc_id >= 50 AND doc_id < 100
+)
+"""
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-content digest: one row per
+    distinct content, with the representative (min doc_id) and the count
+    of copies. Hash-groupBy — no pairwise comparisons."""
+    digest = F.md5(normalize_text(F.col(text_col))).alias("digest")
+    return (
+        docs.select("doc_id", digest)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (order-preserving construction,
+    set semantics downstream)."""
+    t = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs over normalized text."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """32 minhashes per doc: group once, min() of each affine transform of
+    the portable shingle hash (single shuffle keyed by doc)."""
+    h = portable_hash(F.col("shingle"))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the 32 minhashes into 16 bands of 2 (LSH threshold
+    (1/b)^(1/r) ~= 0.25, recall ~0.94 at jaccard 0.4); docs
+    sharing any band signature become candidates. Bucket join on
+    (band, signature)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("sig"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    exploded = signatures.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: join both docs' shingle sets,
+    count intersections, divide by union size."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    bucket-join candidates -> exact-Jaccard verify."""
+    sh = doc_shingles(docs, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(cands, sh, threshold)
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash: per bit position, sum +-1 votes of each distinct token's
+    hash bit; fingerprint assembles the sign bits."""
+    t = F.array_distinct(tokens(normalize_text(F.col(text_col))))
+    hashes = F.transform(t, lambda w: portable_hash(w))
+    def _vote_fn(b: int):
+        # closure (NOT a default arg: PySpark derives lambda arity from the
+        # signature, so extra params become spurious lambda variables)
+        mask = 1 << b
+
+        def merge(acc, h):
+            # +1 vote if bit b of the hash is set, else -1
+            return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+        return merge
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b)) for b in range(bits)
+    ]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return docs.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 8-bit bands (by pigeonhole, a
+    pair within Hamming<=3 of 32 bits agrees on at least one of 4 bands),
+    verify with bit_count(xor)."""
+    fps = simhash_fingerprints(docs, text_col)
+    bands = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), (F.shiftright(F.col("simhash"), 8 * bi) % 256).alias("nib"))
+            for bi in range(4)
+        ]
+    )
+    exploded = fps.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.nib").alias("nib")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "nib"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "nib"
+    )
+    return (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """Word-bigram Jaccard within (lang, length-bucket) blocks — the
+    classic blocked pairwise near-dup check (no LSH, exact within block)."""
+    blocked = docs.select(
+        "doc_id",
+        F.col("lang"),
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle"),
+    )
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "shingle"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), "lang", "len_bucket", "shingle"
+    )
+    inter = (
+        a.join(b, ["lang", "len_bucket", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

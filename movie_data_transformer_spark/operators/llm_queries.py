@@ -1,0 +1,342 @@
+"""Registry entries for the LLM-data-pipeline extensions (M5): text
+analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), and
+embedding similarity search. Oracles reproduce the Spark results exactly
+via the portable md5-prefix hash; the genuinely approximate ANN variant is
+rows-only (recall measured in tests/test_similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.dedup import (
+    CORPUS_ORACLE_CTE,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    augmented_corpus,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from movie_data_transformer_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_pairs,
+    ivf_topk,
+)
+from movie_data_transformer_spark.operators.text import (
+    fingerprint,
+    language_id,
+    text_stats,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+_HASH = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = r"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
+       round(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS DOUBLE)
+             / len(t), 6) AS avg_token_len,
+       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr
+FROM toks
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LANG_ID = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(t, w -> w IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de,
+           CAST(len(list_filter(t, w -> w IN ('the','and','of','to','a'))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(t, w -> w IN ('el','la','que','de','un'))) AS BIGINT) AS score_es,
+           CAST(len(list_filter(t, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+    FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = r"""
+WITH n AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT) AS fp_int,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(augmented_corpus(load_table(spark, sf_dir, "documents")))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {CORPUS_ORACLE_CTE}
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), n=3, threshold=0.3
+    )
+
+
+def _minhash_sql() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws(':', mh{bi*2}, mh{bi*2+1}) AS sig FROM sigs"
+        for bi in range(16)
+    )
+    return f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle FROM idx),
+hashed AS (SELECT doc_id, {_HASH.format(x='shingle')} AS h FROM sh),
+sigs AS (SELECT doc_id,
+           {mh_exprs}
+         FROM hashed GROUP BY doc_id),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT doc_a, doc_b, count(*) AS n_inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.3
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(augmented_corpus(load_table(spark, sf_dir, "documents")))
+
+
+def _simhash_ctes() -> str:
+    """Shared CTE chain ending in fps(doc_id, simhash)."""
+    votes = ",\n           ".join(f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(32))
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    return f"""{CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM corpus),
+th AS (SELECT doc_id, unnest(t) AS w FROM toks),
+hashed AS (SELECT doc_id, {_HASH.format(x='w')} AS h FROM th),
+votes AS (SELECT doc_id,
+           {votes}
+          FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fps"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), max_hamming=3
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH {_simhash_ctes()},
+bands AS (
+    SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS nib
+    FROM fps, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), n=2, threshold=0.5
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, lang, CAST(n_chars / 100 AS INT) AS len_bucket,
+                string_split(text, ' ') AS t FROM corpus),
+idx AS (SELECT doc_id, lang, len_bucket, t,
+               unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, lang, len_bucket,
+              concat_ws(' ', t[i], t[i+1]) AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5
+"""
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+SQL_SIM_BRUTE_TOPK = """
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id ASC) AS rk
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 50 = 0
+) t WHERE rk <= 5
+"""
+
+
+def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_SIM_NEAR_PAIRS = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+"""
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF coarse-probe): rows-only check; recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synthesize media table, extract features via
+    Arrow-batched mapInPandas (fake decoder; rows-only check — the
+    histogram UDF is exercised against golden values in pytest)."""
+    from movie_data_transformer_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(load_table(spark, sf_dir, "documents")))
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (metadata-driven row fan-out)."""
+    from movie_data_transformer_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media,
+    )
+
+    return frame_sample(synthesize_media(load_table(spark, sf_dir, "documents")))
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH media AS (
+    SELECT doc_id,
+           CAST(doc_id % 640 + 32 AS INT) AS width,
+           CAST(doc_id % 480 + 32 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 2  -- media_type = 'video'
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, CAST(floor(n_bytes / 100) + 1 AS INT), 10)) AS INT) AS frame_idx,
+       width, height
+FROM media
+"""
+
+
+QUERIES = {
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ngram_jaccard_sql()),
+    "sim_brute_topk": (q_sim_brute_topk, SQL_SIM_BRUTE_TOPK),
+    "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
+    "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
+    "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
+    "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+}

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M5).
+
+Embeddings are `array<float>` columns; all arithmetic happens JVM-side
+with built-in higher-order functions (zip_with / aggregate) — no Python
+in the scoring loop.
+
+Scale design:
+  - brute-force top-k is the exactness baseline: broadcast the (small)
+    query set, score each corpus partition independently, take per-group
+    top-k with a window — one shuffle keyed by query id. 100 TB note: the
+    corpus side never shuffles; only (n_queries x k) rows move.
+  - ivf_topk is the scale path: cluster-prune first (here: coarse
+    centroids from the `label` column, i.e. a pre-assigned IVF list per
+    vector), probe the nprobe nearest centroids per query, then exact
+    top-k inside probed lists only — the classic IVF-Flat recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self-matches
+    excluded). Cosine rounded to 6 decimals BEFORE ranking so the ranking
+    is reproducible across engines/partitionings (FP summation jitter
+    stays below the rounding grain); neighbor id breaks exact ties."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Coarse IVF centroids: mean vector per label (posexplode + avg per
+    dimension — one shuffle keyed by (label, dim))."""
+    dims = corpus.select(
+        "label", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(
+            "label", F.transform("pairs", lambda p: p["cval"]).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe closest label-centroids per
+    query, exact-score only vectors in those lists. Recall measured in
+    tests; the driver records a rows-only check (approximation is not
+    SQL-reproducible bit-for-bit)."""
+    cents = label_centroids(corpus, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("label").asc()
+    )
+    probed = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "q_vec", "label", F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("c_sim")
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .select("query_id", "q_vec", "label")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "label"
+    )
+    scored = probed.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
+
+
+def cosine_near_pairs(
+    corpus: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold). Exact
+    definition is all-pairs; label blocking keeps it from being a cross
+    join at scale (near-dups land in the same coarse cell)."""
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), F.col("label"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), F.col("label"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

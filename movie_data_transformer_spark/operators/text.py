@@ -1,0 +1,92 @@
+"""Text analysis for LLM training-data pipelines (SURVEY.md §7 M5;
+BASELINE.json north star): tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All operators are pure built-in column expressions (JVM-side, codegen'd,
+no Python in the hot path) and therefore scale linearly with input: no
+shuffle at all until an aggregation is requested.
+
+Portable-hash convention used across dedup/simhash/minhash: a token or
+shingle hashes to the integer value of the first 8 hex digits of its md5
+(`conv(substr(md5(s),1,8),16,10)`), which every engine reproduces exactly
+— unlike engine-native hash() functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny function-word profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "que", "de", "un"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def portable_hash(col: Column) -> Column:
+    """Deterministic 32-bit-range hash reproducible in ANSI SQL:
+    int(first 8 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (order-preserving array)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + quality-score features per document."""
+    t = tokens(F.col(text_col))
+    token_len_sum = F.aggregate(
+        F.transform(t, lambda w: F.length(w).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_uniq_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+        # BPE-ish word/number segmentation as a second count
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_re"),
+        F.round(token_len_sum.cast("double") / F.size(t), 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("ttr"),  # type-token ratio: the classic repetition/quality signal
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/function-word language ID heuristic: score each language
+    profile by marker-token frequency; argmax wins (ties -> lexicographic
+    language order for determinism)."""
+    t = tokens(F.lower(F.col(text_col)))
+    scores = {
+        lang: F.size(F.filter(t, lambda w: w.isin(*markers))).cast("long")
+        for lang, markers in LANG_PROFILES.items()
+    }
+    score_cols = [scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)]
+    best = F.greatest(*[scores[lang] for lang in sorted(LANG_PROFILES)])
+    pred = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", *score_cols, pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text
+    plus a cheap 64-bit-ish numeric digest (portable_hash) for
+    bucketing/sharding at scale."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        portable_hash(norm).alias("fp_int"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

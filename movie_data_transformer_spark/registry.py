@@ -24,6 +24,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.streaming.streaming_queries",
+    "movie_data_transformer_spark.operators.llm_queries",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Dedup operator semantics + LSH recall against exact ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.dedup import (
+    augmented_corpus,
+    doc_shingles,
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    simhash_fingerprints,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def _corpus(spark, sf_dir):
+    return augmented_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir):
+    groups = exact_dedup(_corpus(spark, sf_dir)).collect()
+    dup_groups = [g for g in groups if g["n_copies"] >= 2]
+    # docs 50-99 each have an exact copy at +200000; representative = original
+    assert len(dup_groups) == 50
+    assert all(50 <= g["keep_doc_id"] < 100 for g in dup_groups)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(corpus, n=3, threshold=0.3).collect()
+    }
+    # exact ground truth for the planted near-dup pairs (no LSH):
+    planted = spark.createDataFrame(
+        [(i, i + 100000) for i in range(50)], "doc_a long, doc_b long"
+    )
+    sh = doc_shingles(corpus, n=3)
+    truth = {
+        (r.doc_a, r.doc_b) for r in jaccard_verify(planted, sh, 0.3).collect()
+    }
+    assert len(truth) > 20  # the fixture actually planted detectable pairs
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_exact_copies_have_zero_hamming(spark, sf_dir):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_corpus(spark, sf_dir)).collect()}
+    for i in range(50, 100):
+        assert fps[i] == fps[i + 200000]  # identical text -> identical fingerprint
+
+
+def test_shingles_are_distinct_sets(spark, sf_dir):
+    sh = doc_shingles(_corpus(spark, sf_dir), n=3)
+    dup = sh.groupBy("doc_id", "shingle").count().filter(F.col("count") > 1).count()
+    assert dup == 0

@@ -1,0 +1,65 @@
+"""Text analysis + multimodal plumbing unit tests (golden values on tiny
+literal inputs — the sf-scale equivalence is covered by the oracles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_data_transformer_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+from movie_data_transformer_spark.operators.text import fingerprint, language_id, text_stats
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_text_stats_golden(spark):
+    rows = text_stats(_docs(spark, ["the cat the cat", "a b3c d"])).collect()
+    r0 = next(r for r in rows if r.doc_id == 0)
+    assert (r0.n_tokens, r0.n_uniq_tokens, r0.ttr) == (4, 2, 0.5)
+    r1 = next(r for r in rows if r.doc_id == 1)
+    assert r1.n_tokens == 3
+    assert r1.n_tokens_re == 5  # 'a' + ('b','3','c' from b3c) + 'd'
+
+
+def test_language_id_golden(spark):
+    rows = language_id(
+        _docs(spark, ["the cat of the house", "der hund und die katze", "le chat et les oiseaux"])
+    ).collect()
+    assert [r.pred_lang for r in sorted(rows, key=lambda r: r.doc_id)] == ["en", "de", "fr"]
+
+
+def test_fingerprint_normalization_invariance(spark):
+    a = fingerprint(_docs(spark, ["Hello   World"])).collect()[0]
+    b = fingerprint(_docs(spark, ["  hello world  "])).collect()[0]
+    assert a.fp_md5 == b.fp_md5 and a.fp_int == b.fp_int
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "png", fake=False)
+
+
+def test_media_features_deterministic_histogram(spark):
+    media = synthesize_media(_docs(spark, ["abab"]))  # bytes 97,98,97,98
+    feats = extract_features(media, fake_decode=True).collect()[0]
+    # 97%8=1, 98%8=2 -> buckets 1 and 2 get 0.5 each
+    expect = [0.0, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert [round(x, 6) for x in feats.features] == expect
+    assert feats.n_bytes == 4
+
+
+def test_frame_sample_only_videos(spark, sf_dir):
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n=10)
+    ids = {r.doc_id for r in frames.select("doc_id").distinct().collect()}
+    assert ids and all(i % 3 == 2 for i in ids)
