@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is fully executed via the noop sink (computes every column,
+no result materialization cost, no driver collect)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movie_data_transformer_spark.registry import spark_queries
+from movie_data_transformer_spark.session import get_spark
+
+#: headline set: one per operator family (flagship dataflow, merge, joins,
+#: rollup agg, window top-k, event-time window, LSH dedup, text stats,
+#: vector top-k)
+HEADLINE = [
+    "movies_kv",
+    "movies_merge_upsert",
+    "join_multiway",
+    "agg_rollup",
+    "window_topk_per_group",
+    "stream_tumbling_window",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
+        t0 = time.time()
+        df2 = qs[name](spark, sf_dir)
+        df2.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

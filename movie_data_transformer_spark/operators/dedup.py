@@ -194,8 +194,13 @@ def minhash_dedup_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join candidates -> exact-Jaccard verify."""
-    sh = doc_shingles(docs, text_col, n)
+    bucket-join candidates -> exact-Jaccard verify.
+
+    The shingle table feeds three consumers (signatures + both sides of the
+    verify join); persist it so tokenize/shingle/hash runs once, not three
+    times. At cluster scale this is a checkpoint of the shingle table —
+    the standard shape for corpus-dedup pipelines (shingling dominates)."""
+    sh = doc_shingles(docs, text_col, n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_verify(cands, sh, threshold)
 
