@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "sim_brute_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

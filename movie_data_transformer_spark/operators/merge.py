@@ -38,11 +38,21 @@ from movie_data_transformer_spark.schemas import CUSTOMER_MOVIE
 FLAT_COLS = ["movieId", "title", "yearOfRelease", "customerId", "rating", "date"]
 
 
-def merge_flat(state: DataFrame, batch: DataFrame, dedup_inputs: bool = True) -> DataFrame:
+def merge_flat(
+    state: DataFrame,
+    batch: DataFrame,
+    dedup_inputs: bool = True,
+    with_decision: bool = False,
+) -> DataFrame:
     """Merge new flat rating rows into flat state rows.
 
     Pairwise resolution per (customerId, movieId), exactly the reference's
     isMoreRecent policy (strict-after; any parse failure keeps existing).
+
+    with_decision=True appends a `_decision` marker column
+    ('insert'|'update'|'keep') for the op-16 pipeline counters
+    (operators/metrics.py) — the taxonomy of the reference's
+    newCount/updateCount/successCount (DataTransformationService.java:170-172).
     """
     if dedup_inputs:
         state, batch = dedup_latest(state), dedup_latest(batch)
@@ -57,15 +67,21 @@ def merge_flat(state: DataFrame, batch: DataFrame, dedup_inputs: bool = True) ->
     b_date = F.expr("try_to_date(b_date, 'yyyy-MM-dd')")
     # new (batch) wins only on: no existing row, OR both dates parse and
     # batch is strictly more recent (DataTransformationService.java:245-249)
-    new_wins = F.col("s_customerId").isNull() | (
-        s_date.isNotNull() & b_date.isNotNull() & (b_date > s_date)
-    )
-    return joined.select(
-        *[
-            F.when(new_wins, F.col(f"b_{c}")).otherwise(F.col(f"s_{c}")).alias(c)
-            for c in FLAT_COLS
-        ]
-    )
+    is_insert = F.col("s_customerId").isNull()
+    is_update = s_date.isNotNull() & b_date.isNotNull() & (b_date > s_date)
+    new_wins = is_insert | is_update
+    cols = [
+        F.when(new_wins, F.col(f"b_{c}")).otherwise(F.col(f"s_{c}")).alias(c)
+        for c in FLAT_COLS
+    ]
+    if with_decision:
+        cols.append(
+            F.when(is_insert, "insert")
+            .when(is_update, "update")
+            .otherwise("keep")
+            .alias("_decision")
+        )
+    return joined.select(*cols)
 
 
 def parse_kv_state(kv: DataFrame) -> DataFrame:

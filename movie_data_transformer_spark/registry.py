@@ -25,6 +25,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.streaming.streaming_queries",
     "movie_data_transformer_spark.operators.llm_queries",
+    "movie_data_transformer_spark.operators.tpch_queries",
 ]
 
 
