@@ -325,6 +325,15 @@ FROM media
 """
 
 
+def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group OLS (rows-only: FP regression isn't
+    SQL-bit-reproducible; numpy equivalence asserted in pytest)."""
+    from movie_data_transformer_spark.operators.grouped_pandas import user_value_trend
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return user_value_trend(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 QUERIES = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
@@ -338,5 +347,6 @@ QUERIES = {
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
     "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
+    "grouped_ols_trend": (q_grouped_ols_trend, None),  # applyInPandas -> rows-only
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

@@ -1,0 +1,64 @@
+"""applyInPandasWithState: running per-user totals across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+from movie_data_transformer_spark.streaming.stateful import running_user_totals
+from tests.test_streaming_windows import EVENTS_RAW
+
+
+def test_running_user_totals_matches_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per batch; last emission per key is
+    # the final state
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.last_event_type)
+        for r in spark.sql("select * from user_totals").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want_counts = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want_counts)
+    for uid, (n, s, last_type) in got.items():
+        wn, ws = want_counts[uid]
+        assert n == wn
+        assert abs(s - ws) < 1e-3
+        assert isinstance(last_type, str) and last_type
+    # last_event_type really is the event-time-latest event's type
+    latest = {
+        r.user_id: r.event_type
+        for r in ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    for uid in got:
+        assert got[uid][2] == latest[uid]
