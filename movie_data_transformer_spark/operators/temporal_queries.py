@@ -1,0 +1,98 @@
+"""Registry entries for the temporal joins (as-of, range) over events."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.temporal import asof_join, range_join
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase: the user's most recent view at-or-before it."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "value", "event_id"],
+        prefix="view_",
+        right_seq="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("view_ts").alias("view_ts_s"),
+        "view_value",
+        "view_event_id",
+    )
+
+
+SQL_ASOF_VIEW_BEFORE_PURCHASE = """
+WITH tagged AS (
+    SELECT 1 AS tag, event_id, user_id, ts,
+           NULL::TIMESTAMP AS v_ts, NULL::DOUBLE AS v_value, NULL::BIGINT AS v_eid
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 0, NULL, user_id, ts, ts, value, event_id
+    FROM events WHERE event_type = 'view'
+),
+w AS (
+    SELECT *,
+           last_value(v_ts IGNORE NULLS) OVER win AS lv_ts,
+           last_value(v_value IGNORE NULLS) OVER win AS lv_value,
+           last_value(v_eid IGNORE NULLS) OVER win AS lv_eid
+    FROM tagged
+    WINDOW win AS (PARTITION BY user_id
+                   ORDER BY ts ASC, tag ASC, v_eid ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(floor(epoch(lv_ts)) AS BIGINT) AS view_ts_s,
+       lv_value AS view_value,
+       lv_eid AS view_event_id
+FROM w WHERE tag = 1
+"""
+
+
+def q_range_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase conversions: same user, purchase strictly after the
+    view and within 10 minutes (bucketed range join)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = range_join(views, purchases, key="user_id", left_ts="ts", right_ts="ts", window_seconds=600)
+    return out.select(
+        F.col("_l.event_id").alias("view_id"),
+        F.col("_r.event_id").alias("purchase_id"),
+        F.col("_l.user_id").alias("user_id"),
+        (F.unix_timestamp("_rts") - F.unix_timestamp("_lts")).alias("delta_s"),
+    )
+
+
+SQL_RANGE_JOIN_CONVERSIONS = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS delta_s
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND floor(epoch(p.ts)) <= floor(epoch(v.ts)) + 600
+"""
+
+
+QUERIES = {
+    "asof_view_before_purchase": (q_asof_view_before_purchase, SQL_ASOF_VIEW_BEFORE_PURCHASE),
+    "range_join_conversions": (q_range_join_conversions, SQL_RANGE_JOIN_CONVERSIONS),
+}
