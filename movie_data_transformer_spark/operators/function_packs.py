@@ -1,0 +1,242 @@
+"""Additional scalar/analytic function coverage: arrays, maps, null
+handling, value-window analytics, correlated subqueries — each family one
+oracle-checked query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions over embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vsum"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.element_at(v, 1), 6).alias("first_dim"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+        F.exists(v, lambda x: x > 0.3).cast("int").alias("has_big"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       round(list_aggregate(v, 'sum'), 6) AS vsum,
+       round(list_max(v), 6) AS vmax,
+       round(list_min(v), 6) AS vmin,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(v[1], 6) AS first_dim,
+       round(list_aggregate(v[1:8], 'sum'), 6) AS head8_sum,
+       CAST(len(list_filter(v, x -> x > 0.3)) > 0 AS INT) AS has_big
+FROM e
+"""
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/access: per-orderstatus price map per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey", "o_orderstatus").agg(F.count("*").alias("n"))
+    m = agg.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_counts")
+    )
+    return m.select(
+        "o_custkey",
+        F.coalesce(F.element_at("status_counts", "O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("status_counts", "F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.element_at("status_counts", "P"), F.lit(0)).alias("n_pending"),
+        F.size("status_counts").cast("long").alias("n_statuses"),
+    )
+
+
+SQL_MAP_FUNCTIONS = """
+SELECT o_custkey,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (o_orderstatus = 'P') AS n_pending,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-producing expressions + coalesce/nullif/nvl2 family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty0 = F.nullif(F.col("l_quantity"), F.lit(25.0))  # 25 -> NULL
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty0.alias("qty_nullable"),
+        F.coalesce(qty0, F.lit(-1.0)).alias("qty_or_default"),
+        F.when(qty0.isNull(), "was_25").otherwise("other").alias("null_tag"),
+        F.isnull(qty0).cast("int").alias("is_null_flag"),
+        (F.try_divide(F.lit(1.0), qty0 - 25)).alias("try_div"),  # NULL, never error
+    )
+
+
+SQL_NULL_HANDLING = """
+SELECT l_orderkey, l_linenumber,
+       nullif(l_quantity, 25.0) AS qty_nullable,
+       coalesce(nullif(l_quantity, 25.0), -1.0) AS qty_or_default,
+       CASE WHEN nullif(l_quantity, 25.0) IS NULL THEN 'was_25' ELSE 'other' END AS null_tag,
+       CAST(nullif(l_quantity, 25.0) IS NULL AS INT) AS is_null_flag,
+       CASE WHEN nullif(l_quantity, 25.0) - 25 = 0 THEN NULL
+            ELSE 1.0 / (nullif(l_quantity, 25.0) - 25) END AS try_div
+FROM lineitem
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window analytics: first/last/nth, percent_rank, cume_dist,
+    plus a RANGE frame (all peers of the current value)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    wr = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(w).alias("poorest"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.count("*").over(wr).cast("long").alias("n_le_bal"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT s_nationkey, s_suppkey,
+       first_value(s_suppkey) OVER w AS poorest,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le_bal
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar correlated subquery: orders above their customer's average."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_cs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _cs_orders a
+        WHERE o_totalprice > 2 * (
+            SELECT avg(o_totalprice) FROM _cs_orders b
+            WHERE b.o_custkey = a.o_custkey
+        )
+        """
+    )
+
+
+SQL_CORRELATED_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders a
+WHERE o_totalprice > 2 * (
+    SELECT avg(o_totalprice) FROM orders b WHERE b.o_custkey = a.o_custkey
+)
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, did signup -> view -> purchase occur in
+    order (by first occurrence of each step)?"""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step2 = F.col("t_signup").isNotNull() & F.col("t_view").isNotNull() & (
+        F.col("t_view") > F.col("t_signup")
+    )
+    step3 = step2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    return firsts.select(
+        "user_id",
+        F.col("t_signup").isNotNull().cast("int").alias("did_signup"),
+        step2.cast("int").alias("did_view_after"),
+        step3.cast("int").alias("did_purchase_after"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH firsts AS (
+    SELECT user_id,
+           min(ts) FILTER (event_type = 'signup') AS t_signup,
+           min(ts) FILTER (event_type = 'view') AS t_view,
+           min(ts) FILTER (event_type = 'purchase') AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(t_signup IS NOT NULL AS INT) AS did_signup,
+       CAST(t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup AS INT)
+           AS did_view_after,
+       CAST(t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view > t_signup
+            AND t_purchase IS NOT NULL AND t_purchase > t_view AS INT)
+           AS did_purchase_after
+FROM firsts
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; how many were
+    active again N days later (N = 1, 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    j = active.join(first_day, "user_id").select(
+        "user_id", "cohort_day", F.datediff("day", "cohort_day").alias("age")
+    )
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(F.col("age") == 1, F.col("user_id"))).alias("d1_retained"),
+        F.countDistinct(F.when(F.col("age") == 7, F.col("user_id"))).alias("d7_retained"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH first_day AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+j AS (
+    SELECT a.user_id, f.cohort_day, date_diff('day', f.cohort_day, a.day) AS age
+    FROM active a JOIN first_day f ON a.user_id = f.user_id
+)
+SELECT cohort_day,
+       count(DISTINCT user_id) AS cohort_size,
+       count(DISTINCT user_id) FILTER (age = 1) AS d1_retained,
+       count(DISTINCT user_id) FILTER (age = 7) AS d7_retained
+FROM j GROUP BY cohort_day
+"""
+
+
+QUERIES = {
+    "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
+    "null_handling": (q_null_handling, SQL_NULL_HANDLING),
+    "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
+    "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+}

@@ -58,6 +58,21 @@ def test_media_features_deterministic_histogram(spark):
     assert feats.n_bytes == 4
 
 
+def test_pandas_udf_token_count_equals_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.text import token_count_vectorized, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counter = token_count_vectorized()
+    both = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("jvm_count"),
+        counter(F.col("text")).alias("py_count"),
+    )
+    assert both.filter("jvm_count != py_count").count() == 0
+
+
 def test_frame_sample_only_videos(spark, sf_dir):
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     frames = frame_sample(media, every_n=10)
