@@ -14,6 +14,7 @@ shingle hashes to the integer value of the first 8 hex digits of its md5
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,7 +45,8 @@ def token_count_vectorized():
     is still preferred in the hot path; this exists for logic that needs
     Python libraries (real tokenizers). Equivalence with the JVM form is
     pinned in tests/test_text_multimodal.py."""
-    import pandas as pd
+    # pandas must be imported at module level: pandas_udf resolves the
+    # signature's type hints by name at decoration time
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
