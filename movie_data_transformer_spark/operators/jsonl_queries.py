@@ -1,0 +1,60 @@
+"""Registry entries exercising the JSONL object-store source itself
+(ops 1-3, 15): materialize the derived movies as newline-delimited JSON
+files — plus a wrong-suffix decoy and a corrupt line, exactly the
+conditions the reference's S3 listing faced — then run the engine's scan
+on the directory. The oracle is the same flat-ratings CTE, so the glob
+filter, corrupt-line drop, and schema decode are all verified: any leak of
+the decoy file or the bad line breaks the row hash."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movie_data_transformer_spark.fixtures import derive_movies
+from movie_data_transformer_spark.operators.movie_pipeline import explode_watched
+from movie_data_transformer_spark.operators.movie_queries import SQL_MOVIES_EXPLODE
+from movie_data_transformer_spark.sources.jsonl import read_movies_jsonl
+
+
+def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) the nested movies as JSONL under /tmp, with the
+    reference's failure modes planted: a .txt decoy (suffix filter must
+    skip it, op 2) and one corrupt line (permissive decode must drop it,
+    op 15)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tempfile.gettempdir(), f"mdt_jsonl_{tag}")
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        rows = derive_movies(spark, sf_dir).toJSON().collect()
+        # split across a few files like the reference's S3 objects
+        n_files = 4
+        for i in range(n_files):
+            with open(os.path.join(d, f"movies_{i}.json"), "w") as f:
+                for j, line in enumerate(rows):
+                    if j % n_files == i:
+                        f.write(line + "\n")
+                if i == 0:
+                    f.write("THIS LINE IS NOT JSON {{{\n")  # op 15 target
+        with open(os.path.join(d, "README.txt"), "w") as f:
+            f.write(json.dumps({"movieId": "m_DECOY", "title": "X"}) + "\n")  # op 2 target
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+def q_movies_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 1-3+15 end-to-end: directory listing -> *.json glob -> typed
+    JSONL decode (corrupt line dropped) -> explode. Hash-equal to the
+    parquet-derived ratings iff the scan semantics are exactly right."""
+    movies = read_movies_jsonl(spark, _jsonl_dir(spark, sf_dir))
+    return explode_watched(movies)
+
+
+QUERIES = {
+    "movies_jsonl_scan": (q_movies_jsonl_scan, SQL_MOVIES_EXPLODE),
+}

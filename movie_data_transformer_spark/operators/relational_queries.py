@@ -556,8 +556,19 @@ FROM events GROUP BY event_type
 """
 
 
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL count-distinct, quantile sketches) —
+    rows-only by nature; tolerance vs exact pinned in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("price_p50_p95"),
+    )
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
+    "agg_approx_sketches": (q_agg_approx, None),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_outer_coalesce": (q_join_outer_coalesce, SQL_JOIN_OUTER_COALESCE),

@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.tpch_queries",
     "movie_data_transformer_spark.operators.temporal_queries",
     "movie_data_transformer_spark.operators.function_packs",
+    "movie_data_transformer_spark.operators.jsonl_queries",
 ]
 
 
