@@ -24,6 +24,12 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Deterministic date/time rendering: every date_format / cast-to-date
+    # downstream must agree with the (timezone-naive) DuckDB oracle no
+    # matter what session the harness hands us. UTC is the engine's
+    # canonical zone (session.py); pin it here at the single chokepoint
+    # every query loads tables through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; read nanos as long and truncate to microsecond
