@@ -32,7 +32,7 @@ HEADLINE = [
     "stream_tumbling_window",
     "dedup_minhash_lsh",
     "text_stats",
-    "sim_brute_topk",
+    "sim_brute_topk_np",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
 ]

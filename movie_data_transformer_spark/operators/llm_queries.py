@@ -22,6 +22,7 @@ from movie_data_transformer_spark.operators.dedup import (
 )
 from movie_data_transformer_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_np,
     cosine_near_pairs,
     ivf_topk,
 )
@@ -263,6 +264,13 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
 """
 
 
+def q_sim_brute_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as sim_brute_topk, BLAS-vectorized (mapInPandas) —
+    checked against the identical SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_np(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
 def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -344,6 +352,7 @@ QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ngram_jaccard_sql()),
     "sim_brute_topk": (q_sim_brute_topk, SQL_SIM_BRUTE_TOPK),
+    "sim_brute_topk_np": (q_sim_brute_topk_np, SQL_SIM_BRUTE_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
     "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only

@@ -53,6 +53,18 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert n_labels > 2  # pruning is real: nprobe=2 < cells scanned per query
 
 
+def test_numpy_topk_equals_hof_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.similarity import brute_force_topk_np
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    hof = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim) for r in brute_force_topk(emb, queries, k=5).collect()}
+    np_ = {(r.query_id, r.rk): (r.neighbor_id, r.cos_sim) for r in brute_force_topk_np(emb, queries, k=5).collect()}
+    assert hof == np_
+
+
 def test_near_pairs_symmetric_and_thresholded(spark, sf_dir):
     pairs = cosine_near_pairs(_emb(spark, sf_dir), threshold=0.35).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
