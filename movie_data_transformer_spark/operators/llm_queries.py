@@ -333,6 +333,34 @@ FROM media
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over DOCUMENTS: docs paired to their
+    embedding rows (doc_id = vec_id), near-dup doc pairs = cosine >= 0.35
+    within label blocks — the semantic-dedup method of LLM data pipelines
+    (exact dedup misses paraphrases; this catches them)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "label", "lang"
+    )
+    pairs = cosine_near_pairs(joined, threshold=0.35)
+    return pairs.select("doc_a", "doc_b", "cos_sim")
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH j AS (
+    SELECT e.vec_id, e.embedding, e.label
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM j a JOIN j b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+"""
+
+
 def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas per-group OLS (rows-only: FP regression isn't
     SQL-bit-reproducible; numpy equivalence asserted in pytest)."""
@@ -351,6 +379,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ngram_jaccard_sql()),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "sim_brute_topk": (q_sim_brute_topk, SQL_SIM_BRUTE_TOPK),
     "sim_brute_topk_np": (q_sim_brute_topk_np, SQL_SIM_BRUTE_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),

@@ -15,13 +15,16 @@ from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
 from movie_data_transformer_spark.operators.merge import merge_flat
 from movie_data_transformer_spark.operators.movie_queries import _exploded
 
-_DAY_PARITY = F.substring("date", 9, 2).cast("int") % 2
+def _day_parity():
+    # built lazily: Column construction needs an active SparkContext, and
+    # the registry may be imported before the harness creates its session
+    return F.substring("date", 9, 2).cast("int") % 2
 
 
 def q_movies_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _exploded(spark, sf_dir)
-    state = flat.filter(_DAY_PARITY == 0)
-    batch = flat.filter(_DAY_PARITY == 1)
+    state = flat.filter(_day_parity() == 0)
+    batch = flat.filter(_day_parity() == 1)
     return merge_flat(state, batch)
 
 
