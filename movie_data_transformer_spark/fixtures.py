@@ -60,11 +60,22 @@ def derive_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOVIES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def derive_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested MovieInput-shaped table: one row per movie, watchedBy packed
-    back into array<struct> with the reference's kebab-case field names."""
+    back into array<struct> with the reference's kebab-case field names.
+
+    Persisted per (session, sf): six registry queries start from this
+    table, and the nest-groupBy is the expensive part of the derivation —
+    caching it roughly halves the movie-query suite's runtime."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MOVIES_CACHE.get(key)
+    if cached is not None:
+        return cached
     flat = derive_ratings(spark, sf_dir)
-    return (
+    nested = (
         flat.groupBy("movieId", "title", "yearOfRelease")
         .agg(
             F.collect_list(
@@ -76,7 +87,9 @@ def derive_movies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("watchedBy")
         )
-    )
+    ).persist()
+    _MOVIES_CACHE[key] = nested
+    return nested
 
 
 def edge_movies(spark: SparkSession) -> DataFrame:
