@@ -88,6 +88,25 @@ def dedup_latest(flat: DataFrame) -> DataFrame:
     )
 
 
+def dedup_latest_maxby(flat: DataFrame) -> DataFrame:
+    """dedup_latest as a hash AGGREGATION instead of a window: per
+    (customerId, movieId), max_by(row, order-key). Same semantics, but no
+    per-partition sort — partial max_by runs map-side (like any agg), so
+    at scale this shuffles one candidate row per key per map task instead
+    of every row. Ordering key mirrors dedup_latest exactly: malformed
+    dates coalesce to year-1 (they lose), then rating, then raw date."""
+    ord_key = F.struct(
+        F.coalesce(F.expr("try_to_date(date, 'yyyy-MM-dd')"), F.lit("0001-01-01").cast("date")),
+        F.col("rating"),
+        F.col("date"),
+    )
+    row = F.struct(*[F.col(c) for c in flat.columns])
+    picked = flat.groupBy("customerId", "movieId").agg(
+        F.max_by(row, ord_key).alias("_r")
+    )
+    return picked.select(*[F.col(f"_r.{c}").alias(c) for c in flat.columns])
+
+
 def group_watched(flat: DataFrame, sort_list: bool = True) -> DataFrame:
     """Group per customer into the nested CustomerMovie shape (op 7).
 

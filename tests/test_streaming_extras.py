@@ -1,0 +1,72 @@
+"""dropDuplicatesWithinWatermark + stream-static enrichment join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+from tests.test_streaming_windows import EVENTS_RAW
+
+
+def _event_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Keyed streaming dedup with bounded state: duplicates of
+    (user_id, event_type, day) within the watermark horizon are dropped."""
+    stream = (
+        _event_stream(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+    )
+    q = (
+        stream.select("user_id", "event_type", "day")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select count(*) n, count(distinct user_id, event_type, day) d from dedup_wm").collect()[0]
+    # every surviving row unique; horizon covers the whole 30-day fixture?
+    # no — 10d watermark means far-apart repeats may both survive, but
+    # WITHIN the horizon there are no dupes:
+    assert got.n == got.d  # emitted rows are unique on the key
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static join: enrich the event stream with the (static)
+    customer dimension — no watermark needed on the static side."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "user_key", F.col("user_id") % 150
+    )
+    enriched = stream.join(F.broadcast(customers), "user_key").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.sql("select count(*) n from enriched").collect()[0].n
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_stream == n_batch  # every event matched exactly one customer
+    segs = {r.c_mktsegment for r in spark.sql("select distinct c_mktsegment from enriched").collect()}
+    assert len(segs) >= 2
