@@ -55,6 +55,36 @@ def q_movies_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_watched(movies)
 
 
+def q_movies_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 8+9+12 as Structured Streaming: consume the JSONL files in
+    micro-batches (maxFilesPerTrigger), merge each into versioned parquet
+    state, return the final state. Rows-only: the batch-order-dependent
+    tie policy (existing wins) is inherently sequential, not ANSI-SQL
+    (the batch-form merge IS oracle-checked as movies_merge_upsert)."""
+    import shutil
+    import tempfile
+
+    from movie_data_transformer_spark.streaming import run_incremental_merge
+
+    src = _jsonl_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mdt_stream_")
+    try:
+        store = run_incremental_merge(
+            spark,
+            src,
+            os.path.join(work, "state"),
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,
+        )
+        final = store.read()
+        # materialize before the temp dirs vanish
+        out = spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "movies_jsonl_scan": (q_movies_jsonl_scan, SQL_MOVIES_EXPLODE),
+    "movies_incremental_merge": (q_movies_incremental_merge, None),
 }
