@@ -178,8 +178,71 @@ LIMIT 20
 """
 
 
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: order priority checking — orders with at least one line shipped
+    over 60 days after the order date (EXISTS -> left-semi)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60
+    )
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promotion revenue share — conditional aggregation over a
+    broadcast-joined part dimension ('red' parts play PROMO)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        decimal_sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0), 4, "promo_revenue"),
+        decimal_sum(rev, 4, "total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0).cast("decimal(18,4)"))
+            .cast("double")
+            / F.sum(rev.cast("decimal(18,4)")).cast("double")
+            * 100,
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT sum(CAST(CASE WHEN contains(p_name, 'red')
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+            AS DECIMAL(18,4))) AS promo_revenue,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue,
+       round(CAST(sum(CAST(CASE WHEN contains(p_name, 'red')
+                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                           AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             * 100, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
+    "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
+    "tpch_q14_promo_share": (q_tpch_q14_promo_share, SQL_TPCH_Q14),
     "tpch_q3_shipping_priority": (q_tpch_q3_shipping_priority, SQL_TPCH_Q3),
     "tpch_q5_local_supplier_volume": (q_tpch_q5_local_supplier_volume, SQL_TPCH_Q5),
     "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
