@@ -29,6 +29,8 @@ from movie_data_transformer_spark.operators.similarity import (
 from movie_data_transformer_spark.operators.text import (
     fingerprint,
     language_id,
+    quality_scores,
+    rolling_hash,
     text_stats,
 )
 from movie_data_transformer_spark.sources.tables import load_table
@@ -81,6 +83,49 @@ SELECT doc_id, score_de, score_en, score_es, score_fr,
             WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
             ELSE 'fr' END AS pred_lang
 FROM s
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = r"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter(t, w -> w IN
+             ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
+             / len(t), 6) AS stopword_ratio,
+       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       round(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS DOUBLE)
+             / len(t), 6) AS mean_word_len
+FROM toks
+"""
+
+
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from movie_data_transformer_spark.operators.dedup import normalize_text
+
+    return docs.select(
+        "doc_id", rolling_hash(normalize_text(F.col("text"))).alias("roll_hash")
+    )
+
+
+SQL_TEXT_ROLLING_HASH = r"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) AS roll_hash
+FROM documents
 """
 
 
@@ -374,6 +419,8 @@ QUERIES = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_quality_scores": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_rolling_hash": (q_text_rolling_hash, SQL_TEXT_ROLLING_HASH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),

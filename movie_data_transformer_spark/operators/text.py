@@ -98,6 +98,51 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *score_cols, pred.alias("pred_lang"))
 
 
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The classic corpus quality signals: punctuation ratio, stopword
+    ratio, alpha ratio, mean word length — the filters an LLM data
+    pipeline cuts on."""
+    t = tokens(F.lower(F.col(text_col)))
+    n_chars = F.length(text_col)
+    stop = F.size(
+        F.filter(t, lambda w: w.isin("the", "a", "an", "and", "or", "of", "to", "in", "is"))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+            / n_chars,
+            6,
+        ).alias("punct_ratio"),
+        F.round(stop.cast("double") / F.size(t), 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all(text_col, F.lit("[a-zA-Z]"), F.lit(0))) / n_chars, 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.aggregate(
+                F.transform(t, lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size(t),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def rolling_hash(col: Column, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the characters: fold
+    acc = (acc * base + ascii(char)) % mod. The incremental-update form
+    (content-defined chunking, substring search) of document
+    fingerprinting; reproducible in ANSI SQL via list_reduce."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text
     plus a cheap 64-bit-ish numeric digest (portable_hash) for
