@@ -231,8 +231,65 @@ FROM j GROUP BY cohort_day
 """
 
 
+def q_agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_disc"),
+    )
+
+
+SQL_AGG_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(v/25))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.floor(F.col("value") / 25).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HISTOGRAM_VALUES = """
+SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_unpivot_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide (tax, discount) columns -> long (rate_type,
+    rate) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_tax", "l_discount").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_tax", "l_discount"],
+        "rate_type",
+        "rate",
+    )
+
+
+SQL_UNPIVOT_RATES = """
+SELECT l_orderkey, l_linenumber, 'l_tax' AS rate_type, l_tax AS rate FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "agg_percentiles_exact": (q_agg_percentiles_exact, SQL_AGG_PERCENTILES),
+    "histogram_values": (q_histogram_values, SQL_HISTOGRAM_VALUES),
+    "unpivot_rates": (q_unpivot_rates, SQL_UNPIVOT_RATES),
     "map_functions": (q_map_functions, SQL_MAP_FUNCTIONS),
     "null_handling": (q_null_handling, SQL_NULL_HANDLING),
     "window_analytics": (q_window_analytics, SQL_WINDOW_ANALYTICS),
