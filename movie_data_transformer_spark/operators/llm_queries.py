@@ -25,6 +25,7 @@ from movie_data_transformer_spark.operators.similarity import (
     brute_force_topk_np,
     cosine_near_pairs,
     ivf_topk,
+    lsh_bucket_topk,
 )
 from movie_data_transformer_spark.operators.text import (
     fingerprint,
@@ -316,6 +317,13 @@ def q_sim_brute_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_np(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: approximate by construction; bucket
+    mechanics + recall-vs-floor pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_planes=4)
+
+
 def q_sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -431,6 +439,7 @@ QUERIES = {
     "sim_brute_topk_np": (q_sim_brute_topk_np, SQL_SIM_BRUTE_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
+    "sim_lsh_topk": (q_sim_lsh_topk, None),  # approximate -> rows-only
     "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
     "grouped_ols_trend": (q_grouped_ols_trend, None),  # applyInPandas -> rows-only
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

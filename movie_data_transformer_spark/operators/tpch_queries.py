@@ -239,8 +239,73 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: volume shipping between distinct nation pairs, by ship year
+    (customer nation != supplier nation)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, c.c_nationkey == F.col("c_nk"))
+        .join(n2, s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("ship_year"),
+        )
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "volume"))
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count (incl. zero-order
+    customers via left join)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o.filter(F.col("o_orderpriority") != "5-LOW"), c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
+    "tpch_q7_nation_volume": (q_tpch_q7_nation_volume, SQL_TPCH_Q7),
+    "tpch_q13_order_distribution": (q_tpch_q13_order_distribution, SQL_TPCH_Q13),
     "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
     "tpch_q14_promo_share": (q_tpch_q14_promo_share, SQL_TPCH_Q14),
     "tpch_q3_shipping_priority": (q_tpch_q3_shipping_priority, SQL_TPCH_Q3),

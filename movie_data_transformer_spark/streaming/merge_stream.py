@@ -78,12 +78,19 @@ def run_incremental_merge(
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
     glob: str = "*.json",
+    kv_client_factory=None,
 ) -> ParquetStateStore:
     """Consume JSONL movie files from input_dir in micro-batches of
     `max_files_per_trigger` files (op 12 fidelity) and merge each batch
     into the state store. Processes everything currently available, then
     stops (availableNow trigger); restartable via the checkpoint (op 14's
-    at-least-once retry, but with exactly-once batch replay semantics)."""
+    at-least-once retry, but with exactly-once batch replay semantics).
+
+    kv_client_factory: optional sinks/kv.py client factory; when given,
+    each batch also PUBLISHES the merged state of the customers touched by
+    that batch as KV rows — the complete per-batch saveToMemoryDB loop of
+    the reference (DataTransformationService.java:169-204), minus the
+    serial driver round-trips."""
     store = ParquetStateStore(spark, state_root)
 
     stream = (
@@ -103,6 +110,18 @@ def run_incremental_merge(
 
             merged = dedup_latest(merged)
         store.commit(merged.select(FLAT_COLS))
+        if kv_client_factory is not None:
+            from pyspark.sql import functions as F
+
+            from movie_data_transformer_spark.operators.movie_pipeline import (
+                group_watched,
+                kv_serialize,
+            )
+            from movie_data_transformer_spark.sinks.kv import write_kv
+
+            touched = batch_flat.select("customerId").distinct()
+            changed = store.read().join(F.broadcast(touched), "customerId", "left_semi")
+            write_kv(kv_serialize(group_watched(changed)), kv_client_factory)
 
     q = (
         stream.writeStream.foreachBatch(_merge_batch)

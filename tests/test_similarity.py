@@ -65,6 +65,34 @@ def test_numpy_topk_equals_hof_topk(spark, sf_dir):
     assert hof == np_
 
 
+def test_lsh_bucket_topk_mechanics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.similarity import (
+        hyperplane_signature,
+        lsh_bucket_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = lsh_bucket_topk(emb, queries, k=5, n_planes=4).collect()
+    assert len(got) > 0
+    # every returned neighbor shares the query's signature bucket
+    sigs = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", hyperplane_signature(F.col("embedding"), 4).alias("s")
+        ).collect()
+    }
+    for r in got:
+        assert sigs[r.query_id] == sigs[r.neighbor_id]
+    # recall floor: same-bucket fraction ~2^-n_planes of uniform data;
+    # any overlap with true top-k beats random-k selection
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(brute & approx) > 0
+
+
 def test_near_pairs_symmetric_and_thresholded(spark, sf_dir):
     pairs = cosine_near_pairs(_emb(spark, sf_dir), threshold=0.35).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)

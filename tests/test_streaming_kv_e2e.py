@@ -12,6 +12,27 @@ from movie_data_transformer_spark.streaming import run_incremental_merge
 from tests.test_streaming_merge import _movie, _write_file
 
 
+def test_integrated_per_batch_kv_publish(spark, tmp_path):
+    """kv_client_factory wired into the stream: each batch publishes the
+    merged state of touched customers (last publish wins per key)."""
+    inp = tmp_path / "in2"
+    inp.mkdir()
+    _write_file(inp, "a.json", [_movie("m1", [("c1", 2, "2024-01-01")])])
+    _write_file(inp, "b.json", [_movie("m1", [("c1", 5, "2024-05-01")])])
+    kv_root = str(tmp_path / "kv2")
+    run_incremental_merge(
+        spark,
+        str(inp),
+        str(tmp_path / "state2"),
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+        kv_client_factory=lambda: FileKVClient(kv_root),
+    )
+    stored = {k: json.loads(v) for k, v in FileKVClient.read_all(kv_root).items()}
+    (m,) = stored["customer:c1"]["watchedMovies"]
+    assert (m["rating"], m["date"]) == (5, "2024-05-01")
+
+
 def test_stream_merge_then_kv_publish(spark, tmp_path):
     inp = tmp_path / "in"
     inp.mkdir()
