@@ -285,8 +285,42 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 """
 
 
+def q_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine + gap fill: every day of January 2024 with that
+    day's event count, zero-filled for quiet days (sequence explode =
+    calendar generation, left join = gap fill)."""
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count("*").alias("_n"))
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("_n", F.lit(0)).alias("n_events")
+    )
+
+
+SQL_DATE_SPINE_GAP_FILL = """
+WITH spine AS (
+    SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+),
+daily AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS _n FROM events GROUP BY 1
+)
+SELECT spine.day, coalesce(_n, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "date_spine_gap_fill": (q_date_spine_gap_fill, SQL_DATE_SPINE_GAP_FILL),
     "agg_percentiles_exact": (q_agg_percentiles_exact, SQL_AGG_PERCENTILES),
     "histogram_values": (q_histogram_values, SQL_HISTOGRAM_VALUES),
     "unpivot_rates": (q_unpivot_rates, SQL_UNPIVOT_RATES),

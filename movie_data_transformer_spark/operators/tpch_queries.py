@@ -302,8 +302,70 @@ GROUP BY c_count
 """
 
 
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive OR-of-ANDs predicates across a join (brand x size
+    x quantity bands) — the predicate-pushdown/CNF stress case."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10) & (F.col("l_quantity") < 15))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 20) & (F.col("l_quantity") < 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 30) & (F.col("l_quantity") < 45))
+    )
+    return j.filter(cond).agg(
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 10 AND l_quantity < 15)
+   OR (p_brand = 'Brand#22' AND p_size <= 20 AND l_quantity < 30)
+   OR (p_brand = 'Brand#33' AND p_size <= 30 AND l_quantity < 45)
+"""
+
+
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: customers with above-average balance and no orders (scalar
+    subquery + anti join), grouped by nation."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("c_acctbal"), 6
+        ).alias("a")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    big = o.filter(F.col("o_totalprice") > 200000)
+    no_big_orders = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return no_big_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        decimal_sum("c_acctbal", 2, "totacctbal"),
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH avg_bal AS (
+    SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(c_acctbal), 6) AS a
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
+    "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, SQL_TPCH_Q19),
+    "tpch_q22_global_sales_opportunity": (q_tpch_q22_global_sales_opportunity, SQL_TPCH_Q22),
     "tpch_q7_nation_volume": (q_tpch_q7_nation_volume, SQL_TPCH_Q7),
     "tpch_q13_order_distribution": (q_tpch_q13_order_distribution, SQL_TPCH_Q13),
     "tpch_q4_order_priority": (q_tpch_q4_order_priority, SQL_TPCH_Q4),
