@@ -190,19 +190,52 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame, threshold: float)
     )
 
 
+def jaccard_verify_arrays(
+    candidates: DataFrame, shingle_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard via per-pair set arithmetic: join each candidate pair
+    to the two docs' shingle ARRAYS and compute
+    |intersect| / (|a|+|b|-|intersect|) with array_intersect — two
+    equi-joins keyed by doc id and zero row blowup (the exploded-join form
+    multiplies each pair by its shingle count before re-aggregating)."""
+    sa = shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
+    sb = shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                / (
+                    F.size("_sa")
+                    + F.size("_sb")
+                    - F.size(F.array_intersect("_sa", "_sb"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.3
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join candidates -> exact-Jaccard verify.
+    bucket-join candidates -> exact-Jaccard verify (array form).
 
-    The shingle table feeds three consumers (signatures + both sides of the
-    verify join); persist it so tokenize/shingle/hash runs once, not three
-    times. At cluster scale this is a checkpoint of the shingle table —
-    the standard shape for corpus-dedup pipelines (shingling dominates)."""
-    sh = doc_shingles(docs, text_col, n).persist()
+    The shingle-set table feeds three consumers (signatures + both sides
+    of the verify join); persist it so tokenize/shingle/hash runs once.
+    At cluster scale this is a checkpoint of the shingle table — the
+    standard shape for corpus-dedup pipelines (shingling dominates)."""
+    sets = docs.select(
+        "doc_id", word_shingles(normalize_text(F.col(text_col)), n).alias("shingles")
+    ).persist()
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     cands = lsh_candidate_pairs(minhash_signatures(sh))
-    return jaccard_verify(cands, sh, threshold)
+    return jaccard_verify_arrays(cands, sets, threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
