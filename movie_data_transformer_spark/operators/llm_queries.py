@@ -33,6 +33,7 @@ from movie_data_transformer_spark.operators.text import (
     quality_scores,
     rolling_hash,
     text_stats,
+    top_terms,
 )
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -127,6 +128,18 @@ SELECT doc_id,
                    c -> CAST(ascii(c) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 2147483647) AS roll_hash
 FROM documents
+"""
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms(load_table(spark, sf_dir, "documents"), k=20)
+
+
+SQL_TEXT_TOP_TERMS = r"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents)
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """
 
 
@@ -428,6 +441,7 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_quality_scores": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_rolling_hash": (q_text_rolling_hash, SQL_TEXT_ROLLING_HASH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),

@@ -143,6 +143,14 @@ def rolling_hash(col: Column, base: int = 31, mod: int = 2147483647) -> Column:
     )
 
 
+def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus term frequencies, top-k (the canonical wordcount, done as
+    explode -> partial-agg -> final-agg; deterministic tiebreak on term)."""
+    t = F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    counts = docs.select(t).groupBy("term").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text
     plus a cheap 64-bit-ish numeric digest (portable_hash) for

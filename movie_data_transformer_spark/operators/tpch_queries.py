@@ -362,8 +362,68 @@ GROUP BY c_nationkey
 """
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: market share — fraction of EUROPE-customer revenue supplied by
+    suppliers of one nation, per order year."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("c_rk") == r.r_regionkey)
+    )
+    yearly = base.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(0).cast("decimal(18,4)")
+        ).alias("nation_rev"),
+        F.sum(rev.cast("decimal(18,4)")).alias("total_rev"),
+    )
+    return yearly.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+SQL_TPCH_Q8 = """
+WITH base AS (
+    SELECT l_extendedprice * (1 - l_discount) AS rev,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT o_year,
+       sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
+                AS DECIMAL(18,4))) AS nation_rev,
+       sum(CAST(rev AS DECIMAL(18,4))) AS total_rev,
+       round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
+                           AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
     "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, SQL_TPCH_Q19),
     "tpch_q22_global_sales_opportunity": (q_tpch_q22_global_sales_opportunity, SQL_TPCH_Q22),
     "tpch_q7_nation_volume": (q_tpch_q7_nation_volume, SQL_TPCH_Q7),

@@ -70,6 +70,17 @@ def _update_user_totals(
     )
 
 
+def use_rocksdb_state_store(spark) -> None:
+    """Switch stateful streaming to the RocksDB state-store provider:
+    state spills to local disk instead of living on the JVM heap — the
+    100 TB requirement for keyed state (dedup horizons, session windows,
+    applyInPandasWithState) whose key space exceeds executor memory."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Streaming: cumulative per-user totals, updated every micro-batch.
 

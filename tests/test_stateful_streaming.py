@@ -9,6 +9,39 @@ from movie_data_transformer_spark.streaming.stateful import running_user_totals
 from tests.test_streaming_windows import EVENTS_RAW
 
 
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """The RocksDB provider handles the same stateful query (disk-backed
+    state — the at-scale configuration)."""
+    from movie_data_transformer_spark.streaming.stateful import use_rocksdb_state_store
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state_store(spark)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("rocksdb_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.sql("select count(distinct user_id) n from rocksdb_totals").collect()[0].n
+        assert n == load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_running_user_totals_matches_batch(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
