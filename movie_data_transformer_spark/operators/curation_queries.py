@@ -1,0 +1,137 @@
+"""Corpus-curation operators — the remaining pieces of a real LLM
+training-data pipeline: deterministic sampling, dataset splits,
+decontamination, and quality filtering. All hash-deterministic (the
+portable md5 hash), so the curated corpus is bit-reproducible on any
+engine and any partitioning — sampleBy/rand() would not be."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.dedup import (
+    CORPUS_ORACLE_CTE,
+    augmented_corpus,
+    normalize_text,
+)
+from movie_data_transformer_spark.operators.text import portable_hash
+from movie_data_transformer_spark.sources.tables import load_table
+
+_HASH = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def hash_bucket(col, n: int = 100):
+    """Deterministic [0, n) bucket from the portable hash of a column."""
+    return portable_hash(col.cast("string")) % n
+
+
+def q_sample_hash_20pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample of documents: hash(doc_id) % 100 < 20.
+    Reproducible everywhere — the curation-pipeline replacement for rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id")) < 20).select("doc_id", "lang", "n_chars")
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_HASH.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 20
+"""
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way deterministic split (80/10/10) with per-split counts by lang
+    — the dataset-assignment op, as an auditable summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TRAIN_VAL_TEST = f"""
+SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM (SELECT lang, {_HASH.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: exact-content overlap between the 'training'
+    corpus (augmented, with its planted copies) and the 'benchmark' set
+    (original documents) by normalized-content digest — the planted exact
+    copies at doc_id+200000 must surface as hits."""
+    train = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") >= 100000
+    )
+    bench = load_table(spark, sf_dir, "documents")
+    t = train.select(F.col("doc_id").alias("train_doc"), F.md5("text").alias("digest"))
+    bmd = bench.select(
+        F.col("doc_id").alias("bench_doc"), F.md5(normalize_text(F.col("text"))).alias("digest")
+    )
+    return t.join(bmd, "digest").select("train_doc", "bench_doc")
+
+
+SQL_CONTAMINATION = f"""
+WITH {CORPUS_ORACLE_CTE},
+train AS (SELECT doc_id AS train_doc, md5(text) AS digest
+          FROM corpus WHERE doc_id >= 100000),
+bench AS (SELECT doc_id AS bench_doc,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest
+          FROM documents)
+SELECT train_doc, bench_doc FROM train JOIN bench USING (digest)
+"""
+
+
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality filtering: keep documents passing the standard
+    cuts (length, type-token ratio, stopword presence); emit survivors
+    with their scores — the final gate before training."""
+    from movie_data_transformer_spark.operators.text import quality_scores, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_tokens", "ttr")
+    qual = quality_scores(docs).select("doc_id", "stopword_ratio", "mean_word_len")
+    joined = stats.join(qual, "doc_id")
+    return joined.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("stopword_ratio") >= 0.01)
+    )
+
+
+SQL_CORPUS_QUALITY_FILTER = r"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t,
+           string_split_regex(lower(trim(text)), '\s+') AS tl
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
+           round(CAST(len(list_filter(tl, w -> w IN
+                 ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
+                 / len(tl), 6) AS stopword_ratio,
+           round(CAST(list_aggregate(list_transform(tl, w -> length(w)), 'sum') AS DOUBLE)
+                 / len(tl), 6) AS mean_word_len
+    FROM toks
+)
+SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_word_len
+FROM s
+WHERE n_tokens >= 30 AND ttr >= 0.2 AND stopword_ratio >= 0.01
+"""
+
+
+QUERIES = {
+    "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
+    "corpus_quality_filter": (q_corpus_quality_filter, SQL_CORPUS_QUALITY_FILTER),
+}
