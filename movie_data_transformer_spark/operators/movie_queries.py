@@ -140,8 +140,46 @@ GROUP BY customerId
 """
 
 
+def q_movies_kv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dataflow expressed entirely in Spark SQL (the engine's
+    SQL surface covers the whole reference pipeline, not just the
+    relational library). Same oracle as movies_kv."""
+    from movie_data_transformer_spark.fixtures import derive_movies
+
+    derive_movies(spark, sf_dir).createOrReplaceTempView("_sql_movies")
+    return spark.sql(
+        """
+        WITH exploded AS (
+            SELECT movieId, title, yearOfRelease,
+                   w.`customer-id` AS customerId,
+                   CAST(coalesce(w.rating, 0) AS INT) AS rating,
+                   w.date AS date
+            FROM _sql_movies LATERAL VIEW explode(watchedBy) AS w
+        ),
+        dedup AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY customerId, movieId
+                    ORDER BY try_to_date(date, 'yyyy-MM-dd') DESC NULLS LAST,
+                             rating DESC, date DESC) AS _rn
+                FROM exploded
+            ) WHERE _rn = 1
+        )
+        SELECT concat('customer:', customerId) AS key,
+               to_json(named_struct(
+                   'customerId', customerId,
+                   'watchedMovies', sort_array(collect_list(named_struct(
+                       'movieId', movieId, 'title', title,
+                       'yearOfRelease', yearOfRelease,
+                       'rating', rating, 'date', date))))) AS value
+        FROM dedup GROUP BY customerId
+        """
+    )
+
+
 QUERIES = {
     "movies_explode": (q_movies_explode, SQL_MOVIES_EXPLODE),
+    "movies_kv_sql": (q_movies_kv_sql, SQL_MOVIES_KV),
     "movies_dedup_latest": (q_movies_dedup_latest, SQL_MOVIES_DEDUP_LATEST),
     "movies_dedup_latest_maxby": (q_movies_dedup_latest_maxby, SQL_MOVIES_DEDUP_LATEST),
     "movies_group_collect": (q_movies_group_collect, SQL_MOVIES_GROUP_COLLECT),
