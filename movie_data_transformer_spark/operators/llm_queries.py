@@ -276,7 +276,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_sql() -> str:
     return f"""
 WITH {CORPUS_ORACLE_CTE},
-toks AS (SELECT doc_id, lang, CAST(n_chars / 100 AS INT) AS len_bucket,
+toks AS (SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
                 string_split(text, ' ') AS t FROM corpus),
 idx AS (SELECT doc_id, lang, len_bucket, t,
                unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks),
