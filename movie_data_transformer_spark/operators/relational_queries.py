@@ -556,6 +556,49 @@ FROM events GROUP BY event_type
 """
 
 
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting join recipe (functions/skew.py) verified against
+    the ORACLE of the plain join — salting must never change results."""
+    from movie_data_transformer_spark.functions.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+
+
+SQL_JOIN_SKEW_SALTED = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_agg_distinct_per_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style: distinct supplier count per part attribute group."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_AGG_DISTINCT_PER_ATTRS = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, quantile sketches) —
     rows-only by nature; tolerance vs exact pinned in tests."""
@@ -569,6 +612,8 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
     "agg_approx_sketches": (q_agg_approx, None),
+    "join_skew_salted": (q_join_skew_salted, SQL_JOIN_SKEW_SALTED),
+    "agg_distinct_per_attrs": (q_agg_distinct_per_attrs, SQL_AGG_DISTINCT_PER_ATTRS),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_outer_coalesce": (q_join_outer_coalesce, SQL_JOIN_OUTER_COALESCE),
