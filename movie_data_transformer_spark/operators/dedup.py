@@ -121,14 +121,38 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """32 minhashes per doc: group once, min() of each affine transform of
-    the portable shingle hash (single shuffle keyed by doc)."""
+    """32 minhashes per doc from EXPLODED (doc_id, shingle) rows: group
+    once, min() of each affine transform of the portable shingle hash
+    (single shuffle keyed by doc). Prefer minhash_signatures_from_arrays
+    when the shingle sets are already arrays — it needs NO shuffle."""
     h = portable_hash(F.col("shingle"))
     aggs = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(shingle_sets: DataFrame) -> DataFrame:
+    """Shuffle-free signatures: each minhash is array_min of an affine
+    transform of the row's pre-hashed shingle array — pure row-local
+    computation, so the only shuffles left in the LSH pipeline are the
+    band-bucket join and the verify joins.
+
+    REQUIRES a materialized `hvals` column (see minhash_dedup_pairs):
+    referencing an md5 expression from 32 sibling projections would
+    re-evaluate it 32x after projection collapse."""
+
+    def _affine(a: int, b: int):
+        # closure, NOT lambda defaults (PySpark reads lambda arity from
+        # the signature — NOTES.md fact #5)
+        return lambda h: (h * a + b) % MINHASH_P
+
+    cols = [
+        F.array_min(F.transform(F.col("hvals"), _affine(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return shingle_sets.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -230,12 +254,17 @@ def minhash_dedup_pairs(
     of the verify join); persist it so tokenize/shingle/hash runs once.
     At cluster scale this is a checkpoint of the shingle table — the
     standard shape for corpus-dedup pipelines (shingling dominates)."""
-    sets = docs.select(
-        "doc_id", word_shingles(normalize_text(F.col(text_col)), n).alias("shingles")
-    ).persist()
-    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
-    return jaccard_verify_arrays(cands, sets, threshold)
+    sets = (
+        docs.select(
+            "doc_id", word_shingles(normalize_text(F.col(text_col)), n).alias("shingles")
+        )
+        # hash once per shingle, MATERIALIZED by the persist — the 32
+        # signature projections then read cached values
+        .withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
+        .persist()
+    )
+    cands = lsh_candidate_pairs(minhash_signatures_from_arrays(sets))
+    return jaccard_verify_arrays(cands, sets.select("doc_id", "shingles"), threshold)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
