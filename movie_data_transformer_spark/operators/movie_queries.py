@@ -177,8 +177,85 @@ def q_movies_kv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_movies_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence — the first step of every item-based
+    recommender (the reference's domain!): for each movie pair, how many
+    customers watched both. Self-join per customer on the deduped
+    watch table; at scale this is the classic 'pairs within group' —
+    bounded by per-customer watch-list length, never |movies|^2."""
+    watched = dedup_latest(_exploded(spark, sf_dir)).select("customerId", "movieId")
+    a = watched.select("customerId", F.col("movieId").alias("movie_a"))
+    b = watched.select("customerId", F.col("movieId").alias("movie_b"))
+    return (
+        a.join(b, "customerId")
+        .filter(F.col("movie_a") < F.col("movie_b"))
+        .groupBy("movie_a", "movie_b")
+        .agg(F.count("*").alias("n_co_watchers"))
+    )
+
+
+SQL_MOVIES_COOCCURRENCE = f"""
+WITH {RATINGS_ORACLE_CTE},
+dedup AS (
+    SELECT DISTINCT customerId, movieId FROM ratings
+)
+SELECT a.movieId AS movie_a, b.movieId AS movie_b, count(*) AS n_co_watchers
+FROM dedup a JOIN dedup b
+  ON a.customerId = b.customerId AND a.movieId < b.movieId
+GROUP BY 1, 2
+"""
+
+
+def q_movies_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movie-movie similarity by viewer-set Jaccard (co-watchers over
+    union of watchers) — item similarity for the recommender."""
+    watched = dedup_latest(_exploded(spark, sf_dir)).select("customerId", "movieId")
+    sizes = watched.groupBy("movieId").agg(F.count("*").alias("n"))
+    a = watched.select("customerId", F.col("movieId").alias("movie_a"))
+    b = watched.select("customerId", F.col("movieId").alias("movie_b"))
+    co = (
+        a.join(b, "customerId")
+        .filter(F.col("movie_a") < F.col("movie_b"))
+        .groupBy("movie_a", "movie_b")
+        .agg(F.count("*").alias("n_co"))
+    )
+    za = sizes.select(F.col("movieId").alias("movie_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("movieId").alias("movie_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(za, "movie_a")
+        .join(zb, "movie_b")
+        .select(
+            "movie_a",
+            "movie_b",
+            F.round(
+                F.col("n_co").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_co")), 6
+            ).alias("viewer_jaccard"),
+        )
+    )
+
+
+SQL_MOVIES_SIMILARITY_JACCARD = f"""
+WITH {RATINGS_ORACLE_CTE},
+dedup AS (SELECT DISTINCT customerId, movieId FROM ratings),
+sizes AS (SELECT movieId, count(*) AS n FROM dedup GROUP BY movieId),
+co AS (
+    SELECT a.movieId AS movie_a, b.movieId AS movie_b, count(*) AS n_co
+    FROM dedup a JOIN dedup b
+      ON a.customerId = b.customerId AND a.movieId < b.movieId
+    GROUP BY 1, 2
+)
+SELECT movie_a, movie_b,
+       round(CAST(n_co AS DOUBLE) / (na.n + nb.n - n_co), 6) AS viewer_jaccard
+FROM co
+JOIN sizes na ON na.movieId = movie_a
+JOIN sizes nb ON nb.movieId = movie_b
+"""
+
+
 QUERIES = {
     "movies_explode": (q_movies_explode, SQL_MOVIES_EXPLODE),
+    "movies_cooccurrence": (q_movies_cooccurrence, SQL_MOVIES_COOCCURRENCE),
+    "movies_similarity_jaccard": (q_movies_similarity_jaccard, SQL_MOVIES_SIMILARITY_JACCARD),
     "movies_kv_sql": (q_movies_kv_sql, SQL_MOVIES_KV),
     "movies_dedup_latest": (q_movies_dedup_latest, SQL_MOVIES_DEDUP_LATEST),
     "movies_dedup_latest_maxby": (q_movies_dedup_latest_maxby, SQL_MOVIES_DEDUP_LATEST),
