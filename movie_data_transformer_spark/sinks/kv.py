@@ -19,6 +19,7 @@ unchanged.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from collections.abc import Callable, Iterator
 from typing import Protocol
@@ -49,7 +50,11 @@ class FileKVClient:
 
     def close(self) -> None:
         self._out.close()
-        os.replace(self._tmp, os.path.join(self.root, f"part-{uuid.uuid4().hex}.kv"))
+        # commit-time prefix makes read_all's name-sorted replay
+        # chronological, so a key published by a LATER batch wins — a bare
+        # uuid name made the winner random across batches
+        name = f"part-{time.time_ns():020d}-{uuid.uuid4().hex}.kv"
+        os.replace(self._tmp, os.path.join(self.root, name))
 
     @staticmethod
     def read_all(root: str) -> dict[str, str]:
