@@ -318,8 +318,31 @@ FROM spine LEFT JOIN daily ON spine.day = daily.day
 """
 
 
+def q_agg_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (listagg/string_agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(F.collect_set(F.col("c_nationkey").cast("string").alias("nk"))),
+        ).alias("nations_csv"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+# NOTE: both sides sort the DISTINCT nation keys as STRINGS ('10' < '2')
+SQL_AGG_ORDERED_CONCAT = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                  ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations_csv,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    "agg_ordered_concat": (q_agg_ordered_concat, SQL_AGG_ORDERED_CONCAT),
     "date_spine_gap_fill": (q_date_spine_gap_fill, SQL_DATE_SPINE_GAP_FILL),
     "agg_percentiles_exact": (q_agg_percentiles_exact, SQL_AGG_PERCENTILES),
     "histogram_values": (q_histogram_values, SQL_HISTOGRAM_VALUES),
