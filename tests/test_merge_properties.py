@@ -66,6 +66,36 @@ def test_merge_invariants(state, batch):
                 assert (r, d) in state_vals
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rating_rows)
+def test_dedup_latest_invariants(rows):
+    from datetime import date
+
+    from movie_data_transformer_spark.operators.movie_pipeline import dedup_latest
+
+    out = dedup_latest(_df(rows)).collect()
+    # exactly one survivor per (customer, movie) key present in the input
+    keys_in = {(c, m) for ((m, c), _, _) in rows}
+    keys_out = [(r["customerId"], r["movieId"]) for r in out]
+    assert sorted(set(keys_out)) == sorted(keys_in) and len(keys_out) == len(set(keys_out))
+    # the winner's parsed date is the max parseable date of its key group
+    def parse(d):
+        try:
+            return date.fromisoformat(d)
+        except ValueError:
+            return None
+
+    for r in out:
+        group = [
+            (rt, dt) for ((m, c), rt, dt) in rows if (c, m) == (r["customerId"], r["movieId"])
+        ]
+        parseable = [parse(d) for _, d in group if parse(d) is not None]
+        if parseable:
+            assert parse(r["date"]) == max(parseable)
+        else:
+            assert parse(r["date"]) is None  # all-malformed group keeps a malformed row
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(batch=rating_rows)
 def test_merge_self_idempotent(batch):
