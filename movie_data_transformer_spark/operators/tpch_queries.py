@@ -421,6 +421,187 @@ FROM base GROUP BY o_year
 """
 
 
+def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: shipping-mode priority split (adapted: no l_shipmode /
+    commit/receipt dates, so group by l_linestatus and define "late" as
+    shipped > 60 days after order date; the conditional-count shape is
+    the point)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+           AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: small-quantity-order revenue — correlated scalar subquery
+    (per-part average quantity) re-expressed as an aggregate + rejoin
+    (adapted: p_size < 15 stands in for the missing p_container filter).
+
+    The threshold compare l_quantity < 0.2 * avg(l_quantity) is done in
+    exact decimal cross-multiplied form (5 * qty * cnt < sum) so no
+    engine-specific double rounding can flip a boundary row.
+    """
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    pp = p.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_q"),
+        F.count("l_quantity").alias("cnt_q"),
+    )
+    j = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt_q") < F.col("sum_q")
+        )
+    )
+    return j.agg(
+        decimal_sum("l_extendedprice", 2, "total_ext"),
+        F.count("*").alias("n_small"),
+    ).select(
+        "total_ext",
+        "n_small",
+        F.round(F.col("total_ext").cast("double") / 7.0, 6).alias("avg_yearly"),
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH per_part AS (
+    SELECT l_partkey AS pk,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+           count(l_quantity) AS cnt_q
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext,
+       count(*) AS n_small,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+           AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND p_size < 15
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_q < sum_q
+"""
+
+
+def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume customers — groupBy + HAVING on an exact decimal
+    sum, then rejoin to customer/orders for the detail row."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, sum_qty
+FROM (
+    SELECT l_orderkey AS o_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) big
+JOIN orders USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who kept orders waiting — the EXISTS / NOT EXISTS
+    pair re-expressed as left-semi + left-anti joins (adapted: "late" is
+    shipped > 60 days after order date, standing in for the missing
+    commit/receipt dates; multi-supplier orders with status 'F' where
+    ONLY this supplier was late)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    f_orders = o.filter(F.col("o_orderstatus") == "F")
+    lines = li.join(
+        f_orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ).alias("is_late"),
+    )
+    l1 = lines.filter(F.col("is_late"))
+    l2 = lines.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    sole = cand.join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH lines AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+               AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, n_name, count(*) AS numwait
+FROM lines l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
     "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
@@ -434,4 +615,11 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": (q_tpch_q5_local_supplier_volume, SQL_TPCH_Q5),
     "tpch_q6_forecast_revenue": (q_tpch_q6_forecast_revenue, SQL_TPCH_Q6),
     "tpch_q10_returned_items": (q_tpch_q10_returned_items, SQL_TPCH_Q10),
+    "tpch_q12_late_priority": (q_tpch_q12_late_priority, SQL_TPCH_Q12),
+    "tpch_q17_small_quantity_revenue": (q_tpch_q17_small_quantity_revenue, SQL_TPCH_Q17),
+    "tpch_q18_large_volume_customer": (q_tpch_q18_large_volume_customer, SQL_TPCH_Q18),
+    "tpch_q21_suppliers_who_kept_waiting": (
+        q_tpch_q21_suppliers_who_kept_waiting,
+        SQL_TPCH_Q21,
+    ),
 }

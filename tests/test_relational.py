@@ -14,6 +14,10 @@ from movie_data_transformer_spark.operators.relational_queries import (
     q_sort_limit_topn,
     q_window_topk_per_group,
 )
+from movie_data_transformer_spark.operators.tpch_queries import (
+    q_tpch_q17_small_quantity_revenue,
+    q_tpch_q21_suppliers_who_kept_waiting,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -31,6 +35,33 @@ def test_topk_per_group_single_shuffle(spark, sf_dir):
     plan = q_window_topk_per_group(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # one exchange for the window partition keys; the dim join is broadcast
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q17_correlated_subquery_broadcasts(spark, sf_dir):
+    # the per-part avg side and the filtered part dim are both broadcast:
+    # the lineitem fact must never shuffle for the rejoin
+    plan = (
+        q_tpch_q17_small_quantity_revenue(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    # EXISTS / NOT EXISTS become LeftSemi / LeftAnti hash joins on the
+    # order key (theta condition on suppkey rides along) — never a
+    # cartesian product
+    plan = (
+        q_tpch_q21_suppliers_who_kept_waiting(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
