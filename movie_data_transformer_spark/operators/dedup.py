@@ -297,6 +297,63 @@ def minhash_dedup_pairs(
     return jaccard_verify_arrays(cands, sets.select("doc_id", "shingles"), threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster the near-dup pair graph: (doc_id, cluster_root) where
+    cluster_root is the MIN doc id in the doc's connected component —
+    the step a corpus dedup needs after pair generation to pick ONE
+    representative per duplicate cluster.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges to the
+    unique fixpoint in O(component diameter) rounds (near-dup clusters
+    are dense, so diameter is tiny). Each round is one shuffle join +
+    one aggregation — the standard Spark connected-components shape
+    (GraphX/GraphFrames do the same dataflow). localCheckpoint after
+    each round truncates the exponentially-growing lineage; on a
+    cluster use a reliable checkpoint dir instead.
+
+    Singleton docs (no pairs) are not emitted — callers union them back
+    as their own roots if needed. Raises if not converged in max_iter
+    (never observed <6 rounds on the test corpora)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                labels.doc_id.alias("doc_id"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("doc_id", F.col("label").alias("cluster_root"))
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per bit position, sum +-1 votes of each distinct token's
     hash bit; fingerprint assembles the sign bits.

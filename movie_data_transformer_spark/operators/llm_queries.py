@@ -14,6 +14,7 @@ from movie_data_transformer_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_P,
     augmented_corpus,
+    connected_components,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -28,6 +29,7 @@ from movie_data_transformer_spark.operators.similarity import (
     lsh_bucket_topk,
 )
 from movie_data_transformer_spark.operators.text import (
+    chunk_documents,
     fingerprint,
     language_id,
     quality_scores,
@@ -162,6 +164,27 @@ FROM n
 # --- dedup -------------------------------------------------------------------
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+SQL_TEXT_CHUNKS = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+c AS (
+    SELECT doc_id, t,
+           unnest(range(0, CAST(ceil(len(t) / 64.0) AS INT))) AS chunk_idx
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(t[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ') AS chunk_text,
+       CAST(len(t[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS INT) AS n_tokens
+FROM c
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(augmented_corpus(load_table(spark, sf_dir, "documents")))
 
@@ -181,7 +204,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in pairs(doc_a, doc_b, jaccard) — the
+    verified near-dup pairs at threshold 0.3. Consumed by both the
+    pair query and the clusters query."""
     mh_exprs = ",\n           ".join(
         f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
@@ -189,8 +215,7 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {bi} AS band, concat_ws(':', mh{bi*2}, mh{bi*2+1}) AS sig FROM sigs"
         for bi in range(16)
     )
-    return f"""
-WITH {CORPUS_ORACLE_CTE},
+    return f"""{CORPUS_ORACLE_CTE},
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
 idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i FROM toks),
 sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle FROM idx),
@@ -212,13 +237,48 @@ inter AS (
     JOIN sh sa ON sa.doc_id = cand.doc_a
     JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
     GROUP BY doc_a, doc_b
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.3
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representatives: connected components over the
+    verified minhash near-dup pairs (min doc id per component)."""
+    pairs = minhash_dedup_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), n=3, threshold=0.3
+    )
+    return connected_components(pairs)
+
+
+def _clusters_sql() -> str:
+    # Transitive closure by recursive CTE (UNION dedup terminates it),
+    # then min over self+reachable = the component root. Tractable for an
+    # oracle because near-dup components are tiny.
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
 )
-SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes na ON na.doc_id = doc_a
-JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.3
+SELECT node AS doc_id, least(node, min(r)) AS cluster_root
+FROM reach GROUP BY node
 """
 
 
@@ -440,11 +500,13 @@ QUERIES = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "text_quality_scores": (q_text_quality, SQL_TEXT_QUALITY),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_rolling_hash": (q_text_rolling_hash, SQL_TEXT_ROLLING_HASH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ngram_jaccard_sql()),

@@ -110,3 +110,31 @@ def range_join(
         .filter(lower & upper)
         .select("_l", "_r", "_lts", "_rts")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 21600,
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch form of the session window): a new
+    session starts when the gap since the user's previous event exceeds
+    gap_seconds. Two window passes over ONE partitioning (key) — lag to
+    flag boundaries, running sum to number sessions — so Spark plans a
+    single shuffle and one sort. Ordering ties broken by seq_col for
+    full determinism; timestamps compared at second grain (matches the
+    DuckDB oracle's floor(epoch(ts)))."""
+    from pyspark.sql import Window
+
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_s.asc(), F.col(seq_col).asc())
+    prev = F.lag(ts_s).over(w)
+    is_new = F.when(prev.isNull() | ((ts_s - prev) > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(key).orderBy(ts_s.asc(), F.col(seq_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("ts_s", ts_s).withColumn(
+        "session_idx", F.sum(is_new).over(running).cast("bigint")
+    )

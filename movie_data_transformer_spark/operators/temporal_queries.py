@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.operators.temporal import asof_join, range_join
+from movie_data_transformer_spark.operators.temporal import asof_join, range_join, sessionize
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -92,7 +92,47 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (6h inactivity closes a session):
+    one row per session with span and activity aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=21600, seq_col="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts_s").alias("session_start_s"),
+        F.max("ts_s").alias("session_end_s"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+),
+m AS (
+    SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                     OR ts_s - lag(ts_s) OVER w > 21600 THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
+),
+s AS (
+    SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM m
+)
+SELECT user_id, session_idx,
+       min(ts_s) AS session_start_s,
+       max(ts_s) AS session_end_s,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "asof_view_before_purchase": (q_asof_view_before_purchase, SQL_ASOF_VIEW_BEFORE_PURCHASE),
     "range_join_conversions": (q_range_join_conversions, SQL_RANGE_JOIN_CONVERSIONS),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
 }

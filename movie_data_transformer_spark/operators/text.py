@@ -162,3 +162,53 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         portable_hash(norm).alias("fp_int"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text", chunk_tokens: int = 64) -> DataFrame:
+    """Fixed-size token chunking — the pretraining/RAG preprocessing step:
+    split each doc into consecutive chunk_tokens-token windows,
+    emitting (doc_id, chunk_idx, chunk_text, n_tokens) per chunk.
+
+    Pure built-in expressions: tokens materialized ONCE in a first
+    projection, then sequence+slice+array_join build the chunks and
+    explode flattens — all JVM-side, no Python in the path. Every doc
+    yields >=1 chunk (tokens() of empty text is [''])."""
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("toks"), i * chunk_tokens + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("toks"), i * chunk_tokens + 1, F.lit(chunk_tokens))
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
+def chunk_text_udtf():
+    """The same chunker as a Python UDTF — the user-extension surface
+    (reference has none: SURVEY.md:182-199 documents the absence of any
+    UDF/UDAF/UDTF hook). Row-at-a-time Python, so the expression form
+    above is the production path; this demonstrates the lateral-table
+    extension point. Returns the UDTF (created lazily — no session or
+    JVM needed at import time)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str, chunk_tokens: int):
+            import re
+
+            toks = re.split(r"\s+", (text or "").strip())
+            for ci in range(0, max(len(toks), 1), chunk_tokens):
+                window = toks[ci : ci + chunk_tokens]
+                yield ci // chunk_tokens, " ".join(window), len(window)
+
+    return ChunkText

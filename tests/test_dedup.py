@@ -98,3 +98,17 @@ def test_simhash_fingerprint_short_and_empty_docs(spark):
     assert rows[2] == rows[4]
     rows2 = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
     assert rows == rows2
+
+
+def test_connected_components_hand_graph(spark):
+    """Path graph + separate triangle + isolated pair: roots are the min
+    id per component; a long path needs multiple propagation rounds."""
+    from movie_data_transformer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a int, doc_b int",
+    )
+    got = {r.doc_id: r.cluster_root for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -56,3 +56,28 @@ def test_range_join_bounds(spark):
         for r in range_join(views, purchases, "user_id", "ts", "ts", 600).collect()
     }
     assert got == {21, 22}
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY gap_seconds stays in-session; one second more
+    starts a new one. Ties in ts are broken by event_id."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=600)),          # in session 1
+        (3, 1, t0 + dt.timedelta(seconds=1200)),         # exactly +600 again -> still 1
+        (4, 1, t0 + dt.timedelta(seconds=1801 + 1200)),  # gap 1801 > 1800 -> session 2
+        (5, 2, t0),                                      # other user -> own session 1
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize(ev, gap_seconds=1800).select("event_id", "session_idx").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}

@@ -91,3 +91,28 @@ def test_frame_sample_only_videos(spark, sf_dir):
     frames = frame_sample(media, every_n=10)
     ids = {r.doc_id for r in frames.select("doc_id").distinct().collect()}
     assert ids and all(i % 3 == 2 for i in ids)
+
+
+def test_chunk_udtf_matches_expression_form(spark, sf_dir):
+    """The Python UDTF (extension surface) and the built-in expression
+    chunker (production path) must agree row-for-row."""
+    from movie_data_transformer_spark.operators.text import chunk_documents, chunk_text_udtf
+    from movie_data_transformer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    expr_rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=16).collect()
+    )
+    ChunkText = chunk_text_udtf()
+    spark.udtf.register("chunk_text", ChunkText)
+    docs.createOrReplaceTempView("chunk_docs")
+    udtf_rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM chunk_docs d, "
+            "LATERAL chunk_text(d.text, 16) c"
+        ).collect()
+    )
+    assert expr_rows == udtf_rows and len(expr_rows) > 50
