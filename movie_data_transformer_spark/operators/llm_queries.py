@@ -22,17 +22,24 @@ from movie_data_transformer_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from movie_data_transformer_spark.operators.similarity import (
+    augmented_embeddings,
     brute_force_topk,
     brute_force_topk_np,
     cosine_near_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    semdedup_pairs,
 )
 from movie_data_transformer_spark.operators.text import (
+    PII_EMAIL,
+    PII_IP,
+    PII_PHONE,
     chunk_documents,
     fingerprint,
     language_id,
+    pii_redact,
     quality_scores,
+    repetition_stats,
     rolling_hash,
     text_stats,
     top_terms,
@@ -183,6 +190,108 @@ SELECT doc_id,
        CAST(len(t[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS INT) AS n_tokens
 FROM c
 """
+
+
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+uc AS (
+    SELECT doc_id, unnest(t) AS g FROM toks
+),
+ucn AS (SELECT doc_id, g, count(*) AS n FROM uc GROUP BY doc_id, g),
+us AS (
+    SELECT doc_id,
+           CASE WHEN sum(n * length(g)) > 0
+                THEN round(CAST(max(n * length(g)) AS DOUBLE) / sum(n * length(g)), 6)
+                ELSE 0.0 END AS frac_chars_top_token
+    FROM ucn GROUP BY doc_id
+),
+bidx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+bc AS (
+    SELECT doc_id, concat_ws(' ', t[i], t[i + 1]) AS g, count(*) AS n
+    FROM bidx GROUP BY doc_id, g
+),
+bs AS (
+    SELECT doc_id,
+           round(CAST(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) AS DOUBLE)
+                 / sum(n * length(g)), 6) AS frac_chars_dup_2grams
+    FROM bc GROUP BY doc_id
+),
+tidx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+tc AS (
+    SELECT doc_id, concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS g, count(*) AS n
+    FROM tidx GROUP BY doc_id, g
+),
+ts AS (
+    SELECT doc_id,
+           round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
+               AS frac_dup_3grams
+    FROM tc GROUP BY doc_id
+)
+SELECT us.doc_id, us.frac_chars_top_token,
+       coalesce(bs.frac_chars_dup_2grams, 0.0) AS frac_chars_dup_2grams,
+       coalesce(ts.frac_dup_3grams, 0.0) AS frac_dup_3grams
+FROM us
+LEFT JOIN bs ON us.doc_id = bs.doc_id
+LEFT JOIN ts ON ts.doc_id = us.doc_id
+"""
+
+
+#: Planted PII rows (the synthetic corpus contains none) — single source
+#: of truth for BOTH the Spark corpus and the SQL oracle's VALUES list.
+PII_ROWS = [
+    (900000, "contact alice.smith@example.com or call 555-123-4567 before friday"),
+    (900001, "backup server 192.168.0.1 emailed bob99@test.org fax 123.456.7890"),
+    (900002, "no sensitive content in this line at all"),
+    (900003, "gateways 10.0.0.1 and 172.16.254.3 owner carol_x%y@mail.co"),
+]
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    return pii_redact(base.unionAll(planted))
+
+
+def _pii_sql() -> str:
+    vals = ",\n        ".join(
+        "(CAST({} AS BIGINT), '{}')".format(i, t.replace("'", "''")) for i, t in PII_ROWS
+    )
+    redact = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{PII_IP}', '<IP>', 'g')"
+    )
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES
+        {vals}) v(doc_id, text)
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS INT) AS n_ips,
+       {redact} AS clean_text
+FROM corpus
+"""
+
+
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means over the
+    (near-dup-augmented) embeddings, cosine pairs within clusters only.
+    Approximate by construction (cross-cluster pairs missed) -> rows-only
+    driver check; recall vs the exact all-pairs ground truth is pinned in
+    tests/test_similarity.py."""
+    emb = augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return semdedup_pairs(emb, k=8, n_iter=3, threshold=0.9)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +610,9 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "text_repetition_stats": (q_text_repetition_stats, SQL_TEXT_REPETITION),
+    "text_pii_redact": (q_text_pii_redact, _pii_sql()),
+    "semdedup_pairs": (q_semdedup_pairs, None),  # approximate -> rows-only
     "text_quality_scores": (q_text_quality, SQL_TEXT_QUALITY),
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_rolling_hash": (q_text_rolling_hash, SQL_TEXT_ROLLING_HASH),

@@ -251,6 +251,128 @@ def lsh_bucket_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
 
 
+def augmented_embeddings(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embeddings + planted semantic near-duplicates, so embedding-space
+    dedup has real work (the raw synthetic corpus tops out at cosine
+    ~0.45): vectors 0-49 get a copy (id+100000) with even dimensions
+    scaled by 1.2 — cosine vs the original ~0.99, far above any organic
+    pair. Expression-only augmentation (mirrors dedup.augmented_corpus)."""
+    near = corpus.filter(F.col(id_col) < 50).select(
+        (F.col(id_col) + 100000).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.when(i % 2 == 0, x * F.lit(1.2)).otherwise(x * F.lit(1.0)),
+        ).alias(vec_col),
+        "label",
+    )
+    return corpus.select(id_col, vec_col, "label").unionAll(near)
+
+
+def _assign_clusters(
+    corpus: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure column expression: the k
+    centroids are inlined as literal arrays (k x dim doubles — tiny), so
+    assignment is map-side only, no join, no shuffle. Argmin via
+    array_min over (distance, index) structs — deterministic tie-break on
+    the lower cluster index."""
+    entries = []
+    for j, c in enumerate(centroids):
+        cent = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), cent, lambda x, cv: (x.cast("double") - cv) * (x.cast("double") - cv)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(F.round(d, 9).alias("d"), F.lit(j).alias("j")))
+    return corpus.withColumn("cluster", F.array_min(F.array(*entries))["j"].cast("int"))
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    clustering stage of SemDeDup-style semantic dedup (Abbas et al. 2023)
+    and of IVF index builds.
+
+    Fully reproducible, partitioning-independent: centroids initialize to
+    the embeddings of the k smallest ids; the iteration count is fixed;
+    and the update step sorts each cluster's members by id before the
+    numpy mean, so float summation order never depends on task layout.
+
+    Per iteration: one map-side literal-centroid assignment (no shuffle)
+    + one shuffle into k groups for the applyInPandas mean + a k-row
+    collect. Centroid state is k x dim doubles on the driver — the same
+    tiny-state design as MLlib's own KMeans. At 100 TB the shuffle
+    carries only (vec, cluster) rows; with k clusters >> executor count,
+    swap the final mean for a two-level avg (per-partition partial sums)
+    — shape documented in SCALE.md."""
+    import numpy as np
+    import pandas as pd
+
+    init = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = np.array([r[1] for r in init], dtype=np.float64)
+    out_schema = "cluster int, centroid array<double>"
+
+    def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64).mean(axis=0)
+        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])], "centroid": [list(m)]})
+
+    for _ in range(n_iter):
+        assigned = _assign_clusters(corpus, cents, id_col, vec_col)
+        new = (
+            assigned.select(id_col, vec_col, "cluster")
+            .groupBy("cluster")
+            .applyInPandas(_mean, out_schema)
+            .collect()
+        )
+        for r in new:  # empty clusters keep their previous centroid
+            cents[r["cluster"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return _assign_clusters(corpus, cents, id_col, vec_col)
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means the embedding space, then compare pairs ONLY
+    within a cluster — near-duplicates (cosine >= threshold) land in the
+    same cell, so the quadratic comparison is confined to cluster-sized
+    blocks instead of the full corpus. Returns (vec_a, vec_b, cos_sim,
+    cluster). Approximate by construction (a pair split across clusters
+    is missed) -> rows-only driver check; recall vs brute force pinned
+    in tests."""
+    assigned = kmeans_assign(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            "cluster",
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def cosine_near_pairs(
     corpus: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

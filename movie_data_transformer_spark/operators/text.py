@@ -192,6 +192,124 @@ def chunk_documents(docs: DataFrame, text_col: str = "text", chunk_tokens: int =
     )
 
 
+#: PII patterns — shared between the Spark expressions and the DuckDB
+#: oracle (Java regex and RE2 agree on this ASCII-only subset: character
+#: classes, bounded repetition, \b word boundaries; no backrefs/lookahead).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before anything else: mask emails, phone numbers, and IPv4
+    addresses with typed placeholders, and count what was masked (the
+    audit signal). Counts are taken on the ORIGINAL text, so they are
+    well-defined regardless of replacement order; replacements run
+    email -> phone -> IP (placeholders contain no digits, so later
+    patterns cannot match inside earlier replacements).
+
+    Pure regexp expressions, JVM-side, embarrassingly parallel — no
+    shuffle, scales with scan bandwidth."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    count = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        count(PII_EMAIL).alias("n_emails"),
+        count(PII_PHONE).alias("n_phones"),
+        count(PII_IP).alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters), the standard cut for boilerplate/spam in pretraining data:
+
+      - frac_chars_top_token:  chars attributable to the single most
+        frequent token / total token chars (catches "buy buy buy ...")
+      - frac_chars_dup_2grams: chars in bigrams occurring more than once /
+        total bigram chars
+      - frac_dup_3grams:       trigram occurrences that are repeats /
+        total trigram occurrences
+
+    Shape: one explode + hash-agg per n-gram order, each re-aggregated to
+    doc grain and joined back on doc_id. All three aggregations and the
+    joins share the doc_id key space, so at scale the final joins are
+    co-partitioned; the heavy explode stages do map-side partial
+    aggregation ((doc, gram) keys collapse before the shuffle on
+    repetitive text — exactly the docs this operator exists to catch).
+    N-grams via shifted slices of the token array (see word_shingles:
+    constant tokenizer evaluations per row)."""
+    t = tokens(F.lower(F.col(text_col)))
+    toks = docs.select("doc_id", t.alias("t"))
+    n = F.size("t")
+    big = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 2, F.lit(0))),
+        F.zip_with(
+            F.slice("t", 2, F.greatest(n - 2, F.lit(0))),
+            F.slice("t", 3, F.greatest(n - 2, F.lit(0))),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+
+    def gram_counts(gram_col):
+        return (
+            toks.select("doc_id", F.explode(gram_col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("n"))
+        )
+
+    chars = F.col("n") * F.length("g")
+    uni_stats = gram_counts(F.col("t")).groupBy("doc_id").agg(
+        F.when(
+            F.sum(chars) > 0,
+            F.round(F.max(chars).cast("double") / F.sum(chars), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_chars_top_token")
+    )
+    bi_stats = gram_counts(big).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("n") > 1, chars).otherwise(F.lit(0))).cast("double")
+            / F.sum(chars),
+            6,
+        ).alias("frac_chars_dup_2grams")
+    )
+    tri_stats = gram_counts(tri).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("frac_dup_3grams")
+    )
+    return (
+        uni_stats.join(bi_stats, "doc_id", "left")
+        .join(tri_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "frac_chars_top_token",
+            F.coalesce("frac_chars_dup_2grams", F.lit(0.0)).alias("frac_chars_dup_2grams"),
+            F.coalesce("frac_dup_3grams", F.lit(0.0)).alias("frac_dup_3grams"),
+        )
+    )
+
+
 def chunk_text_udtf():
     """The same chunker as a Python UDTF — the user-extension surface
     (reference has none: SURVEY.md:182-199 documents the absence of any

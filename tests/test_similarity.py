@@ -97,3 +97,57 @@ def test_near_pairs_symmetric_and_thresholded(spark, sf_dir):
     pairs = cosine_near_pairs(_emb(spark, sf_dir), threshold=0.35).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
     assert all(r.cos_sim >= 0.35 for r in pairs)
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Assignments must not depend on task layout: same clusters from a
+    1-partition and a 7-partition input (init sorted by id, members
+    sorted before each mean)."""
+    from movie_data_transformer_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)], 0) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = {r.vec_id: r.cluster for r in kmeans_assign(df, k=4, n_iter=3).collect()}
+    b = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df.repartition(7), k=4, n_iter=3).collect()
+    }
+    assert a == b and len(set(a.values())) > 1
+
+
+def test_semdedup_finds_planted_pairs(spark):
+    """Three tight clusters, each with one planted near-identical pair:
+    semdedup must recover exactly those pairs (100% recall here — the
+    pair members are far closer to each other than cluster width)."""
+    from movie_data_transformer_spark.operators.similarity import semdedup_pairs
+
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(8):  # cluster members, jittered deterministically
+            rows.append(
+                (ci * 100 + j, [v + ((ci * 8 + j) % 5 - 2) * 0.4 for v in c], 0)
+            )
+        rows.append((ci * 100 + 50, [v * 1.001 for v in centers[ci]], 0))  # planted near-dup pair
+        rows.append((ci * 100 + 51, [v * 1.002 for v in centers[ci]], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = semdedup_pairs(df, k=3, n_iter=4, threshold=0.9999).collect()
+    planted = {(ci * 100 + 50, ci * 100 + 51) for ci in range(3)}
+    assert planted <= {(r.vec_a, r.vec_b) for r in got}
+    for r in got:
+        assert r.cos_sim >= 0.9999
+
+
+def test_semdedup_registry_recall_vs_exact(spark, sf_dir):
+    """On the augmented embeddings, the 50 planted near-dups (cosine
+    ~0.99) must all survive clustering — recall 1.0 at threshold 0.9."""
+    from movie_data_transformer_spark.operators.similarity import (
+        augmented_embeddings,
+        semdedup_pairs,
+    )
+
+    emb = augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
+    got = {(r.vec_a, r.vec_b) for r in semdedup_pairs(emb, k=8, n_iter=3, threshold=0.9).collect()}
+    assert {(i, i + 100000) for i in range(50)} <= got

@@ -116,3 +116,55 @@ def test_chunk_udtf_matches_expression_form(spark, sf_dir):
         ).collect()
     )
     assert expr_rows == udtf_rows and len(expr_rows) > 50
+
+
+def test_pii_redact_golden(spark):
+    """Planted PII strings: exact masked output and exact counts."""
+    from movie_data_transformer_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and c%d_e@y.co.uk now"),
+            (2, "call 555-123-4567 or 555.987.6543 x9"),
+            (3, "hosts 1.2.3.4 and 10.20.30.40 up"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert got[1].clean_text == "mail <EMAIL> and <EMAIL> now"
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 0, 0)
+    assert got[2].clean_text == "call <PHONE> or <PHONE> x9"
+    assert got[2].n_phones == 2
+    assert got[3].clean_text == "hosts <IP> and <IP> up"
+    assert got[3].n_ips == 2
+    assert got[4].clean_text == "clean text only"
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (0, 0, 0)
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-computed Gopher signals on tiny docs."""
+    from movie_data_transformer_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam ok"),        # top token 3x4=12 of 14 chars
+            (2, "a b c d"),                  # no repetition at all
+            (3, "x y x y x y"),              # every bigram duplicated
+            (4, "one"),                      # single token: no 2/3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert abs(got[1].frac_chars_top_token - 12 / 14) < 1e-6
+    # doc1 trigrams: "spam spam spam", "spam spam ok" -> no dups
+    assert got[1].frac_dup_3grams == 0.0
+    # doc1 bigrams: "spam spam" x2 (9 chars each), "spam ok" -> 18/25
+    assert abs(got[1].frac_chars_dup_2grams - 18 / 25) < 1e-6
+    assert got[2].frac_chars_top_token == 0.25
+    assert got[2].frac_chars_dup_2grams == 0.0 and got[2].frac_dup_3grams == 0.0
+    # doc3: bigrams x y,y x,x y,y x,x y -> all 5 duplicated; trigrams
+    # "x y x" x2, "y x y" x2 -> 4/4 duplicated
+    assert got[3].frac_chars_dup_2grams == 1.0
+    assert got[3].frac_dup_3grams == 1.0
+    assert (got[4].frac_chars_dup_2grams, got[4].frac_dup_3grams) == (0.0, 0.0)
