@@ -129,8 +129,68 @@ WHERE n_tokens >= 30 AND ttr >= 0.2 AND stopword_ratio >= 0.01
 """
 
 
+def q_sample_balanced_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus construction: cap every language at K documents,
+    chosen deterministically by hash order (NOT by doc_id order, which
+    would bias toward early ids; the hash is a reproducible shuffle).
+    One shuffle on lang for the window rank; at 100 TB the per-stratum
+    rank is the standard top-k-per-group shape (partial top-k per map
+    task via the window's rank pushdown under AQE)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+SQL_SAMPLE_BALANCED_LANG = f"""
+SELECT doc_id, lang, rk FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_HASH.format(x="CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+           ) AS INT) AS rk
+    FROM documents
+) WHERE rk <= 40
+"""
+
+
+def q_text_chunks_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_data_transformer_spark.operators.text import chunk_documents_sliding
+
+    return chunk_documents_sliding(
+        load_table(spark, sf_dir, "documents"), window=64, stride=32
+    )
+
+
+SQL_TEXT_CHUNKS_SLIDING = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+c AS (
+    SELECT doc_id, t,
+           unnest(range(0, CAST(ceil(len(t) / 32.0) AS INT))) AS chunk_idx
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 32 AS INT) AS start_tok,
+       array_to_string(t[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ') AS chunk_text,
+       CAST(len(t[chunk_idx * 32 + 1 : chunk_idx * 32 + 64]) AS INT) AS n_tokens
+FROM c
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "sample_balanced_lang": (q_sample_balanced_lang, SQL_SAMPLE_BALANCED_LANG),
+    "text_chunks_sliding": (q_text_chunks_sliding, SQL_TEXT_CHUNKS_SLIDING),
     "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
     "corpus_quality_filter": (q_corpus_quality_filter, SQL_CORPUS_QUALITY_FILTER),

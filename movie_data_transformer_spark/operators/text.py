@@ -310,6 +310,36 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents_sliding(
+    docs: DataFrame, text_col: str = "text", window: int = 64, stride: int = 32
+) -> DataFrame:
+    """Overlapping token chunking (RAG-style): windows of `window` tokens
+    starting every `stride` tokens, so consecutive chunks share
+    window - stride tokens of context. Same expression-only shape as
+    chunk_documents (tokens materialized once, sequence+slice+explode,
+    all JVM-side). Chunk starts cover [0, n) in stride steps, so trailing
+    chunks may be shorter than `window` but every token appears in at
+    least one chunk."""
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.array_join(
+                F.slice(F.col("toks"), i * stride + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("toks"), i * stride + 1, F.lit(window)))
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.chunk_text", "c.n_tokens"
+    )
+
+
 def chunk_text_udtf():
     """The same chunker as a Python UDTF — the user-extension surface
     (reference has none: SURVEY.md:182-199 documents the absence of any

@@ -168,3 +168,24 @@ def test_repetition_stats_golden(spark):
     assert got[3].frac_chars_dup_2grams == 1.0
     assert got[3].frac_dup_3grams == 1.0
     assert (got[4].frac_chars_dup_2grams, got[4].frac_dup_3grams) == (0.0, 0.0)
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Sliding chunks: every token is covered, consecutive chunks overlap
+    by window-stride tokens, and start offsets advance by the stride."""
+    from movie_data_transformer_spark.operators.text import chunk_documents_sliding
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents_sliding(docs, window=4, stride=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.start_tok for r in rows] == [0, 2, 4, 6, 8]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[-1].chunk_text == "w8 w9" and rows[-1].n_tokens == 2
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(10)}
