@@ -1,0 +1,258 @@
+"""Corpus language-model statistics + slowly-changing-dimension /
+change-data-capture operators.
+
+The LM queries are the scoring backbone of an LLM-data pipeline
+(CCNet/Gopher-style corpus filtering ranks documents by unigram-LM
+statistics; TF-IDF is the classic relevance/keyword extractor). The
+log transform of a real LM score is monotone in the frequency ratios
+computed here, so threshold-filtering on these integer/single-division
+outputs is equivalent — and, unlike log10 (not correctly rounded in
+either java.lang.Math or libm), exactly reproducible across engines.
+
+SCD2/CDC are the lakehouse dimension-maintenance operators the
+reference's keyed merge (README.md "merge/upsert", transformer/merge.go
+semantics per SURVEY.md §2.1 op 9) implies but never materializes as
+history: SCD2 keeps every version with a validity interval; CDC diffs
+two snapshots into an insert/update/delete changeset.
+
+Scale notes (100 TB):
+- Token frequency tables are NOT broadcast: whitespace-token vocabulary
+  grows with Heaps' law (~1e8 types at corpus scale), so the tf join
+  stays a shuffle join on `token`; AQE will downgrade it to broadcast
+  automatically at small SF. Both group-bys and the join share the
+  `token` key, so the exchange is reused where possible.
+- Per-(doc, token) pre-aggregation happens BEFORE the join — the join
+  input is |distinct (doc,token)| rows, not |token occurrences|.
+- SCD2 is a single shuffle (window on user_id); CDC is one shuffle per
+  snapshot plus a full-outer sort-merge join on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.functions.core import decimal_sum
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) with empty tokens dropped — lower-cased
+    whitespace tokenization, identical to the oracle's
+    string_split_regex(lower(trim(text)), '\\s+')."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+_TOK_CTE = r"""
+tok AS (
+    SELECT * FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+),
+tfd AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+"""
+
+
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM statistics against the corpus itself:
+    token count, summed corpus frequency of its tokens, rarest-token
+    frequency, rare-token (freq<=2) occurrence count, and mean token
+    frequency. round(avg) is one IEEE division on exact integers, so
+    it is bit-identical on every engine and partitioning."""
+    tfd = (
+        _doc_tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tfd.groupBy("token").agg(F.sum("tf").alias("freq"))
+    j = tfd.join(tf, "token")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("freq")).alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+            F.sum(F.when(F.col("freq") <= 2, F.col("tf")).otherwise(F.lit(0))).alias(
+                "rare_tokens"
+            ),
+        )
+        .withColumn(
+            "avg_freq",
+            F.round(F.col("sum_freq").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+SQL_TEXT_UNIGRAM_LM = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tfd GROUP BY 1)
+SELECT d.doc_id,
+       CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(d.tf * f.freq) AS BIGINT) AS sum_freq,
+       min(f.freq) AS min_freq,
+       CAST(sum(CASE WHEN f.freq <= 2 THEN d.tf ELSE 0 END) AS BIGINT) AS rare_tokens,
+       round(CAST(sum(d.tf * f.freq) AS DOUBLE) / CAST(sum(d.tf) AS BIGINT), 6) AS avg_freq
+FROM tfd d JOIN tf f USING (token)
+GROUP BY d.doc_id
+"""
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. idf kept as the exact
+    rational N/df (monotone with log(N/df)): score = tf * N / df is one
+    exact bigint product and one IEEE division — cross-engine stable.
+    Ties broken by token so the top-k set is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tfd = (
+        _doc_tokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tfd.groupBy("token").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfd.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
+SQL_TEXT_TFIDF_TOPK = f"""
+WITH {_TOK_CTE},
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT d.doc_id, d.token, d.tf,
+           round(CAST(d.tf * nd.n_docs AS DOUBLE) / f.df, 6) AS score
+    FROM tfd d JOIN dfreq f USING (token) CROSS JOIN nd
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from the purchase event
+    stream: each purchase opens a new version of the user's 'current
+    value' dimension row, valid until the next purchase (NULL for the
+    open/current version). One shuffle (window on user_id); ties in ts
+    broken by event_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.unix_timestamp(nxt).alias("valid_to_s"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+SQL_SCD2_USER_VALUE = """
+SELECT user_id, event_id, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+def _snapshot(ev: DataFrame, lo: str, hi: str) -> DataFrame:
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(decimal_sum("value", 4, "total"), F.count("*").alias("n"))
+    )
+
+
+def q_cdc_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two trailing-window per-user purchase
+    snapshots (Jan 1-20 vs Jan 10-31): emits one row per user with
+    change_type insert / delete / update / unchanged plus both totals.
+    This is the reference's merge/upsert resolve (SURVEY.md §2.1 op 9)
+    generalized to a full CDC changeset; full-outer sort-merge join on
+    the snapshot key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s1 = _snapshot(ev, "2024-01-01", "2024-01-20").select(
+        F.col("user_id"), F.col("total").alias("old_total"), F.col("n").alias("old_n")
+    )
+    s2 = _snapshot(ev, "2024-01-10", "2024-01-31").select(
+        F.col("user_id"), F.col("total").alias("new_total"), F.col("n").alias("new_n")
+    )
+    j = s1.join(s2, "user_id", "full_outer")
+    change = (
+        F.when(F.col("old_n").isNull(), "insert")
+        .when(F.col("new_n").isNull(), "delete")
+        .when(
+            (F.col("old_total") != F.col("new_total"))
+            | (F.col("old_n") != F.col("new_n")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(
+        "user_id",
+        change.alias("change_type"),
+        "old_total",
+        "new_total",
+    )
+
+
+SQL_CDC_USER_STATE_DIFF = """
+WITH s1 AS (
+    SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS old_total, count(*) AS old_n
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1
+),
+s2 AS (
+    SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS new_total, count(*) AS new_n
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1
+)
+SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            WHEN s1.old_total <> s2.new_total OR s1.old_n <> s2.new_n THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       s1.old_total AS old_total,
+       s2.new_total AS new_total
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
+QUERIES = {
+    "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
+    "scd2_user_value": (q_scd2_user_value, SQL_SCD2_USER_VALUE),
+    "cdc_user_state_diff": (q_cdc_user_state_diff, SQL_CDC_USER_STATE_DIFF),
+}
