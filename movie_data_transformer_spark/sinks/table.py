@@ -9,7 +9,8 @@ filter pushdown for finer pruning."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -50,3 +51,109 @@ def write_partitioned_bucketed(
         .option("path", path)
         .saveAsTable(table_name)
     )
+
+
+def _zorder_column(c1: Column, c2: Column, bits: int) -> Column:
+    """Interleave the low `bits` bits of two bucket ids (Morton code).
+    Pure JVM bit expressions — stays inside whole-stage codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1, i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(F.shiftleft(b2, 2 * i + 1))
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustering on TWO columns: each column is
+    mapped to a 2^bits uniform bucket between its min and max, the bucket
+    ids are bit-interleaved, and the data is range-partitioned + sorted on
+    the interleaved key. Files then have tight min/max ranges on BOTH
+    columns, so selective filters on EITHER dimension skip most files via
+    parquet footer statistics — linear sort can only serve one dimension.
+
+    100 TB note: the only driver-side work is one min/max agg (a full scan
+    but a tiny shuffle); everything else is a single range exchange sized
+    by n_files. Size n_files so files land in the 128 MB - 1 GB band.
+    Uniform buckets are used instead of quantiles for determinism; for
+    heavily skewed columns substitute approxQuantile boundaries.
+    """
+    stats = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    ).first()
+    n_buckets = 1 << bits
+
+    def bucket(col: str, lo, hi) -> Column:
+        c = F.col(col).cast("double")
+        span = float(hi) - float(lo) or 1.0
+        raw = F.floor((c - F.lit(float(lo))) / F.lit(span) * n_buckets).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+
+    z = _zorder_column(bucket(col1, stats.lo1, stats.hi1), bucket(col2, stats.lo2, stats.hi2), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str,
+) -> list:
+    """MERGE INTO for a date/enum-partitioned parquet lake table, with
+    last-write-wins-by-`seq_col` resolution — the transactional core of
+    the reference's keyed upsert (SURVEY.md §2.1 op 9) re-expressed as a
+    partition-pruned rewrite instead of per-key GET/SET round-trips.
+
+    Only the partitions present in `updates` are read (planner partition
+    pruning on `partition_col`) and only those partitions are rewritten
+    (spark.sql.sources.partitionOverwriteMode=dynamic); a 100 TB table
+    with a daily batch touching 3 partitions reads and writes just those
+    3. The merged result is staged to `<path>_staged` first because Spark
+    (correctly) refuses to overwrite a path it is also reading — on Delta
+    or Iceberg this staging disappears into the transaction log.
+
+    Returns the list of partition values rewritten.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    merged = (
+        target.unionByName(updates)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    staged = path.rstrip("/") + "_staged"
+    merged.write.mode("overwrite").parquet(staged)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(staged)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return parts
