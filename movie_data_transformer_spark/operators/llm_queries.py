@@ -28,6 +28,7 @@ from movie_data_transformer_spark.operators.similarity import (
     cosine_near_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    pq_topk,
     semdedup_pairs,
 )
 from movie_data_transformer_spark.operators.text import (
@@ -528,6 +529,14 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2)
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (rows-only: quantized
+    scoring is approximate by construction). Code mechanics + recall vs
+    brute force pinned in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -627,6 +636,7 @@ QUERIES = {
     "sim_brute_topk_np": (q_sim_brute_topk_np, SQL_SIM_BRUTE_TOPK),
     "sim_near_pairs": (q_sim_near_pairs, SQL_SIM_NEAR_PAIRS),
     "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
+    "sim_pq_topk": (q_sim_pq_topk, None),  # approximate -> rows-only
     "sim_lsh_topk": (q_sim_lsh_topk, None),  # approximate -> rows-only
     "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
     "grouped_ols_trend": (q_grouped_ols_trend, None),  # applyInPandas -> rows-only

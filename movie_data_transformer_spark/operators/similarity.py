@@ -391,3 +391,149 @@ def cosine_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path: vectors are
+# compressed to m sub-space codebook codes (here 8 codes x 16 centroids =
+# 8 bytes per 64-d vector, a 32x compression), candidates are scored from
+# the codes alone (asymmetric distance computation), and only the top
+# candidates are re-ranked against the full vectors. At 100 TB the full
+# vectors live in cold storage and only the code table (~1% the size) is
+# scanned per query.
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(df: DataFrame, id_alias: str, vec_col: str, m: int, dim: int) -> DataFrame:
+    """One row per (vector, subspace): subspace index + the dim/m slice.
+    Pure JVM slice expressions — no Python in the loop."""
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sub"),
+                F.slice(F.col(vec_col), i * sub + 1, sub).alias("subvec"),
+            )
+            for i in range(m)
+        ]
+    )
+    return df.select(F.col("vec_id").alias(id_alias), F.explode(slices).alias("s")).select(
+        id_alias, F.col("s.sub").alias("sub"), F.col("s.subvec").alias("subvec")
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame, m: int = 8, ks: int = 16, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: seed centroids are the
+    subvectors of the ks lowest vec_ids, refined by one Lloyd step
+    (assign-all + per-dimension mean). Returns (sub, cid, centroid).
+    Deterministic regardless of partitioning: seeds are fixed by id
+    order, means are exact-by-construction up to FP-sum order only
+    inside a (sub,cid,dim) group — acceptable for an ANN index (the
+    registry entry is rows-only; recall is pinned in tests)."""
+    seed_ids = [r[0] for r in corpus.select("vec_id").orderBy("vec_id").limit(ks).collect()]
+    subs = _subvectors(corpus, "vid", vec_col, m, dim)
+    rank = {v: i for i, v in enumerate(sorted(seed_ids))}
+    seeds = (
+        subs.filter(F.col("vid").isin(seed_ids))
+        .replace(rank, subset=["vid"])  # vec_id -> dense cid 0..ks-1
+        .select(F.col("sub"), F.col("vid").cast("int").alias("cid"), F.col("subvec").alias("centroid"))
+    )
+    aw = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("cid"))
+    assigned = (
+        subs.join(F.broadcast(seeds), "sub")
+        .withColumn("d2", F.round(_l2(F.col("subvec"), F.col("centroid")), 6))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vid", "sub", "cid", "subvec")
+    )
+    return (
+        assigned.select("sub", "cid", F.posexplode("subvec").alias("dim", "val"))
+        .groupBy("sub", "cid", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        .groupBy("sub", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select("sub", "cid", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks: DataFrame, m: int = 8, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, sub, cid): each subvector quantized to its nearest
+    codebook centroid (L2). The PQ 'index' — m small ints per vector."""
+    subs = _subvectors(corpus, "vec_id", vec_col, m, dim)
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        subs.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", F.round(_l2(F.col("subvec"), F.col("centroid")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with exact re-rank: ADC-score every coded vector from the
+    per-query (sub, cid) dot-product lookup table, keep the rerank*k best
+    candidates, then exact-cosine re-rank just those. Output shape matches
+    ivf_topk/brute_force_topk: (query_id, neighbor_id, cos_sim, rk).
+
+    Scale shape: codebooks (m*ks rows) broadcast everywhere; the ADC join
+    is codes (N*m rows, 3 small ints) x per-query tables (Q*m*ks rows) on
+    (sub, cid) — the only big shuffle is the groupBy(query_id, neighbor_id)
+    sum, on rows of 3 ints. Full vectors are touched only for Q*rerank*k
+    candidate pairs."""
+    codebooks = pq_train_codebooks(corpus, m=m, ks=ks, dim=dim, vec_col=vec_col)
+    codes = pq_encode(corpus, codebooks, m=m, dim=dim, vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qsubs = _subvectors(
+        queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "query_id", vec_col, m, dim
+    )
+    # per-query ADC lookup table: partial dot of each codebook centroid
+    table = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", "cid", _dot(F.col("subvec"), F.col("centroid")).alias("part_dot")
+    )
+    approx = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(table, ["sub", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part_dot"), 6).alias("adc_dot"))
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
+    cands = approx.withColumn("crn", F.row_number().over(cw)).filter(
+        F.col("crn") <= rerank * k
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cands.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rk") <= k)
+    )

@@ -151,3 +151,35 @@ def test_semdedup_registry_recall_vs_exact(spark, sf_dir):
     emb = augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
     got = {(r.vec_a, r.vec_b) for r in semdedup_pairs(emb, k=8, n_iter=3, threshold=0.9).collect()}
     assert {(i, i + 100000) for i in range(50)} <= got
+
+
+def test_pq_codes_and_recall_vs_brute_force(spark, sf_dir):
+    from movie_data_transformer_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    codebooks = pq_train_codebooks(emb, m=8, ks=16)
+    # 8 subspaces x 16 centroids, each an 8-dim mean vector
+    cb = codebooks.collect()
+    assert len(cb) == 8 * 16
+    assert all(len(r.centroid) == 8 for r in cb)
+
+    codes = pq_encode(emb, codebooks, m=8)
+    # every vector gets exactly one code per subspace, codes in range
+    assert codes.count() == n * 8
+    assert codes.filter((F.col("cid") < 0) | (F.col("cid") >= 16)).count() == 0
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx_rows = pq_topk(emb, queries, k=5).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(approx) == len(brute)  # full result sets for every query
+    recall = len(brute & approx) / len(brute)
+    # uniform-random vectors are the worst case for PQ (no cluster
+    # structure); with 3k-candidate exact re-rank the mechanism must
+    # still clearly beat the random floor (5/499 ~ 0.01)
+    assert recall >= 0.3, f"PQ recall {recall:.2f}"
