@@ -1,0 +1,155 @@
+"""Statistical anomaly detection + iterative graph analytics.
+
+`events_value_outliers` is the per-group z-score screen every event
+pipeline runs before aggregation (and an LLM-data pipeline runs over
+quality scores before sampling). The variance is computed from EXACT
+decimal sums (sum and sum-of-squares), so the only floating-point work
+is a fixed sequence of IEEE operations on identical inputs — fully
+cross-engine reproducible, unlike stddev_pop() whose partial-aggregation
+order differs per engine and partitioning.
+
+`graph_pagerank` is weighted PageRank over the movie co-watch graph
+(the item-graph centrality step of a recommender, on the reference's own
+domain). Iterative dataflow — joins + aggregations per superstep with
+localCheckpoint to cut the growing lineage — the same shape GraphX /
+GraphFrames lower to. Not SQL-expressible (a fixpoint), so the registry
+entry is rows-only; the result is pinned against a NumPy power iteration
+in tests.
+
+Scale notes (100 TB): the z-score stats table is |event_type| rows —
+broadcast back to the fact table, no second shuffle of the facts. Each
+PageRank superstep is one shuffle keyed by dst (contributions) and the
+rank table reuses the node partitioning; edges are re-used across
+supersteps (cache-worthy on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.movie_queries import q_movies_cooccurrence
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 2 population-z-scores from their
+    event_type's mean. mean/var derive from exact decimal sums; the z
+    expression is written with identical operation order in Spark and
+    the oracle, so the rounded z matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("sv") / F.col("n"))
+        / F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH s AS (
+    SELECT event_type,
+           count(value) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+           CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.sv / s.n)
+             / sqrt((s.svv - s.sv * s.sv / s.n) / s.n), 6) AS z
+FROM events e JOIN s USING (event_type)
+WHERE abs(round((e.value - s.sv / s.n)
+                / sqrt((s.svv - s.sv * s.sv / s.n) / s.n), 6)) > 2
+"""
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank by power iteration on a directed edge list.
+    Returns (node, pr). Dangling nodes (no out-edges) redistribute
+    their mass uniformly — the standard stochastic-matrix completion,
+    computed as a scalar per superstep (one tiny agg, no extra join)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
+    norm_edges = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col(weight) / F.col("outw")).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(norm_edges, ranks.node == norm_edges.e_src)
+            .select(F.col("e_dst").alias("node"), (F.col("pr") * F.col("p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # mass held by dangling nodes this superstep
+        dangling = (
+            ranks.join(norm_edges.select("e_src").distinct(), ranks.node == F.col("e_src"), "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric movie co-watch graph (edge weight =
+    co-watcher count). Rows-only: fixpoints are not SQL-expressible;
+    values are pinned against NumPy power iteration in
+    tests/test_graph_analytics.py."""
+    co = q_movies_cooccurrence(spark, sf_dir)
+    edges = co.select(
+        F.col("movie_a").alias("src"), F.col("movie_b").alias("dst"), F.col("n_co_watchers").alias("weight")
+    ).union(
+        co.select(
+            F.col("movie_b").alias("src"), F.col("movie_a").alias("dst"), F.col("n_co_watchers").alias("weight")
+        )
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10)
+    return pr.select(F.col("node").alias("movie_id"), F.round("pr", 6).alias("pr"))
+
+
+QUERIES = {
+    "events_value_outliers": (q_events_value_outliers, SQL_EVENTS_VALUE_OUTLIERS),
+    "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
+}

@@ -1,0 +1,67 @@
+"""PageRank (operators/analytics_queries.py) pinned against a NumPy
+power iteration on the collected edge list, plus z-score outlier
+invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.analytics_queries import (
+    pagerank,
+    q_events_value_outliers,
+    q_graph_pagerank,
+)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # small directed weighted graph incl. a dangling node (4)
+    rows = [
+        (1, 2, 1.0),
+        (2, 3, 2.0),
+        (3, 1, 1.0),
+        (3, 4, 1.0),
+        (2, 4, 1.0),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {r.node: r.pr for r in pagerank(edges, damping=0.85, n_iter=20).collect()}
+
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d, w in rows:
+        M[idx[d], idx[s]] += w
+    colsum = M.sum(axis=0)
+    for j in range(n):
+        if colsum[j] > 0:
+            M[:, j] /= colsum[j]
+        else:
+            M[:, j] = 1.0 / n  # dangling: uniform redistribution
+    pr = np.full(n, 1.0 / n)
+    for _ in range(20):
+        pr = (1 - 0.85) / n + 0.85 * (M @ pr)
+    for v in nodes:
+        assert abs(got[v] - pr[idx[v]]) < 1e-6, (v, got[v], pr[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_movie_pagerank_is_a_distribution(spark, sf_dir):
+    rows = q_graph_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.pr for r in rows)
+    # co-watch graph is symmetric -> no dangling nodes -> mass preserved
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.pr > 0 for r in rows)
+
+
+def test_outlier_z_scores_are_extreme(spark, sf_dir):
+    out = q_events_value_outliers(spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert abs(r.z) > 2
+    # outliers must be a small minority of events
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(rows) < 0.2 * n_events
