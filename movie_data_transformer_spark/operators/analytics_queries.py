@@ -149,7 +149,49 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("movie_id"), F.round("pr", 6).alias("pr"))
 
 
+def q_incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-(user,
+    event_type) state built from events BEFORE 2024-01-20 is merged with
+    the delta batch AT/AFTER it by summing mergeable partials (count +
+    exact decimal sum) — never by recomputing from raw history. The
+    oracle aggregates the full table directly, proving state+delta ==
+    full recompute. avg is re-derived from the merged partials (the
+    algebraic-aggregate decomposition that makes 100 TB rollups cheap:
+    the daily job touches one day of facts plus a state table keyed the
+    same way)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+    vdec = F.col("value").cast("decimal(18,4)")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("value").alias("n"), F.sum(vdec).alias("total")
+        )
+
+    state = partials(ev.filter(F.col("ts") < cut))
+    delta = partials(ev.filter(F.col("ts") >= cut))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .withColumn(
+            "avg_value", F.round(F.col("total").cast("double") / F.col("n"), 6)
+        )
+    )
+
+
+SQL_INCREMENTAL_AGG_ROLLUP = """
+SELECT user_id, event_type,
+       count(value) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS total,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_value_outliers": (q_events_value_outliers, SQL_EVENTS_VALUE_OUTLIERS),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
+    "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }
