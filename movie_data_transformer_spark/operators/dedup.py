@@ -473,3 +473,55 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def exact_substr_pairs(corpus: DataFrame, window: int = 15) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): two documents are duplicate-linked if
+    they share ANY identical `window`-token run. Exact semantics (no
+    sketching), made tractable the same way as the suffix-array original:
+    only identical windows join, so the candidate space is |shared
+    windows|, never |docs|^2.
+
+    Dataflow: sliding token windows from SHIFTED SLICES of the token
+    array (never element_at — see word_shingles), md5 each window,
+    distinct (doc, hash), then SINGLE-SHUFFLE bucket-grouping (collect
+    per-hash doc lists, emit intra-bucket pairs) — the same
+    candidate-pair shape as minhash/simhash above. Returns
+    (doc_a, doc_b, n_shared_windows).
+    """
+    toks = F.split(F.col("text"), " ")
+    # filter BEFORE building the sequence: sequence(1, n) with n < 1
+    # would generate a DESCENDING sequence, not an empty one
+    wins = (
+        corpus.filter(F.size(toks) >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+                )
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    buckets = (
+        wins.groupBy("wh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda a: F.transform("ds", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))),
+                    )
+                ),
+                lambda p: p["doc_a"] < p["doc_b"],
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared_windows"))

@@ -16,6 +16,7 @@ from movie_data_transformer_spark.operators.dedup import (
     augmented_corpus,
     connected_components,
     exact_dedup,
+    exact_substr_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -297,6 +298,32 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(augmented_corpus(load_table(spark, sf_dir, "documents")))
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup pairs: docs sharing any identical 15-token run
+    (exact semantics — fully oracle-checked, unlike the sketch-based
+    minhash/simhash variants)."""
+    return exact_substr_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), window=15
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTR = f"""
+WITH {CORPUS_ORACLE_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+w0 AS (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 14)) AS i
+    FROM t WHERE len(toks) >= 15
+),
+w AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+14], ' ')) AS wh
+    FROM w0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
 
 SQL_DEDUP_EXACT = f"""
@@ -626,6 +653,7 @@ QUERIES = {
     "text_top_terms": (q_text_top_terms, SQL_TEXT_TOP_TERMS),
     "text_rolling_hash": (q_text_rolling_hash, SQL_TEXT_ROLLING_HASH),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_substr": (q_dedup_exact_substr, SQL_DEDUP_EXACT_SUBSTR),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),

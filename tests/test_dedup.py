@@ -112,3 +112,32 @@ def test_connected_components_hand_graph(spark):
     )
     got = {r.doc_id: r.cluster_root for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_exact_substr_finds_planted_copies(spark, sf_dir):
+    from movie_data_transformer_spark.operators.dedup import (
+        augmented_corpus,
+        exact_substr_pairs,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = exact_substr_pairs(corpus, window=15)
+    got = {(r.doc_a, r.doc_b): r.n_shared_windows for r in pairs.collect()}
+
+    # every planted EXACT copy (doc 50-99 -> +200000) long enough to have
+    # a 15-token window must be linked to its original, sharing ALL of
+    # its windows (n_tokens - 14)
+    toks = {
+        r.doc_id: r.n
+        for r in corpus.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc, n in toks.items():
+        if n >= 15:
+            key = (doc, doc + 200000)
+            assert key in got, f"planted exact copy {key} not linked"
+            assert got[key] == n - 14
+    # a pair can never share more windows than the longest doc has
+    assert all(n >= 1 for n in got.values())
