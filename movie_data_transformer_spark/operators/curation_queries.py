@@ -187,6 +187,87 @@ FROM c
 """
 
 
+
+
+def q_sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source re-mixing — the GPT-3/mT5 data-mixing
+    rule: target share of language l is n_l^alpha / sum(n^alpha), so
+    over-represented languages are down-sampled toward the flattened
+    distribution. Keep rate r_l = min(1, target_share/actual_share) =
+    min(1, (sqrt(n_l) * N) / (sum(sqrt) * n_l)); membership is the
+    deterministic portable hash, so the sample is bit-reproducible.
+    All FP steps (sqrt -> round -> one multiply each side -> one divide)
+    are order-fixed IEEE ops on exact inputs -> fully oracle-checked.
+    Output: per-language audit (n_docs, n_sampled, rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn(
+        "w", F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)")
+    )
+    tot = stats.agg(
+        F.sum("w").cast("double").alias("wsum"), F.sum("n_docs").alias("n")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    (F.col("w").cast("double") * F.col("n"))
+                    / (F.col("wsum") * F.col("n_docs")),
+                    6,
+                ),
+            ),
+        )
+        .select("lang", "n_docs", "rate")
+    )
+    cut = F.round(F.col("rate") * 1000000, 0).cast("long")
+    sampled = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(portable_hash(F.col("doc_id").cast("string")) % 1000000 < cut)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang", "n_docs", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"), "rate"
+    )
+
+
+SQL_SAMPLE_TEMPERATURE = f"""
+WITH s AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+    FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum, CAST(sum(n_docs) AS BIGINT) AS n FROM s),
+r AS (
+    SELECT lang, n_docs,
+           least(1.0, round((CAST(w AS DOUBLE) * t.n) / (t.wsum * n_docs), 6)) AS rate
+    FROM s, t
+),
+c AS (
+    SELECT d.lang, count(*) AS n_sampled
+    FROM documents d JOIN r USING (lang)
+    WHERE {_HASH.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < CAST(round(rate * 1000000, 0) AS BIGINT)
+    GROUP BY 1
+)
+SELECT r.lang, r.n_docs, coalesce(c.n_sampled, 0) AS n_sampled, r.rate
+FROM r LEFT JOIN c USING (lang)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack 64-token document chunks into 200-token training rows
+    (greedy first-fit per hash bucket, applyInPandas). Rows-only: the
+    assignment is procedural, not SQL-expressible; budget/determinism
+    invariants are pinned in tests/test_text_multimodal.py."""
+    from movie_data_transformer_spark.operators.text import chunk_documents, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(chunk_documents(docs), budget=200, n_buckets=8)
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
     "sample_balanced_lang": (q_sample_balanced_lang, SQL_SAMPLE_BALANCED_LANG),
@@ -194,4 +275,6 @@ QUERIES = {
     "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
     "corpus_quality_filter": (q_corpus_quality_filter, SQL_CORPUS_QUALITY_FILTER),
+    "sample_temperature_lang": (q_sample_temperature_lang, SQL_SAMPLE_TEMPERATURE),
+    "pack_sequences": (q_pack_sequences, None),  # procedural packing -> rows-only
 }

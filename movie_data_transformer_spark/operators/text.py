@@ -360,3 +360,47 @@ def chunk_text_udtf():
                 yield ci // chunk_tokens, " ".join(window), len(window)
 
     return ChunkText
+
+
+def pack_sequences(
+    chunks: DataFrame, budget: int = 200, n_buckets: int = 8
+) -> DataFrame:
+    """Sequence packing — assemble variable-length chunks into fixed
+    token-budget training rows (the step between chunking and batching
+    in every pretraining pipeline; unpacked batches waste the budget on
+    padding). Greedy first-fit in a DETERMINISTIC order (doc_id,
+    chunk_idx) inside each hash bucket, via applyInPandas — packing is
+    inherently sequential, so the parallelism unit is the bucket, not
+    the row. Output: one row per chunk with its (bucket, bin_id)
+    assignment; bin_id is dense within bucket.
+
+    100 TB note: buckets are hash-partitioned work units — thousands of
+    independent packers, each streaming its bucket sorted; no global
+    sort, no driver involvement. Determinism (same assignment under any
+    input partitioning) is asserted in tests."""
+    import pandas as pd
+
+    from movie_data_transformer_spark.operators.text import portable_hash
+
+    schema = "doc_id long, chunk_idx int, n_tokens int, bucket int, bin_id int"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        bins, used = [], 0
+        bin_id = -1
+        for n in pdf["n_tokens"]:
+            if bin_id < 0 or used + n > budget:
+                bin_id += 1
+                used = 0
+            bins.append(bin_id)
+            used += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        return pdf[["doc_id", "chunk_idx", "n_tokens", "bucket", "bin_id"]]
+
+    with_bucket = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        (portable_hash(F.col("doc_id").cast("string")) % n_buckets).cast("int").alias("bucket"),
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(_pack, schema)

@@ -189,3 +189,30 @@ def test_sliding_chunks_cover_and_overlap(spark):
     for r in rows:
         covered.update(r.chunk_text.split())
     assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_pack_sequences_budget_and_determinism(spark, sf_dir):
+    from movie_data_transformer_spark.operators.text import chunk_documents, pack_sequences
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"))
+    packed = pack_sequences(chunks, budget=200, n_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == chunks.count()  # every chunk assigned exactly once
+
+    # no bin exceeds the budget (single chunks <= 64 < 200 always fit)
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in rows:
+        fill[(r.bucket, r.bin_id)] += r.n_tokens
+    assert all(v <= 200 for v in fill.values())
+    # bins are USED: mean fill well above half the budget (packing is
+    # the point — one chunk per bin would show ~64 here)
+    assert sum(fill.values()) / len(fill) > 140
+
+    # deterministic under a different input partitioning
+    again = pack_sequences(chunks.repartition(17), budget=200, n_buckets=8)
+    a = {(r.doc_id, r.chunk_idx): (r.bucket, r.bin_id) for r in rows}
+    b = {(r.doc_id, r.chunk_idx): (r.bucket, r.bin_id) for r in again.collect()}
+    assert a == b
