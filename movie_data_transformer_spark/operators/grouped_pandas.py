@@ -54,3 +54,25 @@ def user_value_trend(events_raw: DataFrame) -> DataFrame:
     Input: RAW events (ts int64 nanos). One shuffle on user_id; each group
     processed as a single Arrow batch."""
     return events_raw.groupBy("user_id").applyInPandas(_ols, schema=TREND_SCHEMA)
+
+
+def gmean_udaf():
+    """Grouped-aggregate pandas UDF (the UDAF extension surface — the
+    third leg of the UDF/UDAF/UDTF triad next to token_count_vectorized
+    and chunk_text_udtf): geometric mean per group, Arrow-batched.
+    Series -> scalar functionType is inferred by Spark from the
+    signature. exp(mean(log)) is FP-order dependent -> rows-only in the
+    registry; pinned against numpy in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _gmean(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        a = a[a > 0]
+        if a.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(a).mean()))
+
+    return _gmean

@@ -632,6 +632,18 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_events_gmean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event value per event_type via a grouped-agg
+    pandas UDF — the UDAF user-extension surface (rows-only; numpy
+    cross-check in tests/test_text_multimodal.py)."""
+    from movie_data_transformer_spark.operators.grouped_pandas import gmean_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        gmean_udaf()(F.col("value")).alias("gmean_value")
+    )
+
+
 def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas per-group OLS (rows-only: FP regression isn't
     SQL-bit-reproducible; numpy equivalence asserted in pytest)."""
@@ -668,5 +680,6 @@ QUERIES = {
     "sim_lsh_topk": (q_sim_lsh_topk, None),  # approximate -> rows-only
     "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
     "grouped_ols_trend": (q_grouped_ols_trend, None),  # applyInPandas -> rows-only
+    "events_gmean_udaf": (q_events_gmean_udaf, None),  # pandas UDAF -> rows-only
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

@@ -156,6 +156,9 @@ def merge_into_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # drop the staging dir — it exists only to break the read-write cycle
+    jstaged = spark._jvm.org.apache.hadoop.fs.Path(staged)
+    jstaged.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jstaged, True)
     return parts
 
 

@@ -15,8 +15,13 @@ def test_registry_consistent_without_session():
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
     rows_only = set(qs) - set(os_)
-    # rows-only is the exception, not the rule
-    assert len(rows_only) <= 7, rows_only  # +semdedup_pairs (approximate)
+    # rows-only is the exception, not the rule: approximate ANN (ivf/lsh/
+    # pq/semdedup), sketches, iterative fixpoints (pagerank), procedural
+    # packing, pandas-UDF/UDAF paths, incremental streaming. Each one has
+    # a recall/golden/invariant pytest instead.
+    assert len(rows_only) <= 12, rows_only
+    # and the oracle-checked majority keeps growing, never shrinks
+    assert len(os_) >= 100
 
 
 def test_q6_pushes_filters_to_scan(spark, sf_dir):

@@ -216,3 +216,22 @@ def test_pack_sequences_budget_and_determinism(spark, sf_dir):
     a = {(r.doc_id, r.chunk_idx): (r.bucket, r.bin_id) for r in rows}
     b = {(r.doc_id, r.chunk_idx): (r.bucket, r.bin_id) for r in again.collect()}
     assert a == b
+
+
+def test_gmean_udaf_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.llm_queries import q_events_gmean_udaf
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.event_type: r.gmean_value for r in q_events_gmean_udaf(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in ev:
+        if r.value is not None and r.value > 0:
+            vals[r.event_type].append(r.value)
+    for t, v in vals.items():
+        want = float(np.exp(np.log(np.array(v)).mean()))
+        assert abs(got[t] - want) < 1e-9, (t, got[t], want)
