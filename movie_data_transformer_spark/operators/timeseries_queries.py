@@ -1,0 +1,213 @@
+"""Time-series analytics: trailing time-range windows, quantile binning,
+robust (median/MAD) outlier screening, and exponentially-weighted moving
+averages.
+
+These fill the remaining gaps in the "absent categories" of SURVEY.md
+S2.3 (the reference has no window functions at all — its only windowed
+idea is the dedup-latest arg-max, `DataTransformationService.java:206-238`)
+and round out the event-stream analytics a training-data pipeline runs
+over telemetry before sampling: time-bounded aggregates (RANGE frames,
+not ROWS), decile binning for length-balanced sampling, robust outlier
+gates that a heavy tail cannot poison (median/MAD, unlike the z-score in
+analytics_queries which a single extreme value drags), and EWMA trend
+smoothing.
+
+Cross-engine exactness notes:
+- RANGE frames are keyed on integer epoch-seconds; Spark `unix_timestamp`
+  truncates fractional seconds while DuckDB `CAST(epoch(ts) AS BIGINT)`
+  ROUNDS -> the oracle uses `floor(epoch(ts))` everywhere.
+- Trailing sums are exact DECIMAL sums (order-independent).
+- Spark `percentile(x, q)` and DuckDB `quantile_cont(x, q)` both use the
+  same `q*(n-1)` linear interpolation on the sorted values and agree
+  bit-for-bit (probed on the real data); deviations/z expressions are
+  written with identical operation order on both sides and rounded
+  before comparison/filtering.
+- The EWMA fold is a deterministic left fold over an explicitly totally
+  ordered list ((ts, event_id) -> no ties): Spark
+  `aggregate(slice(vs, 2, n-1), vs[1], acc*0.8 + x*0.2)` == DuckDB
+  `list_reduce(list(value ORDER BY ts, event_id), ...)` — the identical
+  sequence of IEEE operations, hence bit-stable without any decimal cast.
+
+Scale notes (100 TB): every op here is a single hash-partition shuffle on
+its natural key (user_id / event_type) followed by in-partition sorting
+that Spark spills; nothing collects to the driver. The MAD screen joins
+two tiny per-type stats tables back to the fact scan via broadcast. The
+decile binning uses a GLOBAL ntile (single-partition window) — fine for
+per-corpus document binning (|docs| rows after per-doc reduction), and
+the documented scale path is to swap ntile for `approx_percentile`
+bucket edges when the binned table itself is huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+SEVEN_DAYS_S = 7 * 86400
+
+
+def q_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day spend: a RANGE frame over epoch seconds
+    (time-bounded, unlike the ROWS frame of window_running_sum). Exact
+    decimal sum; peers at the same second aggregate identically in both
+    engines because RANGE frames are defined on the ordering value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_sec"))
+        .rangeBetween(-SEVEN_DAYS_S, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("t_sec"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .withColumn("trailing_7d_sum", F.sum("v").over(w))
+        .select("event_id", "user_id", "t_sec", "trailing_7d_sum")
+    )
+
+
+SQL_WINDOW_TRAILING_7D = f"""
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
+       sum(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN {SEVEN_DAYS_S} PRECEDING AND CURRENT ROW
+       ) AS trailing_7d_sum
+FROM events
+"""
+
+
+def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents binned into length deciles (ntile over a TOTAL order —
+    (n_chars, doc_id) — so tile assignment is deterministic), then
+    per-decile corpus stats: the length-balanced-sampling prep step."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_DOCS_LENGTH_DECILES = """
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT doc_id, n_chars,
+           ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+    FROM documents
+)
+GROUP BY 1
+"""
+
+
+def q_events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: modified z-score 0.6745*(x-median)/MAD per
+    event_type, flagging |rz| > 3.5 (Iglewicz-Hoaglin). Median and MAD
+    are exact interpolated percentiles — identical in both engines — and
+    robust to the heavy tail that inflates the stddev of the plain
+    z-score screen (analytics_queries.q_events_value_outliers)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    rz = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) > 3.5)
+        .select("event_id", "event_type", "value", "rz")
+    )
+
+
+SQL_EVENTS_VALUE_MAD_OUTLIERS = """
+WITH m AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+), d AS (
+    SELECT e.event_id, e.event_type, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN m USING (event_type)
+), md AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(0.6745 * (d.value - d.med) / md.mad, 6) AS rz
+FROM d JOIN md USING (event_type)
+WHERE abs(round(0.6745 * (d.value - d.med) / md.mad, 6)) > 3.5
+"""
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.2) of event value in time order: collect
+    the totally-ordered (ts, event_id, value) list per user and fold it
+    left — seed = first value, acc*0.8 + x*0.2 per step. One shuffle on
+    user_id; the fold runs inside the JVM via higher-order functions
+    (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(transform(seq, s -> s.value), 2, size(seq) - 1), "
+                    "element_at(transform(seq, s -> s.value), 1), "
+                    "(acc, x) -> acc * 0.8d + x * 0.2d)"
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+    )
+
+
+SQL_EVENTS_EWMA = """
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_events,
+       round(list_reduce(list(value ORDER BY ts ASC, event_id ASC),
+                         (a, b) -> a * 0.8 + b * 0.2), 6) AS ewma_value
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "window_trailing_7d": (q_window_trailing_7d, SQL_WINDOW_TRAILING_7D),
+    "docs_length_deciles": (q_docs_length_deciles, SQL_DOCS_LENGTH_DECILES),
+    "events_value_mad_outliers": (
+        q_events_value_mad_outliers,
+        SQL_EVENTS_VALUE_MAD_OUTLIERS,
+    ),
+    "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+}

@@ -33,6 +33,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.curation_queries",
     "movie_data_transformer_spark.operators.lm_queries",
     "movie_data_transformer_spark.operators.analytics_queries",
+    "movie_data_transformer_spark.operators.timeseries_queries",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Time-series ops: EWMA / trailing-range / MAD / decile semantics plus
+the plan shapes that make them scale."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from movie_data_transformer_spark.operators.timeseries_queries import (
+    SEVEN_DAYS_S,
+    q_docs_length_deciles,
+    q_events_ewma,
+    q_events_value_mad_outliers,
+    q_window_trailing_7d,
+)
+from movie_data_transformer_spark.plans.audit import audit_plan
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    got = {r.user_id: (r.n_events, r.ewma_value) for r in q_events_ewma(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, seq in by_user.items():
+        seq.sort()
+        acc = seq[0][2]
+        for _, _, v in seq[1:]:
+            acc = acc * 0.8 + v * 0.2
+        n, ewma = got[uid]
+        assert n == len(seq)
+        assert abs(ewma - round(acc, 6)) < 1e-9, (uid, ewma, acc)
+
+
+def test_trailing_7d_matches_bruteforce(spark, sf_dir):
+    out = q_window_trailing_7d(spark, sf_dir).collect()
+    ev = [
+        (r.user_id, r.event_id, r.t_sec, r.v)
+        for r in load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_timestamp(ts) AS t_sec",
+            "CAST(value AS DECIMAL(18,4)) AS v",
+        )
+        .collect()
+    ]
+    by_user: dict[int, list] = {}
+    for u, e, t, v in ev:
+        by_user.setdefault(u, []).append((e, t, v))
+    for r in out:
+        peers = by_user[r.user_id]
+        want = sum(v for _, t, v in peers if r.t_sec - SEVEN_DAYS_S <= t <= r.t_sec)
+        assert r.trailing_7d_sum == want, (r.user_id, r.event_id)
+
+
+def test_mad_outliers_robust_and_sane(spark, sf_dir):
+    rows = q_events_value_mad_outliers(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # every flagged row really exceeds the threshold, and values sit in
+    # the heavy upper tail (median ~34, MAD-z > 3.5 implies big values)
+    assert all(abs(r.rz) > 3.5 for r in rows)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    import statistics
+
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        vals = sorted(by_type[r.event_type])
+        med = statistics.median(vals)
+        mad = statistics.median(sorted(abs(v - med) for v in vals))
+        assert abs(0.6745 * (r.value - med) / mad) > 3.4  # slack for interpolation
+
+
+def test_deciles_partition_the_corpus(spark, sf_dir):
+    rows = sorted(q_docs_length_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == n_docs
+    # deciles are length-ordered: each tile's max <= next tile's min is
+    # not guaranteed at tie boundaries, but min/max must be nondecreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_chars <= b.min_chars
+        assert a.max_chars <= b.max_chars
+
+
+def test_timeseries_plan_shapes(spark, sf_dir):
+    # trailing window: exactly one hash exchange (user_id), no joins
+    a = audit_plan(q_window_trailing_7d(spark, sf_dir))
+    assert a.n_exchanges == 1
+    assert "Join" not in a.text
+    assert not a.has_cartesian
+
+    # EWMA: one hash exchange for the groupBy (plus AQE partials), no joins
+    a = audit_plan(q_events_ewma(spark, sf_dir))
+    assert a.n_exchanges <= 2
+    assert "Join" not in a.text
+
+    # MAD screen: both stats tables broadcast back to the fact scan —
+    # the fact table itself is never hash-repartitioned for a join
+    a = audit_plan(q_events_value_mad_outliers(spark, sf_dir))
+    assert a.n_broadcasts >= 2
+    assert not a.has_cartesian
