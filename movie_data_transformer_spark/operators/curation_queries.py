@@ -268,8 +268,92 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(chunk_documents(docs), budget=200, n_buckets=8)
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every document gets a shard (hash-partitioned, 16 shards) and
+    a position within its shard (ordered by an independent second hash) —
+    the reproducible replacement for orderBy(rand()) when writing
+    shuffled training shards. Two md5 domains ('shard:'/'pos:') so shard
+    assignment and within-shard order are independent; ties broken by
+    doc_id so the layout is total. One shuffle (the window partition);
+    at 100 TB this is repartition(shard) + sortWithinPartitions(pos) and
+    a partitioned write — no global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    shard = (portable_hash(F.concat(F.lit("shard:"), sid)) % 16).alias("shard")
+    skey = portable_hash(F.concat(F.lit("pos:"), sid)).alias("shuffle_key")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", shard, skey)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_H_SHARD = _HASH.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
+_H_POS = _HASH.format(x="'pos:' || CAST(doc_id AS VARCHAR)")
+
+SQL_TRAINING_SHARDS = f"""
+SELECT doc_id,
+       {_H_SHARD} % 16 AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_H_SHARD} % 16
+           ORDER BY {_H_POS} ASC, doc_id ASC
+       ) AS INTEGER) AS pos
+FROM documents
+"""
+
+
+def q_docs_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over exact-duplicate clusters: group
+    the (duplicate-augmented) corpus by content digest and keep the
+    best-quality member (longest original text, doc_id as tiebreak),
+    reporting the dropped copies. The keep-one-per-cluster step that
+    follows any dedup pass; arg-max by quality instead of exact_dedup's
+    min-id convenience. Single hash aggregation — max_by for the winner,
+    no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = augmented_corpus(docs)
+    return (
+        corpus.select("doc_id", F.md5(F.col("text")).alias("digest"), "n_chars")
+        .groupBy("digest")
+        .agg(
+            F.expr(
+                "max_by(doc_id, named_struct('a', n_chars, 'b', -doc_id))"
+            ).alias("canon_doc_id"),
+            F.count("*").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+SQL_DOCS_CANONICAL_PER_CLUSTER = f"""
+WITH {CORPUS_ORACLE_CTE},
+ranked AS (
+    SELECT md5(text) AS digest, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn,
+           count(*) OVER (PARTITION BY md5(text)) AS n_members
+    FROM corpus
+)
+SELECT digest, doc_id AS canon_doc_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1 AND n_members >= 2
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "training_shards": (q_training_shards, SQL_TRAINING_SHARDS),
+    "docs_canonical_per_cluster": (
+        q_docs_canonical_per_cluster,
+        SQL_DOCS_CANONICAL_PER_CLUSTER,
+    ),
     "sample_balanced_lang": (q_sample_balanced_lang, SQL_SAMPLE_BALANCED_LANG),
     "text_chunks_sliding": (q_text_chunks_sliding, SQL_TEXT_CHUNKS_SLIDING),
     "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST),

@@ -1,0 +1,54 @@
+"""Training-shard export plan + canonical-per-cluster selection."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.curation_queries import (
+    q_docs_canonical_per_cluster,
+    q_training_shards,
+)
+from movie_data_transformer_spark.operators.dedup import augmented_corpus
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_training_shards_layout(spark, sf_dir):
+    rows = q_training_shards(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 16
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # all 16 shards populated, positions contiguous from 1, sizes balanced
+    assert len(by_shard) == 16
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] <= 2 * sizes[0]  # hash balance at 500/16 docs per shard
+    # layout is a deterministic function of doc_id alone
+    again = {(r.doc_id): (r.shard, r.pos) for r in q_training_shards(spark, sf_dir).collect()}
+    assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again
+
+
+def test_canonical_per_cluster_picks_best(spark, sf_dir):
+    out = {r.digest: (r.canon_doc_id, r.n_members) for r in q_docs_canonical_per_cluster(spark, sf_dir).collect()}
+    assert len(out) == 50  # docs 50-99 each have one planted exact copy
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    members = (
+        corpus.select("doc_id", F.md5("text").alias("digest"), "n_chars")
+        .groupBy("digest")
+        .agg(F.collect_list(F.struct("n_chars", "doc_id")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .collect()
+    )
+    assert len(members) == len(out)
+    for r in members:
+        best = max(r.ms, key=lambda m: (m.n_chars, -m.doc_id))
+        canon, n = out[r.digest]
+        assert canon == best.doc_id
+        assert n == len(r.ms)
