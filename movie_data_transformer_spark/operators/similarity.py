@@ -316,6 +316,10 @@ def kmeans_assign(
     import numpy as np
     import pandas as pd
 
+    # each iteration launches a job (the k-row collect); persist so the
+    # corpus lineage (scan + augmentation + widen shuffle) materializes
+    # once instead of once per iteration
+    corpus = corpus.persist()
     init = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = np.array([r[1] for r in init], dtype=np.float64)
     out_schema = "cluster int, centroid array<double>"
@@ -353,15 +357,23 @@ def semdedup_pairs(
     cluster). Approximate by construction (a pair split across clusters
     is missed) -> rows-only driver check; recall vs brute force pinned
     in tests."""
-    assigned = kmeans_assign(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    assigned = kmeans_assign(
+        widen_for_compute(corpus, id_col), k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
     a = assigned.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cluster"
     )
     b = assigned.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cluster"
     )
+    # broadcast the build side: a shuffle join on `cluster` would collapse
+    # parallelism to k partitions (and skew with cluster sizes); with a
+    # broadcast, each probe-side partition expands its own pairs and the
+    # per-pair cosine runs at full width
     return (
-        a.join(b, "cluster")
+        a.join(F.broadcast(b), "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -379,10 +391,15 @@ def cosine_near_pairs(
     """Embedding near-duplicate pairs (cosine >= threshold). Exact
     definition is all-pairs; label blocking keeps it from being a cross
     join at scale (near-dups land in the same coarse cell)."""
-    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), F.col("label"))
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    wide = widen_for_compute(corpus, id_col)
+    a = wide.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), F.col("label"))
     b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), F.col("label"))
+    # broadcast the build side (|labels| is small -> a shuffle join would
+    # run at |labels| parallelism); probe side stays wide
     return (
-        a.join(b, "label")
+        a.join(F.broadcast(b), "label")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
