@@ -6,7 +6,7 @@ engine and any partitioning — sampleBy/rand() would not be."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.dedup import (
@@ -347,8 +347,151 @@ FROM ranked WHERE rn = 1 AND n_members >= 2
 """
 
 
+def q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage drop observability for the quality gate: how many docs
+    enter and survive each sequential cut (length -> type-token ratio ->
+    stopword presence). The counts come from ONE aggregation over
+    per-doc pass flags (no per-stage rescans); the per-stage rows are
+    exploded from that single aggregate row. The pipeline-report op
+    every curation run logs before training."""
+    from movie_data_transformer_spark.operators.text import quality_scores, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_tokens", "ttr")
+    qual = quality_scores(docs).select("doc_id", "stopword_ratio")
+    f1 = F.col("n_tokens") >= 30
+    f2 = f1 & (F.col("ttr") >= 0.2)
+    f3 = f2 & (F.col("stopword_ratio") >= 0.01)
+    agg = stats.join(qual, "doc_id").agg(
+        F.count("*").alias("n0"),
+        F.count(F.when(f1, 1)).alias("n1"),
+        F.count(F.when(f2, 1)).alias("n2"),
+        F.count(F.when(f3, 1)).alias("n3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("min_length").alias("stage_name"),
+                 F.col("n0").alias("n_in"), F.col("n1").alias("n_out")),
+        F.struct(F.lit(2).alias("stage"), F.lit("ttr").alias("stage_name"),
+                 F.col("n1").alias("n_in"), F.col("n2").alias("n_out")),
+        F.struct(F.lit(3).alias("stage"), F.lit("stopwords").alias("stage_name"),
+                 F.col("n2").alias("n_in"), F.col("n3").alias("n_out")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.stage_name", "s.n_in", "s.n_out")
+        .withColumn(
+            "drop_rate",
+            F.round((F.col("n_in") - F.col("n_out")) / F.col("n_in"), 6),
+        )
+    )
+
+
+SQL_QUALITY_GATE_FUNNEL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+           string_split_regex(lower(trim(text)), '\s+') AS tl
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
+           round(CAST(len(list_filter(tl, w -> w IN
+                 ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
+                 / len(tl), 6) AS stopword_ratio
+    FROM toks
+),
+agg AS (
+    SELECT count(*) AS n0,
+           count(*) FILTER (n_tokens >= 30) AS n1,
+           count(*) FILTER (n_tokens >= 30 AND ttr >= 0.2) AS n2,
+           count(*) FILTER (n_tokens >= 30 AND ttr >= 0.2
+                            AND stopword_ratio >= 0.01) AS n3
+    FROM s
+)
+SELECT stage, stage_name,
+       CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+       round(CAST(n_in - n_out AS DOUBLE) / n_in, 6) AS drop_rate
+FROM (
+    SELECT 1 AS stage, 'min_length' AS stage_name, n0 AS n_in, n1 AS n_out FROM agg
+    UNION ALL
+    SELECT 2, 'ttr', n1, n2 FROM agg
+    UNION ALL
+    SELECT 3, 'stopwords', n2, n3 FROM agg
+)
+"""
+
+TOKEN_BUDGET = 100_000
+
+
+def q_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a global token budget across sources proportionally to
+    their token counts, with LARGEST-REMAINDER rounding so the quotas
+    sum exactly to the budget. ALL-INTEGER math: base quota =
+    (B * tok_s) div T, and the fractional remainders are compared as
+    integer remainders (B * tok_s) mod T — bit-exact on any engine, no
+    floating point anywhere. The mixture-weighting step that turns
+    corpus stats into per-source sampling quotas."""
+    from movie_data_transformer_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("n_tokens_total")
+    )
+    w = Window.partitionBy()  # |sources| rows — trivially small
+    sized = per_source.select(
+        "source",
+        "n_tokens_total",
+        F.expr(f"CAST({TOKEN_BUDGET} AS BIGINT) * n_tokens_total DIV "
+               "sum(n_tokens_total) OVER ()").alias("base_quota"),
+        F.expr(f"CAST({TOKEN_BUDGET} AS BIGINT) * n_tokens_total % "
+               "sum(n_tokens_total) OVER ()").alias("rem"),
+    )
+    n_extra = F.lit(TOKEN_BUDGET) - F.sum("base_quota").over(w)
+    ranked = sized.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source").asc()))
+    ).withColumn("n_extra", n_extra)
+    return ranked.select(
+        "source",
+        "n_tokens_total",
+        (F.col("base_quota") + F.when(F.col("rr") <= F.col("n_extra"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("token_quota"),
+    )
+
+
+SQL_TOKEN_BUDGET_BY_SOURCE = r"""
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens_total
+    FROM documents GROUP BY 1
+),
+sized AS (
+    SELECT source, n_tokens_total,
+           (CAST(100000 AS BIGINT) * n_tokens_total)
+               // sum(n_tokens_total) OVER () AS base_quota,
+           (CAST(100000 AS BIGINT) * n_tokens_total)
+               % sum(n_tokens_total) OVER () AS rem
+    FROM per_source
+),
+ranked AS (
+    SELECT source, n_tokens_total, base_quota,
+           row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+           100000 - sum(base_quota) OVER () AS n_extra
+    FROM sized
+)
+SELECT source, n_tokens_total,
+       CAST(base_quota + CASE WHEN rr <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+           AS token_quota
+FROM ranked
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "quality_gate_funnel": (q_quality_gate_funnel, SQL_QUALITY_GATE_FUNNEL),
+    "token_budget_by_source": (q_token_budget_by_source, SQL_TOKEN_BUDGET_BY_SOURCE),
     "training_shards": (q_training_shards, SQL_TRAINING_SHARDS),
     "docs_canonical_per_cluster": (
         q_docs_canonical_per_cluster,

@@ -35,6 +35,37 @@ def test_training_shards_layout(spark, sf_dir):
     assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again
 
 
+def test_quality_funnel_chains(spark, sf_dir):
+    from movie_data_transformer_spark.operators.curation_queries import (
+        q_quality_gate_funnel,
+    )
+
+    rows = sorted(q_quality_gate_funnel(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == ["min_length", "ttr", "stopwords"]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows[0].n_in == n_docs
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in
+        assert abs(r.drop_rate - round((r.n_in - r.n_out) / r.n_in, 6)) < 1e-12
+    # sequential gate: each stage's input is the previous stage's output
+    assert rows[1].n_in == rows[0].n_out
+    assert rows[2].n_in == rows[1].n_out
+
+
+def test_token_budget_largest_remainder(spark, sf_dir):
+    from movie_data_transformer_spark.operators.curation_queries import (
+        TOKEN_BUDGET,
+        q_token_budget_by_source,
+    )
+
+    rows = q_token_budget_by_source(spark, sf_dir).collect()
+    assert sum(r.token_quota for r in rows) == TOKEN_BUDGET  # exact, no drift
+    total = sum(r.n_tokens_total for r in rows)
+    for r in rows:
+        exact = TOKEN_BUDGET * r.n_tokens_total / total
+        assert exact - 1 < r.token_quota < exact + 1  # within 1 of proportional
+
+
 def test_canonical_per_cluster_picks_best(spark, sf_dir):
     out = {r.digest: (r.canon_doc_id, r.n_members) for r in q_docs_canonical_per_cluster(spark, sf_dir).collect()}
     assert len(out) == 50  # docs 50-99 each have one planted exact copy
