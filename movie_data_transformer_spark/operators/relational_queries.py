@@ -609,8 +609,49 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over a dimension's label space: near-identical
+    part names by edit distance (levenshtein <= 4) within same-noun
+    blocks. DISTINCT the labels FIRST — the quadratic pairwise step then
+    runs on |distinct labels|^2, not |rows|^2 (the catalog-harmonization
+    shape: label spaces stay small even when fact tables are 100 TB).
+    Broadcast self-pairing; both engines compute the identical
+    Wagner-Fischer integer DP, so the distance is exactly comparable."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("noun"),
+    )
+    a = names.select(F.col("name").alias("name_a"), "noun")
+    b = names.select(F.col("name").alias("name_b"), "noun")
+    return (
+        a.join(F.broadcast(b), "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+SQL_FUZZY_NAME_MATCH = """
+WITH names AS (
+    SELECT DISTINCT p_name AS name,
+           string_split(p_name, ' ')[-1] AS noun
+    FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
+    "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
     "agg_approx_sketches": (q_agg_approx, None),
     "join_skew_salted": (q_join_skew_salted, SQL_JOIN_SKEW_SALTED),
     "agg_distinct_per_attrs": (q_agg_distinct_per_attrs, SQL_AGG_DISTINCT_PER_ATTRS),

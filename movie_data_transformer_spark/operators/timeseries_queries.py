@@ -202,8 +202,49 @@ GROUP BY 1
 """
 
 
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value into its event_type's
+    [P01, P99] band — the tail-taming transform applied before training
+    on heavy-tailed telemetry (cheaper than dropping outliers, keeps
+    row count). Exact interpolated percentiles (bit-equal across
+    engines); the clamp is least/greatest — no arithmetic at all."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    return (
+        ev.join(F.broadcast(pcts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+                "value_w"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_VALUE_WINSORIZED = """
+WITH p AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS p01,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, p.p01), p.p99) AS value_w
+FROM events e JOIN p USING (event_type)
+"""
+
+
 QUERIES = {
     "window_trailing_7d": (q_window_trailing_7d, SQL_WINDOW_TRAILING_7D),
+    "events_value_winsorized": (
+        q_events_value_winsorized,
+        SQL_EVENTS_VALUE_WINSORIZED,
+    ),
     "docs_length_deciles": (q_docs_length_deciles, SQL_DOCS_LENGTH_DECILES),
     "events_value_mad_outliers": (
         q_events_value_mad_outliers,

@@ -85,3 +85,30 @@ def test_percentile_matches_duckdb(spark, sf_dir):
         f"SELECT quantile_cont(l_quantity, 0.5) FROM '{sf_dir}/lineitem.parquet'"
     ).fetchone()[0]
     assert abs(got - want) < 1e-9
+
+
+def test_fuzzy_name_match_blocks_and_distance(spark, sf_dir):
+    from movie_data_transformer_spark.operators.relational_queries import (
+        q_fuzzy_name_match,
+    )
+
+    rows = q_fuzzy_name_match(spark, sf_dir).collect()
+    assert len(rows) > 0
+    names = {
+        r.p_name
+        for r in load_table(spark, sf_dir, "part").select("p_name").distinct().collect()
+    }
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    for r in rows:
+        assert r.name_a in names and r.name_b in names
+        assert r.name_a < r.name_b
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]  # same noun block
+        assert 1 <= r.edit_dist <= 4
+        assert lev(r.name_a, r.name_b) == r.edit_dist

@@ -91,6 +91,30 @@ def test_deciles_partition_the_corpus(spark, sf_dir):
         assert a.max_chars <= b.max_chars
 
 
+def test_winsorize_clamps_to_band(spark, sf_dir):
+    from movie_data_transformer_spark.operators.timeseries_queries import (
+        q_events_value_winsorized,
+    )
+
+    rows = q_events_value_winsorized(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert len(rows) == ev.count()  # winsorize keeps every row
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        lo = min(r.value_w for r in rs)
+        hi = max(r.value_w for r in rs)
+        n_clamped = sum(1 for r in rs if r.value_w != r.value)
+        for r in rs:
+            assert lo <= r.value_w <= hi
+            # interior values pass through untouched
+            if lo < r.value < hi:
+                assert r.value_w == r.value
+        # ~2% of each type's rows sit outside [P01, P99]
+        assert 0 < n_clamped <= max(4, int(0.05 * len(rs)))
+
+
 def test_timeseries_plan_shapes(spark, sf_dir):
     # trailing window: exactly one hash exchange (user_id), no joins
     a = audit_plan(q_window_trailing_7d(spark, sf_dir))
