@@ -190,8 +190,84 @@ GROUP BY 1, 2
 """
 
 
+def q_stats_corr_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (quantity, extendedprice) and
+    (discount, extendedprice) per ship-year — computed from EXACT
+    decimal sums (n, sx, sy, sxy, sxx, syy) with one fixed-order IEEE
+    expression at the end, so the rounded value is bit-identical on any
+    engine and any partitioning. Built-in corr() is NOT reproducible:
+    its one-pass co-moment update depends on partial-aggregation order.
+    One hash aggregation; six mergeable partials per group — the same
+    algebraic-decomposition shape as incremental_agg_rollup, so the
+    100 TB form maintains the partials incrementally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(12,2)")
+    agg = li.groupBy(F.year(F.col("l_shipdate").cast("date")).cast("int").alias("ship_year")).agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(d * p).cast("double").alias("sdp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+    )
+
+    def corr(sx, sy, sxy, sxx, syy):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return agg.select(
+        "ship_year",
+        "n",
+        corr("sq", "sp", "sqp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sd", "sp", "sdp", "sdd", "spp").alias("corr_disc_price"),
+    )
+
+
+SQL_STATS_CORR_BY_YEAR = """
+WITH a AS (
+    SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sdp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd
+    FROM lineitem GROUP BY 1
+)
+SELECT ship_year, n,
+       round((n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+           AS corr_qty_price,
+       round((n * sdp - sd * sp)
+             / sqrt((n * sdd - sd * sd) * (n * spp - sp * sp)), 6)
+           AS corr_disc_price
+FROM a
+"""
+
+
 QUERIES = {
     "events_value_outliers": (q_events_value_outliers, SQL_EVENTS_VALUE_OUTLIERS),
+    "stats_corr_by_year": (q_stats_corr_by_year, SQL_STATS_CORR_BY_YEAR),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }

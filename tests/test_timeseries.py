@@ -132,3 +132,29 @@ def test_timeseries_plan_shapes(spark, sf_dir):
     a = audit_plan(q_events_value_mad_outliers(spark, sf_dir))
     assert a.n_broadcasts >= 2
     assert not a.has_cartesian
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_stats_corr_by_year,
+    )
+
+    got = {r.ship_year: r for r in q_stats_corr_by_year(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("CAST(year(CAST(l_shipdate AS DATE)) AS INT) y",
+                    "l_quantity q", "l_extendedprice p", "l_discount d")
+        .collect()
+    )
+    by_year: dict[int, list] = {}
+    for r in li:
+        by_year.setdefault(r.y, []).append((r.q, r.p, r.d))
+    for y, rows in by_year.items():
+        a = np.array(rows, dtype="float64")
+        want_qp = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+        want_dp = np.corrcoef(a[:, 2], a[:, 1])[0, 1]
+        assert abs(got[y].corr_qty_price - want_qp) < 1e-6, y
+        assert abs(got[y].corr_disc_price - want_dp) < 1e-6, y
+        assert got[y].n == len(rows)
