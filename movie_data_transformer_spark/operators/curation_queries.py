@@ -488,8 +488,65 @@ FROM ranked
 """
 
 
+SYSTEMATIC_K = 100
+
+
+def q_sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling: draw exactly K=100 document slots with
+    probability proportional to size (n_chars), by walking K evenly
+    spaced points through the cumulative-weight axis. A document whose
+    weight interval [cum_prev, cum) contains m points is drawn m times
+    (n_copies) — so oversized docs repeat, undersized ones thin out, and
+    sum(n_copies) == K EXACTLY. ALL-INTEGER math (the point-in-interval
+    count reduces to a difference of ceil-divisions) — bit-exact on any
+    engine; the deterministic replacement for rand()-based weighted
+    sampling when building training mixtures. One window over a total
+    order; at 100 TB the cumulative sum comes from per-partition partials
+    (the standard two-pass parallel prefix-sum), not a single-partition
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    k = SYSTEMATIC_K
+    cum = F.sum("n_chars").over(w).alias("cum")
+    sized = docs.select("doc_id", F.col("n_chars").alias("weight"), cum).withColumn(
+        "total_w", F.sum("weight").over(wall)
+    )
+    n_copies = F.expr(
+        f"(cum * {k} + total_w - 1) DIV total_w "
+        f"- ((cum - weight) * {k} + total_w - 1) DIV total_w"
+    )
+    return (
+        sized.withColumn("n_copies", n_copies.cast("bigint"))
+        .filter(F.col("n_copies") > 0)
+        .select("doc_id", "weight", "n_copies")
+    )
+
+
+SQL_SAMPLE_WEIGHTED_SYSTEMATIC = f"""
+WITH c AS (
+    SELECT doc_id, n_chars AS weight,
+           sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n_chars) OVER () AS total_w
+    FROM documents
+)
+SELECT doc_id, weight,
+       CAST((cum * {SYSTEMATIC_K} + total_w - 1) // total_w
+            - ((cum - weight) * {SYSTEMATIC_K} + total_w - 1) // total_w
+            AS BIGINT) AS n_copies
+FROM c
+WHERE (cum * {SYSTEMATIC_K} + total_w - 1) // total_w
+      - ((cum - weight) * {SYSTEMATIC_K} + total_w - 1) // total_w > 0
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "sample_weighted_systematic": (
+        q_sample_weighted_systematic,
+        SQL_SAMPLE_WEIGHTED_SYSTEMATIC,
+    ),
     "quality_gate_funnel": (q_quality_gate_funnel, SQL_QUALITY_GATE_FUNNEL),
     "token_budget_by_source": (q_token_budget_by_source, SQL_TOKEN_BUDGET_BY_SOURCE),
     "training_shards": (q_training_shards, SQL_TRAINING_SHARDS),

@@ -66,6 +66,23 @@ def test_token_budget_largest_remainder(spark, sf_dir):
         assert exact - 1 < r.token_quota < exact + 1  # within 1 of proportional
 
 
+def test_weighted_systematic_exact_k_and_pps(spark, sf_dir):
+    from movie_data_transformer_spark.operators.curation_queries import (
+        SYSTEMATIC_K,
+        q_sample_weighted_systematic,
+    )
+
+    rows = q_sample_weighted_systematic(spark, sf_dir).collect()
+    assert sum(r.n_copies for r in rows) == SYSTEMATIC_K  # exactly K draws
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    total = sum(r.n_chars for r in docs)
+    expect = {r.doc_id: SYSTEMATIC_K * r.n_chars / total for r in docs}
+    got = {r.doc_id: r.n_copies for r in rows}
+    for d, e in expect.items():
+        # systematic PPS: realized copies within 1 of the expectation
+        assert abs(got.get(d, 0) - e) <= 1, (d, got.get(d, 0), e)
+
+
 def test_canonical_per_cluster_picks_best(spark, sf_dir):
     out = {r.digest: (r.canon_doc_id, r.n_members) for r in q_docs_canonical_per_cluster(spark, sf_dir).collect()}
     assert len(out) == 50  # docs 50-99 each have one planted exact copy
