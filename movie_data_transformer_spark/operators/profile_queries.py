@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.profile import profile_table
 from movie_data_transformer_spark.sources.tables import load_table
@@ -36,6 +37,91 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts)
 
 
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations, evaluated as one report:
+    key uniqueness, column completeness, referential integrity, and a
+    domain constraint — each row is (constraint, n_checked, n_violations,
+    passed). Every check is a plain aggregate or anti-join count, so the
+    whole suite is a handful of scans Catalyst can share; at 100 TB each
+    FK check is one broadcast/shuffle anti-join, and the report shape is
+    fixed-size regardless of data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    uniq = o.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_checked", "n_violations")
+
+    complete = o.agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations"),
+    ).select(F.lit("orders_custkey_complete").alias("check_name"), "n_checked", "n_violations")
+
+    fk_oc = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(o.agg(F.count("*").alias("n_checked")))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_checked", "n_violations")
+    )
+
+    fk_lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(li.agg(F.count("*").alias("n_checked")))
+        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "n_checked", "n_violations")
+    )
+
+    domain = li.agg(
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("n_violations"),
+    ).select(F.lit("lineitem_domain_bounds").alias("check_name"), "n_checked", "n_violations")
+
+    return (
+        uniq.unionByName(complete)
+        .unionByName(fk_oc)
+        .unionByName(fk_lo)
+        .unionByName(domain)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+SQL_DQ_CONSTRAINT_REPORT = """
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+    SELECT 'orders_pk_unique' AS check_name, count(*) AS n_checked,
+           count(*) - count(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_complete', count(*),
+           count(*) FILTER (o_custkey IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT count(*) FROM orders),
+           count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem),
+           count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_domain_bounds', count(*),
+           count(*) FILTER (l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+    FROM lineitem
+)
+"""
+
+
 QUERIES = {
     "profile_orders": (q_profile_orders, _profile_orders_sql()),
+    "dq_constraint_report": (q_dq_constraint_report, SQL_DQ_CONSTRAINT_REPORT),
 }

@@ -100,3 +100,25 @@ def test_canonical_per_cluster_picks_best(spark, sf_dir):
         canon, n = out[r.digest]
         assert canon == best.doc_id
         assert n == len(r.ms)
+
+
+def test_dq_constraint_report_clean(spark, sf_dir):
+    from movie_data_transformer_spark.operators.profile_queries import (
+        q_dq_constraint_report,
+    )
+    from movie_data_transformer_spark.plans.audit import audit_plan
+
+    df = q_dq_constraint_report(spark, sf_dir)
+    rows = {r.check_name: r for r in df.collect()}
+    assert set(rows) == {
+        "orders_pk_unique", "orders_custkey_complete", "orders_custkey_fk",
+        "lineitem_orderkey_fk", "lineitem_domain_bounds",
+    }
+    # the synthetic tables are referentially clean — every check passes
+    for r in rows.values():
+        assert r.passed and r.n_violations == 0, r
+    o_n = load_table(spark, sf_dir, "orders").count()
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert rows["orders_pk_unique"].n_checked == o_n
+    assert rows["lineitem_orderkey_fk"].n_checked == li_n
+    assert not audit_plan(df).has_cartesian
