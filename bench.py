@@ -35,6 +35,9 @@ HEADLINE = [
     "sim_brute_topk_np",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
+    "window_trailing_7d",
+    "stats_corr_by_year",
+    "training_shards",
 ]
 
 

@@ -200,7 +200,12 @@ def q_stats_corr_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash aggregation; six mergeable partials per group — the same
     algebraic-decomposition shape as incremental_agg_rollup, so the
     100 TB form maintains the partials incrementally."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    # the driver testdata is single-row-group parquet -> a 1-task scan;
+    # the decimal partials dominate, so widen before aggregating (no-op
+    # on a cluster where the scan is already split)
+    li = widen_for_compute(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     q = F.col("l_quantity").cast("decimal(12,2)")
     p = F.col("l_extendedprice").cast("decimal(12,2)")
     d = F.col("l_discount").cast("decimal(12,2)")
