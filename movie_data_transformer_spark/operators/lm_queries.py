@@ -250,8 +250,105 @@ FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
 """
 
 
+VOCAB_MIN_FREQ = 5
+
+
+def _vocab(docs: DataFrame) -> DataFrame:
+    """(token_id, token, freq, doc_freq): corpus vocabulary with a
+    frequency cutoff and DETERMINISTIC contiguous ids — ranked by
+    (freq DESC, token ASC), so id assignment is a pure function of the
+    corpus (the BPE-trainer precursor every tokenizer build starts from).
+    ids start at 1; 0 is reserved for OOV."""
+    toks = _doc_tokens(docs)
+    freq = toks.groupBy("token").agg(
+        F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        freq.filter(F.col("freq") >= VOCAB_MIN_FREQ)
+        .withColumn("token_id", F.row_number().over(w))
+        .select("token_id", "token", "freq", "doc_freq")
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab(load_table(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_BUILD = f"""
+WITH {_TOK_CTE},
+freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id,
+       token, freq, doc_freq
+FROM freq WHERE freq >= {VOCAB_MIN_FREQ}
+"""
+
+
+def q_docs_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document as its token-id sequence against the built
+    vocabulary (OOV -> 0), serialized as a space-joined string so the
+    comparison is order-sensitive and engine-portable. Tokens keep
+    their original positions through the vocab join (posexplode /
+    generate_subscripts), so the sequence is exact. The vocab side is
+    tiny -> broadcast; the only shuffle is the per-doc regroup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    vocab = _vocab(docs).select("token", "token_id")
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("token_id"), F.lit(0)).alias("tid")
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.array_join(seq, " ").alias("ids"),
+        )
+        .withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+        .withColumn("n_oov", F.col("n_oov").cast("bigint"))
+    )
+
+
+SQL_DOCS_ENCODE_IDS = f"""
+WITH ptok AS (
+    SELECT * FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token,
+               generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+        FROM documents
+    ) WHERE token <> ''
+),
+freq AS (SELECT token, count(*) AS freq FROM ptok GROUP BY 1),
+vocab AS (
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INT) AS token_id,
+           token
+    FROM freq WHERE freq >= {VOCAB_MIN_FREQ}
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (v.token_id IS NULL) AS BIGINT) AS n_oov,
+       array_to_string(list(COALESCE(v.token_id, 0) ORDER BY p.pos), ' ') AS ids
+FROM ptok p LEFT JOIN vocab v USING (token)
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
+    "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
+    "docs_encode_ids": (q_docs_encode_ids, SQL_DOCS_ENCODE_IDS),
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
     "scd2_user_value": (q_scd2_user_value, SQL_SCD2_USER_VALUE),
     "cdc_user_state_diff": (q_cdc_user_state_diff, SQL_CDC_USER_STATE_DIFF),

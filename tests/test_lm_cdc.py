@@ -74,3 +74,29 @@ def test_cdc_change_types_consistent(spark, sf_dir):
         else:
             assert r.change_type == "unchanged"
             assert r.old_total == r.new_total
+
+
+def test_vocab_encode_round_trip(spark, sf_dir):
+    from movie_data_transformer_spark.operators.lm_queries import (
+        q_docs_encode_ids,
+        q_vocab_build,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    vocab = {r.token_id: r.token for r in q_vocab_build(spark, sf_dir).collect()}
+    assert sorted(vocab) == list(range(1, len(vocab) + 1))  # contiguous ids from 1
+    enc = {r.doc_id: r for r in q_docs_encode_ids(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    vset = set(vocab.values())
+    for d in docs[:50]:
+        toks = [t for t in d.text.strip().lower().split() if t]
+        r = enc[d.doc_id]
+        ids = [int(x) for x in r.ids.split(" ")]
+        assert r.n_tokens == len(toks) == len(ids)
+        assert r.n_oov == sum(1 for t in toks if t not in vset)
+        # decoding every in-vocab id reproduces the original token stream
+        for t, i in zip(toks, ids):
+            if i == 0:
+                assert t not in vset
+            else:
+                assert vocab[i] == t
