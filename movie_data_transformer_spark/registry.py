@@ -34,6 +34,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.lm_queries",
     "movie_data_transformer_spark.operators.analytics_queries",
     "movie_data_transformer_spark.operators.timeseries_queries",
+    "movie_data_transformer_spark.operators.behavior_queries",
 ]
 
 
