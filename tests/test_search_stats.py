@@ -1,0 +1,90 @@
+"""Inverted-index consistency, LATERAL top-k equivalence, chi-square
+contingency invariants."""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.search_queries import (
+    q_events_crosstab_chi2_cells,
+    q_inverted_index,
+    q_join_lateral_topk,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    rows = q_inverted_index(spark, sf_dir).collect()
+    assert rows
+    total_tf = 0
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(" ")]
+        assert ids == sorted(ids)
+        assert len(ids) == len(set(ids)) == r.doc_freq
+        assert r.total_tf >= r.doc_freq
+        total_tf += r.total_tf
+    # total term frequency across the index == corpus token count
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert total_tf == n_tokens
+
+
+def test_lateral_topk_matches_window_form(spark, sf_dir):
+    got = {
+        (r.n_name, r.s_name, r.s_acctbal)
+        for r in q_join_lateral_topk(spark, sf_dir).collect()
+    }
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_name").asc()
+    )
+    want = {
+        (r.n_name, r.s_name, r.s_acctbal)
+        for r in sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal")
+        .collect()
+    }
+    assert got == want
+    per_nation = defaultdict(int)
+    for n, _, _ in got:
+        per_nation[n] += 1
+    assert all(v <= 2 for v in per_nation.values())
+
+
+def test_chi2_cells_marginal_invariants(spark, sf_dir):
+    rows = q_events_crosstab_chi2_cells(spark, sf_dir).collect()
+    assert rows
+    grand = rows[0].grand_total
+    assert sum(r.obs for r in rows) == grand
+    row_sums = defaultdict(int)
+    col_sums = defaultdict(int)
+    for r in rows:
+        assert r.grand_total == grand
+        assert r.chi2_contrib >= 0
+        assert r.expected > 0
+        row_sums[r.event_type] += r.obs
+        col_sums[r.event_hour] += r.obs
+    for r in rows:
+        assert row_sums[r.event_type] == r.row_total
+        assert col_sums[r.event_hour] == r.col_total
+    # expected counts per row sum back to the row total (rounding slack)
+    exp_by_row = defaultdict(float)
+    for r in rows:
+        exp_by_row[r.event_type] += r.expected
+    for et, tot in exp_by_row.items():
+        assert abs(tot - row_sums[et]) < 1e-3
