@@ -8,7 +8,7 @@ no shippriority, etc. — so these are adaptations, cited per query.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.functions import decimal_sum, deterministic_avg
@@ -602,8 +602,314 @@ LIMIT 20
 """
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: minimum-cost supplier — the correlated MIN subquery (adapted:
+    no partsupp table, so per-pair supply cost is derived as the minimum
+    observed unit price min(l_extendedprice/l_quantity) over lineitem,
+    and p_type = 'LARGE' stands in for the '%BRASS' suffix filter).
+
+    The correlated `cost = (SELECT min(cost) ... WHERE same part)` is
+    re-expressed as a partition-window MIN over the already-filtered
+    region slice — one shuffle on p_partkey instead of a re-scan, and
+    every dim (supplier/nation/region/part) broadcasts against the
+    derived pair relation. Unit price is one IEEE double division on
+    identical inputs, so MIN and the equality filter agree across
+    engines; rounding happens only at output.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 15)
+    )
+    j = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 6).alias("cost"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY 1, 2
+),
+j AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM ps
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'LARGE' AND p_size < 15
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, round(cost, 6) AS cost
+FROM j
+WHERE cost = (SELECT min(cost) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+"""
+
+
+def q_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: product-type profit by nation and year — the 5-way join
+    (adapted: no partsupp.ps_supplycost, so cost is the 0.9 *
+    p_retailprice * l_quantity proxy; '%red%' name filter stands in for
+    '%green%'). Profit per row is computed in one fixed double
+    expression then cast to exact decimal, so the sum is shuffle- and
+    engine-independent. part/supplier/nation all broadcast; the only
+    shuffles are lineitem⋈orders and the final (nation, year) agg.
+    """
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.9) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(decimal_sum(amount, 4, "sum_profit"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(l_extendedprice * (1 - l_discount)
+                - 0.9 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: important stock identification — per-part value with a
+    global scalar-subquery threshold (adapted: value is the exact
+    decimal sum of l_extendedprice shipped by EUROPE suppliers, standing
+    in for ps_supplycost * ps_availqty; the fixed 0.0001/SF fraction
+    becomes the scale-free '10% above the mean part value').
+
+    The threshold compare runs in exact integer cents, cross-multiplied
+    (value_cents * 10 * part_count > 11 * total_cents) so no double
+    rounding can flip a boundary part. The global total/count come from
+    a window over the per-part AGGREGATE (|parts| narrow rows), keeping
+    lineitem to a single scan — a scalar-subquery crossJoin would plan a
+    second full fact scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(decimal_sum("l_extendedprice", 2, "value"))
+    )
+    cents = (F.col("value") * 100).cast("bigint")
+    wg = Window.partitionBy()
+    return (
+        v.select(
+            "l_partkey",
+            "value",
+            cents.alias("cents"),
+            F.sum(cents).over(wg).alias("total_cents"),
+            F.count("*").over(wg).alias("part_count"),
+        )
+        .filter(F.col("cents") * 10 * F.col("part_count") > 11 * F.col("total_cents"))
+        .select("l_partkey", "value")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (
+    SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    GROUP BY 1
+),
+stats AS (
+    SELECT sum(CAST(value * 100 AS BIGINT)) AS total_cents,
+           count(*) AS part_count
+    FROM v
+)
+SELECT l_partkey, value
+FROM v, stats
+WHERE CAST(value * 100 AS BIGINT) * 10 * part_count > 11 * total_cents
+"""
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: top supplier — the revenue view + scalar MAX subquery
+    (original creates VIEW revenue0; here the view is the grouped
+    DataFrame and the MAX is a global-window rank over it). Revenue sums
+    are exact decimal so the MAX-equality keeps every tied supplier
+    deterministically, as the spec requires. The global window runs on
+    the per-supplier AGGREGATE (|suppliers| narrow rows, not lineitem),
+    which keeps lineitem to a single scan — a scalar-subquery crossJoin
+    would plan a second full fact scan, far worse at 100 TB than one
+    single-partition pass over supplier-level rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "total_revenue",
+            )
+        )
+    )
+    w = Window.partitionBy().orderBy(F.col("total_revenue").desc())
+    return (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue0 AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+"""
+
+
+def q_tpch_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: parts/supplier relationship counts — distinct-supplier count
+    per (brand, type, size) with a NOT IN exclusion (adapted: the
+    supplier-part relation is the distinct (l_partkey, l_suppkey) pairs
+    of lineitem in place of partsupp; 'complaint' suppliers are those
+    with negative account balance). NOT IN becomes a left-anti join
+    against the (tiny, broadcast) exclusion list — safe here because
+    s_suppkey is non-null; the part dim broadcasts too, so the only
+    shuffle is the final count-distinct agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: potential part promotion — the nested IN chain (adapted: a
+    supplier qualifies if some 'red…' part it shipped in 1997 totals
+    more than 30 units, standing in for availqty > half of sold; EUROPE
+    region filter). part-id list and the qualifying-supplier set both
+    broadcast into semi joins; the year filter prunes lineitem before
+    its one (suppkey, partkey) agg shuffle. Quantity sums are exact
+    decimal so the HAVING boundary cannot flip.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    qual = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(decimal_sum("l_quantity", 2, "qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND year(l_shipdate) = 1997
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 30
+)
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": (q_tpch_q1_pricing_summary, SQL_TPCH_Q1),
+    "tpch_q2_min_cost_supplier": (q_tpch_q2_min_cost_supplier, SQL_TPCH_Q2),
+    "tpch_q9_product_type_profit": (q_tpch_q9_product_type_profit, SQL_TPCH_Q9),
+    "tpch_q11_important_stock": (q_tpch_q11_important_stock, SQL_TPCH_Q11),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, SQL_TPCH_Q15),
+    "tpch_q16_parts_supplier_counts": (q_tpch_q16_parts_supplier_counts, SQL_TPCH_Q16),
+    "tpch_q20_potential_promotion": (q_tpch_q20_potential_promotion, SQL_TPCH_Q20),
     "tpch_q8_market_share": (q_tpch_q8_market_share, SQL_TPCH_Q8),
     "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, SQL_TPCH_Q19),
     "tpch_q22_global_sales_opportunity": (q_tpch_q22_global_sales_opportunity, SQL_TPCH_Q22),
