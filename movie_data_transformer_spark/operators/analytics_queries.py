@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
 from movie_data_transformer_spark.operators.movie_queries import q_movies_cooccurrence
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -270,8 +271,113 @@ FROM a
 """
 
 
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer triangle participation counts over the customer
+    co-watch graph (edge = two customers sharing >= 2 distinct movies —
+    the bipartite customer→movie relation projected to a unipartite
+    graph, then the classic degree-oriented triangle enumeration).
+
+    Orientation: every undirected edge points from its (degree, id)-
+    smaller endpoint to the larger one, so each triangle is generated
+    exactly once as two out-edges of its lowest corner plus one closing
+    edge — the standard trick that bounds wedge count by sum(outdeg^2)
+    instead of sum(deg^2), which is what keeps hub nodes from exploding
+    the join at scale. The oracle enumerates the same triangles with the
+    naive a<b<c self-join; both count each triangle once, so per-node
+    counts agree exactly.
+
+    Scale notes (100 TB): the bipartite projection generates pairs
+    WITHIN movie groups (bounded by per-movie watcher count, never
+    |customers|^2); production corpora cap or minhash-prefilter hot
+    items exactly like operators/similarity.py. Each stage is one
+    equi-join shuffle; no cartesian anywhere.
+    """
+    from movie_data_transformer_spark.operators.movie_pipeline import dedup_latest
+    from movie_data_transformer_spark.operators.movie_queries import _exploded
+
+    watched = dedup_latest(_exploded(spark, sf_dir)).select("customerId", "movieId")
+    a = watched.select(F.col("customerId").alias("u"), "movieId")
+    b = watched.select(F.col("customerId").alias("v"), "movieId")
+    edges = (
+        a.join(b, "movieId")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # edges feed 3 branches — materialize once
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+    ).localCheckpoint()  # reused as e1, e2, and the closing-edge side
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("w1"), F.col("deg_dst").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w2"), F.col("deg_dst").alias("d2")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("w1"), F.col("dst").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi").select(
+        F.col("src").alias("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy(F.col("node").alias("customerId")).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+SQL_GRAPH_TRIANGLE_COUNTS = f"""
+WITH {RATINGS_ORACLE_CTE},
+watched AS (SELECT DISTINCT customerId, movieId FROM ratings),
+pairs AS (
+    SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
+    FROM watched a
+    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs WHERE shared >= 2),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node AS customerId, count(*) AS n_triangles FROM corners GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_value_outliers": (q_events_value_outliers, SQL_EVENTS_VALUE_OUTLIERS),
+    "graph_triangle_counts": (q_graph_triangle_counts, SQL_GRAPH_TRIANGLE_COUNTS),
     "stats_corr_by_year": (q_stats_corr_by_year, SQL_STATS_CORR_BY_YEAR),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),

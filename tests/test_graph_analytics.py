@@ -65,3 +65,17 @@ def test_outlier_z_scores_are_extreme(spark, sf_dir):
 
     n_events = load_table(spark, sf_dir, "events").count()
     assert len(rows) < 0.2 * n_events
+
+
+def test_triangle_counts_no_cartesian_and_symmetric(spark, sf_dir):
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_graph_triangle_counts,
+    )
+
+    df = q_graph_triangle_counts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    # every triangle contributes exactly 3 corner participations
+    assert sum(r.n_triangles for r in rows) % 3 == 0
