@@ -36,6 +36,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.timeseries_queries",
     "movie_data_transformer_spark.operators.behavior_queries",
     "movie_data_transformer_spark.operators.search_queries",
+    "movie_data_transformer_spark.operators.source_queries",
 ]
 
 
