@@ -26,6 +26,22 @@ def decimal_sum(col: Column | str, scale: int = 4, alias: str | None = None) -> 
     return out.alias(alias) if alias else out
 
 
+def money_out(col: Column | str, alias: str | None = None) -> Column:
+    """Final-output form of an exact decimal money column: one cast to
+    double. Registry results must never surface DecimalType — Spark
+    toPandas() yields decimal.Decimal objects ('506627.00') while DuckDB
+    .df() yields float64 ('506627.0'), so any stringifying
+    canonicalization diverges exactly when the fraction has trailing
+    zeros. Both engines' decimal->double casts are correctly rounded
+    (probed bit-level vs Python float(Decimal)), so casting the SAME
+    exact decimal on both sides is bit-identical. Keep decimal math
+    internal; cast only at the final projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c.cast("double")
+    name = alias if alias is not None else (col if isinstance(col, str) else None)
+    return out.alias(name) if name else out
+
+
 def deterministic_avg(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
     """Average as exact-decimal-sum / count, rounded — one FP division on
     exact inputs, so identical on every engine and partitioning."""

@@ -178,13 +178,14 @@ def q_incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "avg_value", F.round(F.col("total").cast("double") / F.col("n"), 6)
         )
+        .withColumn("total", F.col("total").cast("double"))
     )
 
 
 SQL_INCREMENTAL_AGG_ROLLUP = """
 SELECT user_id, event_type,
        count(value) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS total,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 6) AS avg_value
 FROM events
 GROUP BY 1, 2

@@ -107,7 +107,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "recency_days",
             "frequency",
-            "monetary",
+            F.col("monetary").cast("double").alias("monetary"),
             F.ntile(4).over(wr).alias("r_score"),
             F.ntile(4).over(wf).alias("f_score"),
             F.ntile(4).over(wm).alias("m_score"),
@@ -136,7 +136,8 @@ rfm AS (
            frequency, monetary
     FROM per_cust CROSS JOIN maxd
 )
-SELECT o_custkey, recency_days, frequency, monetary,
+SELECT o_custkey, recency_days, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
        ntile(4) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS r_score,
        ntile(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
        ntile(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score,

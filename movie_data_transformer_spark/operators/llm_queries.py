@@ -570,13 +570,24 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media table, extract features via
     Arrow-batched mapInPandas (fake decoder; rows-only check — the
-    histogram UDF is exercised against golden values in pytest)."""
+    histogram UDF is exercised against golden values in pytest).
+
+    The feature vector surfaces as a round(6) string, not array<float>:
+    the driver's pandas canonicalization cannot hash list cells (see
+    agg_approx_sketches in CORRECTNESS_r01)."""
     from movie_data_transformer_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
     )
 
-    return extract_features(synthesize_media(load_table(spark, sf_dir, "documents")))
+    feats = extract_features(synthesize_media(load_table(spark, sf_dir, "documents")))
+    scalar_cols = [f.name for f in feats.schema.fields if f.name != "features"]
+    return feats.select(
+        *scalar_cols,
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda v: F.round(v, 6).cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,8 +219,8 @@ def q_cdc_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id",
         change.alias("change_type"),
-        "old_total",
-        "new_total",
+        F.col("old_total").cast("double").alias("old_total"),
+        F.col("new_total").cast("double").alias("new_total"),
     )
 
 
@@ -244,8 +244,8 @@ SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
             WHEN s2.user_id IS NULL THEN 'delete'
             WHEN s1.old_total <> s2.new_total OR s1.old_n <> s2.new_n THEN 'update'
             ELSE 'unchanged' END AS change_type,
-       s1.old_total AS old_total,
-       s2.new_total AS new_total
+       CAST(s1.old_total AS DOUBLE) AS old_total,
+       CAST(s2.new_total AS DOUBLE) AS new_total
 FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
 """
 

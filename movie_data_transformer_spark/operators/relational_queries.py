@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from movie_data_transformer_spark.functions import (
     decimal_sum,
     deterministic_avg,
+    money_out,
     running_sum,
     top_k_per_group,
 )
@@ -51,12 +52,13 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
             F.count("*").alias("n_items"),
         )
+        .select("n_name", money_out("revenue"), "n_items")
     )
 
 
 SQL_JOIN_MULTIWAY = """
 SELECT n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -112,14 +114,14 @@ def q_join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
         "c_custkey",
         F.coalesce("_n", F.lit(0)).alias("n_pending"),
-        F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(18,2)")).alias("pending_spend"),
+        money_out(F.coalesce(F.col("_spend"), F.lit(0).cast("decimal(18,2)")), "pending_spend"),
     )
 
 
 SQL_JOIN_OUTER_COALESCE = """
 SELECT c_custkey,
        coalesce(_n, 0) AS n_pending,
-       coalesce(_spend, CAST(0 AS DECIMAL(18,2))) AS pending_spend
+       CAST(coalesce(_spend, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS pending_spend
 FROM customer c
 LEFT JOIN (
     SELECT o_custkey, count(*) AS _n,
@@ -137,7 +139,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
-        decimal_sum("o_totalprice", 2, "total_spend"),
+        money_out(decimal_sum("o_totalprice", 2), "total_spend"),
     )
 
 
@@ -145,7 +147,7 @@ SQL_AGG_DISTINCT = """
 SELECT o_orderpriority,
        count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -158,7 +160,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_qty",
+            money_out("sum_qty"),
             "n_rows",
         )
     )
@@ -167,7 +169,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AGG_ROLLUP = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -182,7 +184,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
             "n_orders",
-            "spend",
+            money_out("spend"),
         )
     )
 
@@ -191,7 +193,7 @@ SQL_AGG_CUBE = """
 SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
        coalesce(o_orderpriority, 'ALL') AS orderpriority,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -248,12 +250,13 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(F.count("*").alias("n_orders"), decimal_sum("o_totalprice", 2, "spend"))
         .filter(F.col("n_orders") >= 15)
+        .select("o_custkey", "n_orders", money_out("spend"))
     )
 
 
 SQL_AGG_HAVING = """
 SELECT o_custkey, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """
 
@@ -328,14 +331,14 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)"),
         alias="cum_spend",
     )
-    return out.select("o_custkey", "o_orderkey", "cum_spend")
+    return out.select("o_custkey", "o_orderkey", money_out("cum_spend"))
 
 
 SQL_WINDOW_RUNNING_SUM = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
 FROM orders
 """
 
@@ -568,15 +571,19 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
     joined = salted_join(o, c, "custkey", n_salts=8)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        )
+        .select("c_mktsegment", "n_orders", money_out("spend"))
     )
 
 
 SQL_JOIN_SKEW_SALTED = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -601,11 +608,15 @@ GROUP BY p_brand, p_type
 
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL count-distinct, quantile sketches) —
-    rows-only by nature; tolerance vs exact pinned in tests."""
+    rows-only by nature; tolerance vs exact pinned in tests.
+
+    Percentiles surface as SCALAR columns (p50/p95), never an array:
+    the driver's pandas canonicalization cannot hash list cells."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("price_p50_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
     )
 
 

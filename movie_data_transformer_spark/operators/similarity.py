@@ -320,26 +320,35 @@ def kmeans_assign(
     # corpus lineage (scan + augmentation + widen shuffle) materializes
     # once instead of once per iteration
     corpus = corpus.persist()
-    init = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    cents = np.array([r[1] for r in init], dtype=np.float64)
-    out_schema = "cluster int, centroid array<double>"
+    try:
+        init = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        cents = np.array([r[1] for r in init], dtype=np.float64)
+        out_schema = "cluster int, centroid array<double>"
 
-    def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        m = np.array(list(pdf[vec_col]), dtype=np.float64).mean(axis=0)
-        return pd.DataFrame({"cluster": [int(pdf["cluster"].iloc[0])], "centroid": [list(m)]})
+        def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64).mean(axis=0)
+            return pd.DataFrame(
+                {"cluster": [int(pdf["cluster"].iloc[0])], "centroid": [list(m)]}
+            )
 
-    for _ in range(n_iter):
-        assigned = _assign_clusters(corpus, cents, id_col, vec_col)
-        new = (
-            assigned.select(id_col, vec_col, "cluster")
-            .groupBy("cluster")
-            .applyInPandas(_mean, out_schema)
-            .collect()
-        )
-        for r in new:  # empty clusters keep their previous centroid
-            cents[r["cluster"]] = np.asarray(r["centroid"], dtype=np.float64)
-    return _assign_clusters(corpus, cents, id_col, vec_col)
+        for _ in range(n_iter):
+            assigned = _assign_clusters(corpus, cents, id_col, vec_col)
+            new = (
+                assigned.select(id_col, vec_col, "cluster")
+                .groupBy("cluster")
+                .applyInPandas(_mean, out_schema)
+                .collect()
+            )
+            for r in new:  # empty clusters keep their previous centroid
+                cents[r["cluster"]] = np.asarray(r["centroid"], dtype=np.float64)
+        return _assign_clusters(corpus, cents, id_col, vec_col)
+    finally:
+        # the cache only pays for itself across the iteration collects;
+        # without this every registry invocation leaks a cached DataFrame
+        # in the shared session for the process lifetime. The returned
+        # (lazy) assignment replays the corpus lineage once when consumed.
+        corpus.unpersist(blocking=False)
 
 
 def semdedup_pairs(

@@ -101,7 +101,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_s").alias("session_start_s"),
         F.max("ts_s").alias("session_end_s"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
 
 
@@ -126,7 +126,7 @@ SELECT user_id, session_idx,
        min(ts_s) AS session_start_s,
        max(ts_s) AS session_end_s,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, session_idx
 """
 

@@ -67,18 +67,23 @@ def q_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(18,4)").alias("v"),
         )
         .withColumn("trailing_7d_sum", F.sum("v").over(w))
-        .select("event_id", "user_id", "t_sec", "trailing_7d_sum")
+        .select(
+            "event_id",
+            "user_id",
+            "t_sec",
+            F.col("trailing_7d_sum").cast("double").alias("trailing_7d_sum"),
+        )
     )
 
 
 SQL_WINDOW_TRAILING_7D = f"""
 SELECT event_id, user_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS t_sec,
-       sum(CAST(value AS DECIMAL(18,4))) OVER (
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
            PARTITION BY user_id
            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
            RANGE BETWEEN {SEVEN_DAYS_S} PRECEDING AND CURRENT ROW
-       ) AS trailing_7d_sum
+       ) AS DOUBLE) AS trailing_7d_sum
 FROM events
 """
 

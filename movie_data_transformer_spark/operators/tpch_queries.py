@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.functions import decimal_sum, deterministic_avg
+from movie_data_transformer_spark.functions import decimal_sum, deterministic_avg, money_out
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -28,10 +28,10 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            decimal_sum("l_quantity", 2, "sum_qty"),
-            decimal_sum("l_extendedprice", 2, "sum_base_price"),
-            decimal_sum(disc_price, 4, "sum_disc_price"),
-            decimal_sum(charge, 6, "sum_charge"),
+            money_out(decimal_sum("l_quantity", 2), "sum_qty"),
+            money_out(decimal_sum("l_extendedprice", 2), "sum_base_price"),
+            money_out(decimal_sum(disc_price, 4), "sum_disc_price"),
+            money_out(decimal_sum(charge, 6), "sum_charge"),
             deterministic_avg("l_quantity", 2, "avg_qty"),
             deterministic_avg("l_extendedprice", 2, "avg_price"),
             deterministic_avg("l_discount", 4, "avg_disc"),
@@ -42,10 +42,10 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
@@ -66,7 +66,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
-        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .agg(money_out(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -74,7 +74,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -101,13 +101,13 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .agg(money_out(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), "revenue"))
     )
 
 
 SQL_TPCH_Q5 = """
 SELECT n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -131,14 +131,14 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"),
+            money_out(decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), 4), "revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -158,7 +158,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .agg(money_out(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -166,7 +166,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -213,8 +213,8 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return j.agg(
-        decimal_sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0), 4, "promo_revenue"),
-        decimal_sum(rev, 4, "total_revenue"),
+        money_out(decimal_sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0), 4), "promo_revenue"),
+        money_out(decimal_sum(rev, 4), "total_revenue"),
         F.round(
             F.sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0).cast("decimal(18,4)"))
             .cast("double")
@@ -226,10 +226,10 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q14 = """
-SELECT sum(CAST(CASE WHEN contains(p_name, 'red')
-                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-            AS DECIMAL(18,4))) AS promo_revenue,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue,
+SELECT CAST(sum(CAST(CASE WHEN contains(p_name, 'red')
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                 AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
        round(CAST(sum(CAST(CASE WHEN contains(p_name, 'red')
                                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
                            AS DECIMAL(18,4))) AS DOUBLE)
@@ -259,14 +259,14 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             F.year(F.col("l_shipdate").cast("date")).cast("int").alias("ship_year"),
         )
-        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "volume"))
+        .agg(money_out(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), "volume"))
     )
 
 
 SQL_TPCH_Q7 = """
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
        CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS volume
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -313,13 +313,13 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 30) & (F.col("l_quantity") < 45))
     )
     return j.filter(cond).agg(
-        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        money_out(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), "revenue"),
         F.count("*").alias("n_items"),
     )
 
 
 SQL_TPCH_Q19 = """
-SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size <= 10 AND l_quantity < 15)
@@ -342,7 +342,7 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
     no_big_orders = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
     return no_big_orders.groupBy("c_nationkey").agg(
         F.count("*").alias("numcust"),
-        decimal_sum("c_acctbal", 2, "totacctbal"),
+        money_out(decimal_sum("c_acctbal", 2), "totacctbal"),
     )
 
 
@@ -353,7 +353,7 @@ WITH avg_bal AS (
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -389,8 +389,8 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return yearly.select(
         "o_year",
-        "nation_rev",
-        "total_rev",
+        money_out("nation_rev"),
+        money_out("total_rev"),
         F.round(F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6).alias(
             "mkt_share"
         ),
@@ -411,9 +411,9 @@ WITH base AS (
     JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
 )
 SELECT o_year,
-       sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
-                AS DECIMAL(18,4))) AS nation_rev,
-       sum(CAST(rev AS DECIMAL(18,4))) AS total_rev,
+       CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
+                     AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
+       CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
        round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
                            AS DECIMAL(18,4))) AS DOUBLE)
              / CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
@@ -478,7 +478,7 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
         decimal_sum("l_extendedprice", 2, "total_ext"),
         F.count("*").alias("n_small"),
     ).select(
-        "total_ext",
+        money_out("total_ext"),
         "n_small",
         F.round(F.col("total_ext").cast("double") / 7.0, 6).alias("avg_yearly"),
     )
@@ -491,7 +491,7 @@ WITH per_part AS (
            count(l_quantity) AS cnt_q
     FROM lineitem GROUP BY l_partkey
 )
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_ext,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_ext,
        count(*) AS n_small,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
            AS avg_yearly
@@ -521,8 +521,8 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
             "c_name",
             F.col("l_orderkey").alias("o_orderkey"),
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-            "sum_qty",
+            "o_totalprice",
+            money_out("sum_qty"),
         )
     )
 
@@ -530,7 +530,7 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
 SQL_TPCH_Q18 = """
 SELECT c_custkey, c_name, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, sum_qty
+       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
 FROM (
     SELECT l_orderkey AS o_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
     FROM lineitem GROUP BY l_orderkey
@@ -690,14 +690,14 @@ def q_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(decimal_sum(amount, 4, "sum_profit"))
+        .agg(money_out(decimal_sum(amount, 4), "sum_profit"))
     )
 
 
 SQL_TPCH_Q9 = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       sum(CAST(l_extendedprice * (1 - l_discount)
-                - 0.9 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS sum_profit
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.9 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
@@ -742,7 +742,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(wg).alias("part_count"),
         )
         .filter(F.col("cents") * 10 * F.col("part_count") > 11 * F.col("total_cents"))
-        .select("l_partkey", "value")
+        .select("l_partkey", money_out("value"))
     )
 
 
@@ -760,7 +760,7 @@ stats AS (
            count(*) AS part_count
     FROM v
 )
-SELECT l_partkey, value
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
 FROM v, stats
 WHERE CAST(value * 100 AS BIGINT) * 10 * part_count > 11 * total_cents
 """
@@ -798,7 +798,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") == 1)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", money_out("total_revenue"))
     )
 
 
@@ -812,7 +812,7 @@ WITH revenue0 AS (
       AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
     GROUP BY 1
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
 """

@@ -22,7 +22,7 @@ SQL_STREAM_TUMBLING = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 

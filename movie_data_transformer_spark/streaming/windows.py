@@ -40,7 +40,10 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            # final projection: exact decimal -> double (DecimalType in a
+            # registry result breaks the driver's pandas canon; see
+            # functions.core.money_out)
+            F.col("sum_value").cast("double").alias("sum_value"),
         )
     )
 
@@ -99,6 +102,9 @@ def streaming_tumbling_counts(
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            # final projection: exact decimal -> double (DecimalType in a
+            # registry result breaks the driver's pandas canon; see
+            # functions.core.money_out)
+            F.col("sum_value").cast("double").alias("sum_value"),
         )
     )

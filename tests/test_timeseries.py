@@ -57,7 +57,9 @@ def test_trailing_7d_matches_bruteforce(spark, sf_dir):
     for r in out:
         peers = by_user[r.user_id]
         want = sum(v for _, t, v in peers if r.t_sec - SEVEN_DAYS_S <= t <= r.t_sec)
-        assert r.trailing_7d_sum == want, (r.user_id, r.event_id)
+        # query output is the exact decimal sum cast once to double ==
+        # float() of the exact Decimal (correctly-rounded on both paths)
+        assert r.trailing_7d_sum == float(want), (r.user_id, r.event_id)
 
 
 def test_mad_outliers_robust_and_sane(spark, sf_dir):
