@@ -22,7 +22,8 @@ from movie_data_transformer_spark.session import get_spark
 
 #: headline set: one per operator family (flagship dataflow, merge, joins,
 #: rollup agg, window top-k, event-time window, LSH dedup, text stats,
-#: vector top-k)
+#: vector top-k), plus the slowest driver-window queries (r2 VERDICT advice
+#: #4) so regressions in the expensive paths are visible round-over-round.
 HEADLINE = [
     "movies_kv",
     "movies_merge_upsert",
@@ -38,6 +39,12 @@ HEADLINE = [
     "window_trailing_7d",
     "stats_corr_by_year",
     "training_shards",
+    # r3 additions: the expensive tail
+    "graph_pagerank",
+    "movies_incremental_merge",
+    "dedup_simhash_pairs",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_suppliers_who_kept_waiting",
 ]
 
 

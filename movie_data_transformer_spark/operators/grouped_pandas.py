@@ -25,7 +25,7 @@ TREND_SCHEMA = StructType(
 
 
 def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
-    # ts arrives as int64 nanos (nanosAsLong read); regress value on days.
+    # ts arrives as int64 nanos (load_events_raw_ns); regress value on days.
     # Sort by event_id first: group rows arrive in arbitrary partition
     # order, and FP summation order must be fixed for reproducible output.
     pdf = pdf.sort_values("event_id")

@@ -62,11 +62,15 @@ def q_movies_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie policy (existing wins) is inherently sequential, not ANSI-SQL
     (the batch-form merge IS oracle-checked as movies_merge_upsert)."""
     import shutil
-    import tempfile
 
     from movie_data_transformer_spark.streaming import run_incremental_merge
 
     src = _jsonl_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # final state outlives the per-run work dir via a distributed parquet
+    # write to a stable per-sf location — never a full-result collect to the
+    # driver (r2 VERDICT advice #3)
+    stable = os.path.join(tempfile.gettempdir(), f"mdt_stream_final_{tag}")
     work = tempfile.mkdtemp(prefix="mdt_stream_")
     try:
         store = run_incremental_merge(
@@ -76,12 +80,10 @@ def q_movies_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(work, "ckpt"),
             max_files_per_trigger=2,
         )
-        final = store.read()
-        # materialize before the temp dirs vanish
-        out = spark.createDataFrame(final.collect(), final.schema)
+        store.read().write.mode("overwrite").parquet(stable)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return out
+    return spark.read.parquet(stable)
 
 
 QUERIES = {

@@ -35,18 +35,36 @@ def _t(spark, sf_dir, name):
 
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way join: lineitem |x| orders |x| customer |x| nation |x| region,
-    revenue per nation in EUROPE. Dims broadcast; only facts shuffle."""
+    revenue per nation in EUROPE. Dims broadcast; only facts shuffle.
+
+    The region filter is pushed THROUGH the dimension chain before any
+    fact participates (r2 VERDICT advice #6): customer |x| nation |x|
+    region(EUROPE) reduces customers ~5x, and orders inner-joins that
+    broadcast FIRST — so the one real shuffle (lineitem |x| orders on
+    orderkey) sees only the ~20% of orders that survive. At 100 TB the
+    orders-side shuffle volume drops the same ~80%; enabling
+    spark.sql.optimizer.runtime.bloomFilter (on in session.py defaults via
+    AQE) additionally row-filters the lineitem side pre-shuffle from the
+    pruned orders' orderkeys."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     c, n, r = (
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
+    c_eur = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    o_eur = o.join(F.broadcast(c_eur), o.o_custkey == c_eur.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        li.join(o_eur, li.l_orderkey == o_eur.o_orderkey)
         .groupBy("n_name")
         .agg(
             decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
@@ -618,6 +636,32 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("price_p50"),
         F.expr("approx_percentile(l_extendedprice, 0.95)").alias("price_p95"),
     )
+
+
+def q_agg_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sibling of agg_approx_sketches (r2 VERDICT advice #7): the
+    identical projection computed exactly — count(DISTINCT) instead of HLL,
+    percentile() (continuous interpolation; probed bit-equal to DuckDB
+    quantile_cont, NOTES.md) instead of the quantile sketch — so the sketch
+    entry's shape has a binding oracle row and tests can measure the approx
+    error against it. At 100 TB this is the expensive form (exact distinct
+    shuffles the full key set); the sketch entry is the scale path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+    )
+
+
+SQL_AGG_SKETCH_EXACT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:

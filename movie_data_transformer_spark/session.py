@@ -28,6 +28,14 @@ ENGINE_CONF: dict[str, str] = {
     # collect_list aggregation benefits from object hash agg (no sort):
     "spark.sql.execution.useObjectHashAggregateExec": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # runtime row-level join pruning: inject a bloom filter built from the
+    # small (pre-filtered) side of a shuffle join into the big side's scan,
+    # so fact rows that cannot match never enter the shuffle — the 100 TB
+    # complement of the plan-time dimension pushdowns (join_multiway).
+    # NB: do NOT add spark.sql.optimizer.runtimeFilter.semiJoinReduction
+    # here — on pyspark 4.1.2 that (removed) key poisons the session: every
+    # later conf.set/read spins forever in exception conversion.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -72,6 +72,47 @@ def read_movies_jsonl(
     )
 
 
+def read_movies_jsonl_skip_bad_files(
+    spark: SparkSession, path: str, glob: str = "*.json"
+) -> DataFrame:
+    """Op 14 — per-file retry-then-skip (DataTransformationService.java:112-129).
+
+    The reference processes file-by-file, retries a failing file up to 3
+    times, then skips the WHOLE file. Deterministic corruption never heals
+    on retry, so the distributed equivalent is: decode permissively with
+    `input_file_name()` attached, derive the (tiny) set of files containing
+    at least one undecodable line, and broadcast-anti-join their rows away.
+    File-level skip, not line-level drop — valid rows in a bad file are
+    lost, exactly the reference's semantics (and unlike op 15's
+    DROPMALFORMED, which keeps them).
+
+    At 100 TB: the data side is one scan, never shuffled — the bad-file
+    list is bounded by the file count and broadcasts; the anti-join is
+    map-side.
+    """
+    from pyspark.sql import functions as F
+
+    schema = StructType(list(MOVIE_INPUT.fields) + [StructField(CORRUPT_COL, StringType())])
+    lines = (
+        spark.read.option("pathGlobFilter", glob)
+        .text(path)
+        .select(F.input_file_name().alias("_file"), "value")
+    )
+    parsed = lines.select(
+        "_file",
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r"),
+    )
+    bad_files = (
+        parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select("_file").distinct()
+    )
+    good = parsed.join(F.broadcast(bad_files), "_file", "left_anti")
+    return good.select("r.*").drop(CORRUPT_COL)
+
+
 def corrupt_records(spark: SparkSession, path: str, glob: str = "*.json") -> DataFrame:
     """The complement: raw text of lines that failed to parse (op 14/15
     observability — the reference only logs and skips; we expose them)."""

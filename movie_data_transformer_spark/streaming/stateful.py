@@ -84,7 +84,7 @@ def use_rocksdb_state_store(spark) -> None:
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Streaming: cumulative per-user totals, updated every micro-batch.
 
-    Expects the RAW events schema (ts as int64 NANOS — the nanosAsLong
+    Expects the RAW events schema (ts as int64 NANOS — sources.tables load_events_stream(raw_ns=True) / the legacy nanosAsLong
     parquet read) so the pandas-side arithmetic is dtype-unambiguous."""
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,

@@ -24,8 +24,9 @@ def test_engine_sql_surface(spark, sf_dir):
 
 
 def test_user_value_trend_matches_numpy(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from movie_data_transformer_spark.sources.tables import load_events_raw_ns
+
+    raw = load_events_raw_ns(spark, sf_dir)
     got = {r.user_id: r for r in user_value_trend(raw).collect()}
     pdf = raw.select("user_id", "ts", "value").toPandas()
     for uid, g in pdf.groupby("user_id"):

@@ -2,22 +2,12 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from movie_data_transformer_spark.sources.tables import load_table
+from movie_data_transformer_spark.sources.tables import load_events_stream, load_table
 from movie_data_transformer_spark.streaming.windows import sliding_counts
-from tests.test_streaming_windows import EVENTS_RAW
 
 
 def test_streaming_sliding_equals_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        .withWatermark("ts", "2 hours")
-    )
+    stream = load_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     q = (
         sliding_counts(stream, "1 hour", "30 minutes")
         .writeStream.format("memory")

@@ -4,9 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.sources.tables import load_table
+from movie_data_transformer_spark.sources.tables import load_events_stream, load_table
 from movie_data_transformer_spark.streaming.stateful import running_user_totals
-from tests.test_streaming_windows import EVENTS_RAW
 
 
 def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
@@ -17,12 +16,7 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     use_rocksdb_state_store(spark)
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        stream = (
-            spark.readStream.schema(EVENTS_RAW)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        stream = load_events_stream(spark, sf_dir, raw_ns=True)
         q = (
             running_user_totals(stream)
             .writeStream.format("memory")
@@ -43,13 +37,7 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
 
 
 def test_running_user_totals_matches_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
-    )
+    stream = load_events_stream(spark, sf_dir, raw_ns=True, maxFilesPerTrigger="1")
     q = (
         running_user_totals(stream)
         .writeStream.format("memory")

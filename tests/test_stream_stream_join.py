@@ -5,20 +5,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.temporal_queries import q_range_join_conversions
+from movie_data_transformer_spark.sources.tables import load_events_stream
 from movie_data_transformer_spark.streaming.joins import stream_conversions
-from tests.test_streaming_windows import EVENTS_RAW
 
 
 def test_stream_conversions_equals_batch_range_join(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
-        raw = (
-            spark.readStream.schema(EVENTS_RAW)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return load_events_stream(spark, sf_dir)
 
     views = _stream().filter(F.col("event_type") == "view")
     purchases = _stream().filter(F.col("event_type") == "purchase")

@@ -4,18 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.sources.tables import load_table
-from tests.test_streaming_windows import EVENTS_RAW
+from movie_data_transformer_spark.sources.tables import load_events_stream, load_table
 
 
 def _event_stream(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return load_events_stream(spark, sf_dir)
 
 
 def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):

@@ -2,36 +2,16 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
-
-from movie_data_transformer_spark.sources.tables import load_table
+from movie_data_transformer_spark.sources.tables import load_events_stream, load_table
 from movie_data_transformer_spark.streaming.windows import (
     streaming_tumbling_counts,
     tumbling_counts,
 )
 
-EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (nanosAsLong read)
-        StructField("user_id", LongType()),
-        StructField("event_type", __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()),
-        StructField("value", __import__("pyspark.sql.types", fromlist=["DoubleType"]).DoubleType()),
-        StructField("props", __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()),
-    ]
-)
-
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # streaming file source wants a directory; glob down to the events file
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    # version-robust streaming read (nanos parquet) — sources/tables.py
+    stream = load_events_stream(spark, sf_dir)
     agg = streaming_tumbling_counts(stream, "1 hour", watermark="2 hours")
     q = (
         agg.writeStream.format("memory")
