@@ -1,0 +1,90 @@
+"""`sim_ann_recall`: a binding, driver-checkable recall gate for the ANN
+trio (round-3 VERDICT advice #6).
+
+The approximate similarity entries (`sim_lsh_topk` / `sim_ivf_topk` /
+`sim_pq_topk`) are rows-only for the driver — approximation is not
+SQL-reproducible bit-for-bit. This entry converts their QUALITY into
+oracle-checked evidence: recall@5 of each method against the exact
+brute-force baseline is computed entirely in-engine (one left join + one
+1-row aggregate per method; no collect), then compared to a conservative
+floor. The oracle is the literal expected (method, passed) table, so any
+regression that collapses recall below the floor (empty LSH buckets,
+broken PQ encode, mis-probed IVF lists) breaks the driver hash.
+
+Floors are deliberately loose, per-method: they gate against collapse,
+not parameter noise. The synthetic embeddings are near-uniform, so each
+method's recall sits near its mechanical floor (IVF ~ nprobe/ncells;
+LSH ~ the 2^-n_planes same-bucket fraction; PQ ~ what 8x16 codes resolve
+on unclustered data) — measured at all three SFs: ivf 0.255-0.44,
+lsh 0.10-0.17, pq 0.235-0.48. Floors sit halfway between zero (collapse)
+and the worst observed value. The tight recall expectations live in
+tests/test_similarity.py.
+
+Uses the exact same parameterization as the q_sim_* registry entries
+(queries = vec_id % 50 == 0, k=5, n_planes=4, nprobe=2) so the measured
+recall is the recall of the entries the driver actually runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    pq_topk,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+RECALL_FLOORS = {"ivf": 0.15, "lsh": 0.05, "pq": 0.15}
+
+
+def _recall_row(ann: DataFrame, base: DataFrame, method: str) -> DataFrame:
+    """1-row (method, passed): fraction of exact top-k pairs the ANN
+    method recovered, compared against RECALL_FLOORS[method]. The join is
+    (n_queries x k) rows on both sides — trivially small at any corpus
+    scale, because top-k output size is independent of corpus size."""
+    hits = base.join(
+        ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        hits.agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+                "recall"
+            )
+        )
+        .select(
+            F.lit(method).alias("method"),
+            (F.col("recall") >= F.lit(RECALL_FLOORS[method])).alias("passed"),
+        )
+    )
+
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    base = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    parts = [
+        _recall_row(ivf_topk(emb, queries, k=5, nprobe=2), base, "ivf"),
+        _recall_row(lsh_bucket_topk(emb, queries, k=5, n_planes=4), base, "lsh"),
+        _recall_row(pq_topk(emb, queries, k=5), base, "pq"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SQL_SIM_ANN_RECALL = """
+SELECT 'ivf' AS method, CAST(1 AS BOOLEAN) AS passed
+UNION ALL SELECT 'lsh', CAST(1 AS BOOLEAN)
+UNION ALL SELECT 'pq', CAST(1 AS BOOLEAN)
+"""
+
+QUERIES = {
+    "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
+}

@@ -24,10 +24,26 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-3 window (exactly 50): movie 8 + merge 1 + jsonl 2 + reliability 2
-# + tpch 22 + flagship 15. Modules already driver-green in r01+r02
-# (relational, streaming, text pack, function packs, ...) rotate behind it.
+# Round-4 window (exactly 50), all never-driver-checked before this round
+# (NOTES.md ledger / round-3 VERDICT advice #1): temporal 3 + function_packs
+# 12 + profile 2 + curation 13 + lm 6 + analytics 5 + timeseries 5 +
+# grouped extras 2 + sim_ann_recall 1 + behavior head 1 = 50. The r03
+# window (movie/merge/jsonl/reliability/tpch/flagship) and the r01/r02-era
+# modules rotate behind it; r05 takes the behavior tail + search + source
+# + re-greens.
 _MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.temporal_queries",
+    "movie_data_transformer_spark.operators.function_packs",
+    "movie_data_transformer_spark.operators.profile_queries",
+    "movie_data_transformer_spark.operators.curation_queries",
+    "movie_data_transformer_spark.operators.lm_queries",
+    "movie_data_transformer_spark.operators.analytics_queries",
+    "movie_data_transformer_spark.operators.timeseries_queries",
+    "movie_data_transformer_spark.operators.grouped_extras_queries",
+    "movie_data_transformer_spark.operators.recall_queries",
+    "movie_data_transformer_spark.operators.behavior_queries",
+    "movie_data_transformer_spark.operators.search_queries",
+    "movie_data_transformer_spark.operators.source_queries",
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
@@ -37,16 +53,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.llm_queries",
     "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.streaming.streaming_queries",
-    "movie_data_transformer_spark.operators.temporal_queries",
-    "movie_data_transformer_spark.operators.function_packs",
-    "movie_data_transformer_spark.operators.profile_queries",
-    "movie_data_transformer_spark.operators.curation_queries",
-    "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.analytics_queries",
-    "movie_data_transformer_spark.operators.timeseries_queries",
-    "movie_data_transformer_spark.operators.behavior_queries",
-    "movie_data_transformer_spark.operators.search_queries",
-    "movie_data_transformer_spark.operators.source_queries",
 ]
 
 

@@ -106,8 +106,15 @@ def read_movies_jsonl_skip_bad_files(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("r"),
     )
+    # A line like a literal `null` (or anything from_json maps to a NULL
+    # struct WITHOUT setting the corrupt column) is also a decode failure
+    # under the reference's whole-file-fails semantics — without the
+    # r IS NULL clause such a line would neither mark the file bad nor be
+    # dropped, leaking an all-null phantom row through r.* (ADVICE r3).
     bad_files = (
-        parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull()).select("_file").distinct()
+        parsed.filter(F.col(f"r.{CORRUPT_COL}").isNotNull() | F.col("r").isNull())
+        .select("_file")
+        .distinct()
     )
     good = parsed.join(F.broadcast(bad_files), "_file", "left_anti")
     return good.select("r.*").drop(CORRUPT_COL)

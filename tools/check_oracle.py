@@ -75,9 +75,16 @@ def main():
             continue
         sql = os_.get(name)
         if sql is None:
-            print(f"ok?  {name}: rows-only ({len(srows)} rows) {time.time()-t0:.1f}s")
+            # Rows-only entries have no oracle, so a silent regression to
+            # zero rows would otherwise pass the gate (round-3 VERDICT
+            # item 3 / advice 5): FAIL, don't warn. Every rows-only query
+            # is expected to produce rows at every SF (their docstrings
+            # state the floor; pytest pins the tighter invariants).
             if len(srows) == 0:
-                print(f"WARN {name}: zero rows")
+                failures.append(name)
+                print(f"FAIL {name}: rows-only query returned ZERO rows {time.time()-t0:.1f}s")
+            else:
+                print(f"ok?  {name}: rows-only ({len(srows)} rows) {time.time()-t0:.1f}s")
             continue
         try:
             rel = con.sql(sql)
