@@ -88,17 +88,27 @@ def pagerank(
     Returns (node, pr). Dangling nodes (no out-edges) redistribute their
     mass uniformly — the standard stochastic-matrix completion.
 
-    NO driver action inside the loop (round-3 VERDICT item 4): the
-    dangling mass is a 1-row left-anti aggregate folded into the same
-    superstep plan via a broadcast scalar (the accepted 1-row
-    crossJoin(broadcast) pattern, cf. behavior_queries), instead of a
-    per-iteration .first() that serialized an extra job per superstep.
-    Lineage is truncated by localCheckpoint every `checkpoint_every`
-    iterations (not every one): between checkpoints the rank plan is
-    referenced twice per superstep (contributions + dangling), so the
-    uncheckpointed plan grows ~2^checkpoint_every — tiny for <=3, and the
-    job count drops from 2/superstep to 1/checkpoint. On a real cluster
-    swap localCheckpoint for a reliable checkpoint dir."""
+    NO driver action inside the loop (round-3 VERDICT item 4), and ONE
+    shuffle per superstep: zero-contribution rows for every node are
+    unioned into the contribution stream BEFORE the groupBy, so the
+    aggregated table already contains all nodes (no second join back to
+    the node list), and the dangling mass is folded in by MASS
+    CONSERVATION — total rank is exactly 1 each iteration, so dangling
+    = 1 - sum(contributions) — read via a window-over-() on the same
+    (already aggregated, |nodes|-row) table: a single-partition exchange
+    of tiny data, no broadcast build, no second traversal of the rank
+    table (same trick as the TPC-H q11/q15 scalar thresholds). FP drift
+    vs the explicit dangling sum is ~1e-15/iteration, far under the 1e-6
+    NumPy pin in tests. Lineage is truncated by localCheckpoint every
+    `checkpoint_every` iterations (not every one): the uncheckpointed
+    plan grows ~2^checkpoint_every (tiny for <=3), and the job count
+    drops from 2/superstep to 1/checkpoint. On a real cluster swap
+    localCheckpoint for a reliable checkpoint dir."""
+    # materialize the input edge list ONCE: nodes / out-weights /
+    # normalized edges all derive from it, and without this the upstream
+    # lineage (e.g. the co-watch pair generation) would replay in each of
+    # their checkpoint jobs
+    edges = edges.select(src, dst, weight).localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -114,36 +124,37 @@ def pagerank(
             F.col(dst).alias("e_dst"),
             (F.col(weight) / F.col("outw")).alias("p"),
         )
+        # hash-partition ON THE JOIN KEY before materializing: every
+        # superstep joins ranks (already hash-partitioned by node from
+        # its groupBy) against this table on e_src, so pre-partitioning
+        # removes one edge-table exchange from every superstep — the
+        # classic "partition once, iterate many" layout for iterative
+        # graph dataflow
+        .repartition(F.col("e_src"))
         .localCheckpoint()
     )
-    src_nodes = norm_edges.select("e_src").distinct().localCheckpoint()
+    from pyspark.sql import Window
+
+    zero_rows = nodes.select("node", F.lit(0.0).alias("c"))
+    w_all = Window.partitionBy()  # whole (aggregated) table — tiny
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(n_iter):
-        contribs = (
-            ranks.join(norm_edges, ranks.node == norm_edges.e_src)
-            .select(F.col("e_dst").alias("node"), (F.col("pr") * F.col("p")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+        spread = ranks.join(norm_edges, ranks.node == norm_edges.e_src).select(
+            F.col("e_dst").alias("node"), (F.col("pr") * F.col("p")).alias("c")
         )
-        # mass held by dangling nodes this superstep: a 1-row aggregate
-        # kept INSIDE the plan (broadcast scalar), not collected
-        dangling = ranks.join(
-            src_nodes, ranks.node == F.col("e_src"), "left_anti"
-        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang") / F.lit(float(n))
-                    )
-                ).alias("pr"),
-            )
+        contribs = (
+            spread.unionByName(zero_rows).groupBy("node").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = contribs.select(
+            "node",
+            (
+                F.lit((1 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.col("contrib")
+                    + (F.lit(1.0) - F.sum("contrib").over(w_all)) / F.lit(float(n))
+                )
+            ).alias("pr"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()
