@@ -24,6 +24,40 @@ def test_registry_consistent_without_session():
     assert len(os_) >= 100
 
 
+#: sf0.001 row-count floors for every rows-only registry entry (round-3
+#: VERDICT item 5): the driver's rows-only check cannot catch a silent
+#: collapse to fewer/zero rows, so pytest pins each entry's minimum here
+#: (and tools/check_oracle.py independently fails on zero). Floors are
+#: ~half the observed count — loose enough for parameter drift, tight
+#: enough that a broken bucket join / empty stream / dead UDF path fails.
+ROWS_ONLY_FLOORS = {
+    "pack_sequences": 350,  # observed 705
+    "graph_pagerank": 5,  # exactly the movie-graph node count
+    "grouped_ols_trend": 8,  # observed 15 (one row per user)
+    "events_gmean_udaf": 5,  # exactly the event-type count
+    "movies_incremental_merge": 75,  # exactly the merged key count
+    "sim_ivf_topk": 50,  # exactly n_queries x k
+    "sim_pq_topk": 50,
+    "sim_lsh_topk": 25,  # observed 50; sparse buckets may under-fill
+    "mm_media_features": 250,  # observed 500 (one row per doc)
+    "semdedup_pairs": 25,  # observed 50 (planted near-dups)
+    "agg_approx_sketches": 3,  # one row per region bucket
+}
+
+
+def test_rows_only_entries_meet_row_floors(spark, sf_dir):
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    rows_only = set(qs) - set(os_)
+    # every rows-only entry must have a pinned floor (adding a new
+    # rows-only query without one fails here by design)
+    assert rows_only == set(ROWS_ONLY_FLOORS), rows_only ^ set(ROWS_ONLY_FLOORS)
+    for name, floor in ROWS_ONLY_FLOORS.items():
+        n = qs[name](spark, sf_dir).count()
+        assert n >= floor, f"{name}: {n} rows < floor {floor}"
+
+
 def test_q6_pushes_filters_to_scan(spark, sf_dir):
     from movie_data_transformer_spark.operators.tpch_queries import q_tpch_q6_forecast_revenue
 
