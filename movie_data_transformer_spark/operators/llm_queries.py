@@ -17,6 +17,7 @@ from movie_data_transformer_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     exact_substr_pairs,
+    incremental_minhash_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -395,6 +396,28 @@ def _minhash_sql() -> str:
     return f"WITH {_minhash_ctes()}\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the original documents are yesterday's
+    corpus (state), the planted +100000/+200000 docs are today's crawl
+    batch; the query links batch docs to their near/exact-dup originals
+    WITHOUT comparing two state docs. Oracle = the full minhash pair set
+    filtered to pairs touching a batch doc — identical by construction
+    (bucket co-habitation is pairwise), so the incremental path is held
+    to the full-recompute answer."""
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    state = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    return incremental_minhash_pairs(
+        state, batch, n=3, threshold=0.3, max_bucket_size=5000
+    )
+
+
+def _incremental_minhash_sql() -> str:
+    return f"""WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE doc_a >= 100000 OR doc_b >= 100000"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representatives: connected components over the
     verified minhash near-dup pairs (min doc id per component)."""
@@ -723,6 +746,7 @@ GROUPED_EXTRA_QUERIES = {
 
 FLAGSHIP_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "dedup_incremental_minhash": (q_dedup_incremental_minhash, _incremental_minhash_sql()),
     "dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),

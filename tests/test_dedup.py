@@ -201,6 +201,30 @@ def test_simhash_fingerprint_short_and_empty_docs(spark):
     assert rows == rows2
 
 
+def test_incremental_minhash_links_batch_without_state_pairs(spark, sf_dir):
+    """Incremental ingest dedup: every planted EXACT copy in the batch
+    links to its state original at jaccard 1.0, and the output NEVER
+    contains a state x state pair (the whole point of the incremental
+    path — state docs were already deduped in earlier ingests)."""
+    from movie_data_transformer_spark.operators.dedup import incremental_minhash_pairs
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    corpus = _corpus(spark, sf_dir)
+    state = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in incremental_minhash_pairs(state, batch, n=3, threshold=0.3).collect()
+    }
+    assert got, "no pairs found"
+    # no state x state pair ever
+    assert all(a >= 100000 or b >= 100000 for a, b in got)
+    # every exact copy (doc 50-99 -> +200000) recovered at jaccard 1.0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for i in range(50, min(100, n_docs)):
+        assert got.get((i, i + 200000)) == 1.0, f"exact copy {i} not linked"
+
+
 def test_connected_components_hand_graph(spark):
     """Path graph + separate triangle + isolated pair: roots are the min
     id per component; a long path needs multiple propagation rounds."""
