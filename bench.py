@@ -45,6 +45,10 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "tpch_q9_product_type_profit",
     "tpch_q21_suppliers_who_kept_waiting",
+    # r4 addition: incremental ingest dedup (new operator family; its cost
+    # here includes the inline state-index build that a real deployment
+    # amortizes across ingests)
+    "dedup_incremental_minhash",
 ]
 
 

@@ -448,6 +448,43 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_apply_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step every dedup pipeline actually ships: EMIT THE KEPT CORPUS.
+    pairs -> connected components -> keep only each cluster's canonical
+    doc (min id) -> anti-join the drop set away from the corpus. Returns
+    (doc_id, lang, n_chars) of surviving docs. At 100 TB the drop set is
+    |duplicate docs| rows (broadcastable or a semi-join shuffle on ids —
+    never text), and the corpus pass is a single anti-join scan."""
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_dedup_pairs(corpus, n=3, threshold=0.3, max_bucket_size=5000)
+    clusters = connected_components(pairs)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_root")).select("doc_id")
+    return corpus.join(drops, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+def _apply_filter_sql() -> str:
+    # the clusters CTE chain, then: drop every non-root member
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+clusters AS (
+    SELECT node AS doc_id, least(node, min(r)) AS cluster_root
+    FROM reach GROUP BY node
+)
+SELECT doc_id, lang, n_chars FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_root)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(augmented_corpus(load_table(spark, sf_dir, "documents")))
 
@@ -747,6 +784,7 @@ GROUPED_EXTRA_QUERIES = {
 FLAGSHIP_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_incremental_minhash": (q_dedup_incremental_minhash, _incremental_minhash_sql()),
+    "dedup_apply_filter": (q_dedup_apply_filter, _apply_filter_sql()),
     "dedup_clusters": (q_dedup_clusters, _clusters_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_sql()),

@@ -225,6 +225,32 @@ def test_incremental_minhash_links_batch_without_state_pairs(spark, sf_dir):
         assert got.get((i, i + 200000)) == 1.0, f"exact copy {i} not linked"
 
 
+def test_dedup_apply_filter_keeps_one_doc_per_cluster(spark, sf_dir):
+    """End-to-end dedup emit: every exact-copy pair keeps exactly the
+    original (min id); kept + dropped partitions the corpus; and no two
+    kept docs are exact duplicates of each other."""
+    from movie_data_transformer_spark.operators.llm_queries import q_dedup_apply_filter
+
+    corpus = _corpus(spark, sf_dir)
+    kept = {r.doc_id for r in q_dedup_apply_filter(spark, sf_dir).collect()}
+    n_corpus = corpus.count()
+    assert 0 < len(kept) < n_corpus  # something dropped, not everything
+    # every planted exact copy is dropped (a copy's id +200000 can never
+    # be its cluster's min — the original is always in the same cluster)
+    for i in range(50, 100):
+        assert i + 200000 not in kept, f"exact copy {i+200000} survived"
+    # no two surviving docs are exact duplicates of each other (exact
+    # dups share minhash signatures, so they always land in one cluster)
+    dup_digests = (
+        corpus.filter(F.col("doc_id").isin(list(kept)))
+        .groupBy(F.md5("text"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_digests == 0
+
+
 def test_connected_components_hand_graph(spark):
     """Path graph + separate triangle + isolated pair: roots are the min
     id per component; a long path needs multiple propagation rounds."""
