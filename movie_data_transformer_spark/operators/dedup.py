@@ -372,6 +372,9 @@ def incremental_minhash_pairs(
     new_bands = band_table(minhash_signatures_from_arrays(new_sets))
     index = state_bands.unionByName(new_bands)  # the maintained LSH index
     if max_bucket_size is not None:
+        # filtering the INDEX side alone suffices: a candidate pair needs
+        # an index row in its bucket, so dropped buckets produce nothing
+        # regardless of the batch side
         ok_buckets = (
             index.groupBy("band", "sig")
             .agg(F.count("*").alias("_bn"))
@@ -379,7 +382,6 @@ def incremental_minhash_pairs(
             .select("band", "sig")
         )
         index = index.join(ok_buckets, ["band", "sig"], "left_semi")
-        new_bands = new_bands.join(ok_buckets, ["band", "sig"], "left_semi")
     cands = (
         new_bands.select(F.col("doc_id").alias("_new"), "band", "sig")
         .join(index, ["band", "sig"])
