@@ -326,48 +326,33 @@ def minhash_dedup_pairs(
     return jaccard_verify_arrays(cands, sets.select("doc_id", "shingles"), threshold)
 
 
-def incremental_minhash_pairs(
-    state_docs: DataFrame,
-    new_docs: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
+def doc_shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingles, hvals) — the per-doc shingle-index row format:
+    distinct word n-grams plus their portable hashes, materialized once
+    per doc. This is the table a corpus PERSISTS across ingests (the
+    dedup index); signatures, band rows, and exact verification all
+    derive from it with row-local work only."""
+    return (
+        widen_for_compute(docs)
+        .select(
+            "doc_id",
+            word_shingles(normalize_text(F.col(text_col)), n).alias("shingles"),
+        )
+        .withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
+    )
+
+
+def incremental_minhash_pairs_from_sets(
+    state_sets: DataFrame,
+    new_sets: DataFrame,
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Incremental corpus dedup: near-dup pairs linking a NEW ingest
-    batch to the existing corpus (and to itself) WITHOUT ever comparing
-    two existing docs — the operation a continuously-crawled training
-    corpus runs daily, where re-deduping the whole corpus from scratch
-    (minhash_dedup_pairs over state+batch) would redo |corpus|-sized
-    work for a |batch|-sized change.
-
-    Dataflow: signatures/bands are computed for the BATCH ONLY; the
-    batch's band rows join the combined band index on (band, sig); every
-    candidate pair therefore has >= 1 new side by construction, and the
-    exact-Jaccard verify touches only candidates. Result is identical to
-    the full recompute filtered to pairs touching a new doc (the oracle
-    states exactly that), because bucket co-habitation is pairwise.
-
-    At 100 TB the state band table is a PERSISTED INDEX maintained
-    across ingests (computed once per doc, appended per batch — here it
-    is derived inline because the testdata has no such side table); per
-    ingest the join cost is |batch bands| x bucket hit rate, never
-    |corpus|^2 and never state x state. max_bucket_size drops candidates
-    from oversized buckets (both the batch's and the index's rows), the
-    same escape hatch as lsh_candidate_pairs."""
-
-    def _sets(docs: DataFrame) -> DataFrame:
-        return (
-            widen_for_compute(docs)
-            .select(
-                "doc_id",
-                word_shingles(normalize_text(F.col(text_col)), n).alias("shingles"),
-            )
-            .withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
-        )
-
-    state_sets = _sets(state_docs).persist()
-    new_sets = _sets(new_docs).persist()
+    """Core of incremental_minhash_pairs over PRECOMPUTED shingle-index
+    tables (doc_shingle_sets rows): batch band rows join the combined
+    band index, candidates verify with exact Jaccard. Use this form when
+    the state index is a persisted table (the streaming/continuous-ingest
+    path); incremental_minhash_pairs derives both sides inline."""
     state_bands = band_table(minhash_signatures_from_arrays(state_sets))
     new_bands = band_table(minhash_signatures_from_arrays(new_sets))
     index = state_bands.unionByName(new_bands)  # the maintained LSH index
@@ -396,6 +381,42 @@ def incremental_minhash_pairs(
         new_sets.select("doc_id", "shingles")
     )
     return jaccard_verify_arrays(cands, all_sets, threshold)
+
+
+def incremental_minhash_pairs(
+    state_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup pairs linking a NEW ingest
+    batch to the existing corpus (and to itself) WITHOUT ever comparing
+    two existing docs — the operation a continuously-crawled training
+    corpus runs daily, where re-deduping the whole corpus from scratch
+    (minhash_dedup_pairs over state+batch) would redo |corpus|-sized
+    work for a |batch|-sized change.
+
+    Dataflow: signatures/bands are computed for the BATCH ONLY; the
+    batch's band rows join the combined band index on (band, sig); every
+    candidate pair therefore has >= 1 new side by construction, and the
+    exact-Jaccard verify touches only candidates. Result is identical to
+    the full recompute filtered to pairs touching a new doc (the oracle
+    states exactly that), because bucket co-habitation is pairwise.
+
+    At 100 TB the state band table is a PERSISTED INDEX maintained
+    across ingests (computed once per doc, appended per batch —
+    streaming/dedup_stream.py does exactly that; here it is derived
+    inline because the testdata has no such side table); per ingest the
+    join cost is |batch bands| x bucket hit rate, never |corpus|^2 and
+    never state x state. max_bucket_size drops candidates from oversized
+    buckets, the same escape hatch as lsh_candidate_pairs."""
+    state_sets = doc_shingle_sets(state_docs, text_col, n).persist()
+    new_sets = doc_shingle_sets(new_docs, text_col, n).persist()
+    return incremental_minhash_pairs_from_sets(
+        state_sets, new_sets, threshold=threshold, max_bucket_size=max_bucket_size
+    )
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

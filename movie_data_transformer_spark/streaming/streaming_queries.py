@@ -1,9 +1,17 @@
 """Registry entries for event-time windowing (M4) — batch-replay forms,
-oracle-checked via epoch-bucket arithmetic in DuckDB."""
+oracle-checked via epoch-bucket arithmetic in DuckDB — plus the real
+Structured-Streaming continuous-ingest dedup (dedup_stream.py), whose
+accumulated pairs log is held to the batch-form oracle."""
 
 from __future__ import annotations
 
+import glob as globmod
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.tables import load_table
 from movie_data_transformer_spark.streaming.windows import (
@@ -84,9 +92,88 @@ FROM events
 """
 
 
+def _ingest_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf + source fingerprint) the ingest-batch docs —
+    the augmented corpus's planted +100000/+200000 near/exact dups — as
+    JSONL files under /tmp, distributed (to_json text write, no driver
+    collect), split across 4 files so availableNow slices them into
+    multiple micro-batches."""
+    from movie_data_transformer_spark.operators.dedup import augmented_corpus
+    from movie_data_transformer_spark.operators.jsonl_queries import source_fingerprint
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"mdt_ingest_{tag}_{source_fingerprint(sf_dir)}"
+    )
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        batch = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") >= 100000
+        )
+        stage = d + "_stage"
+        (
+            batch.repartition(4)
+            .select(F.to_json(F.struct(*batch.columns)).alias("value"))
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        os.makedirs(d, exist_ok=True)
+        for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*")))):
+            shutil.move(p, os.path.join(d, f"docs_{i}.json"))
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup end-to-end: seed the corpus shingle index
+    with the original documents, stream the planted-dup ingest files in
+    single-file micro-batches, link each batch against the growing index,
+    and return the accumulated pairs log. The oracle is the BATCH-form
+    incremental result (full minhash pair set filtered to pairs touching
+    an ingested doc) — pair-set equality holds regardless of micro-batch
+    slicing because each pair is emitted exactly once, by the micro-batch
+    of its later-ingested doc."""
+    from movie_data_transformer_spark.operators.dedup import augmented_corpus
+    from movie_data_transformer_spark.streaming.dedup_stream import (
+        run_streaming_incremental_dedup,
+    )
+
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    seed = corpus.filter(F.col("doc_id") < 100000)
+    src = _ingest_jsonl_dir(spark, sf_dir)
+    # unique per-invocation work dir, left on disk for the lazy read
+    # (same contract as movies_incremental_merge)
+    work = tempfile.mkdtemp(prefix="mdt_dedup_stream_")
+    pairs_dir = run_streaming_incremental_dedup(
+        spark,
+        src,
+        seed,
+        work,
+        max_files_per_trigger=1,
+        n=3,
+        threshold=0.3,
+        max_bucket_size=5000,
+    )
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
+
+
+def _stream_incremental_dedup_sql() -> str:
+    from movie_data_transformer_spark.operators.llm_queries import (
+        _incremental_minhash_sql,
+    )
+
+    return _incremental_minhash_sql()
+
+
 QUERIES = {
     "stream_tumbling_window": (q_stream_tumbling, SQL_STREAM_TUMBLING),
     "stream_sliding_window": (q_stream_sliding, SQL_STREAM_SLIDING),
     "stream_session_window": (q_stream_session, SQL_STREAM_SESSION),
     "stream_dedup_keys": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_incremental_dedup": (
+        q_stream_incremental_dedup,
+        _stream_incremental_dedup_sql(),
+    ),
 }

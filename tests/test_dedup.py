@@ -225,6 +225,40 @@ def test_incremental_minhash_links_batch_without_state_pairs(spark, sf_dir):
         assert got.get((i, i + 200000)) == 1.0, f"exact copy {i} not linked"
 
 
+def test_streaming_incremental_dedup_matches_batch_any_slicing(spark, sf_dir):
+    """The streaming pairs log equals the batch-form incremental result
+    as a SET for a different micro-batch slicing (2 files per trigger vs
+    the registry entry's 1): each pair is emitted exactly once, by the
+    micro-batch of its later-ingested doc, so slicing must not matter."""
+    import tempfile
+
+    from movie_data_transformer_spark.operators.dedup import incremental_minhash_pairs
+    from movie_data_transformer_spark.streaming.dedup_stream import (
+        run_streaming_incremental_dedup,
+    )
+    from movie_data_transformer_spark.streaming.streaming_queries import (
+        _ingest_jsonl_dir,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    seed = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_minhash_pairs(seed, batch, n=3, threshold=0.3).collect()
+    }
+    src = _ingest_jsonl_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mdt_dedup_stream_test_")
+    pairs_dir = run_streaming_incremental_dedup(
+        spark, src, seed, work, max_files_per_trigger=2, n=3, threshold=0.3
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == want
+
+
 def test_dedup_apply_filter_keeps_one_doc_per_cluster(spark, sf_dir):
     """End-to-end dedup emit: every exact-copy pair keeps exactly the
     original (min id); kept + dropped partitions the corpus; and no two
