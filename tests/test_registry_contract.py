@@ -68,6 +68,46 @@ def test_q6_pushes_filters_to_scan(spark, sf_dir):
     assert "l_discount" in plan.split("PushedFilters: [", 1)[1][:300]
 
 
+def test_plan_shapes_hold(spark, sf_dir):
+    """Plan-regression pins for the designs the engine's scale story
+    rests on. These are the properties a refactor could silently lose
+    while oracles stay green (correctness is plan-independent; cost is
+    not)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    def plan_of(name):
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    # join_multiway: every dimension side broadcasts; the fact table is
+    # the only shuffled input
+    p = plan_of("join_multiway")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    # brute-force ANN: the broadcast side is the QUERY set — the corpus
+    # must never hash-shuffle before scoring (only the (q x k) local
+    # top-k rows move through the ranking window)
+    p = plan_of("sim_brute_topk")
+    assert "BroadcastNestedLoopJoin" in p  # by design: that IS brute force
+    assert "CartesianProduct" not in p
+
+    # incremental dedup: equi-joins only — a lost join condition would
+    # silently turn candidate generation into a cross product
+    for name in ("dedup_incremental_minhash", "dedup_apply_filter"):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # simhash pair expansion: single-shuffle bucket-group form — the
+    # bucket aggregation plus the final distinct, and no self-join of the
+    # band table (which would add a third hash exchange chain)
+    p = plan_of("dedup_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") == 0
+
+
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
     duplicated or case-colliding names would corrupt the comparison."""
