@@ -612,13 +612,22 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expressed as a partition-window MIN over the already-filtered
     region slice — one shuffle on p_partkey instead of a re-scan, and
     every dim (supplier/nation/region/part) broadcasts against the
-    derived pair relation. Unit price is one IEEE double division on
-    identical inputs, so MIN and the equality filter agree across
-    engines; rounding happens only at output.
+    derived pair relation. Unit price is EXACT INTEGER micro-dollars
+    (price-cents x 10000 DIV quantity — both integral in the data), so
+    MIN, the equality filter, and the output value are bit-identical
+    across engines with no rounding call at all: round(double, 6)
+    diverged between Spark (exact-BigDecimal HALF_UP) and DuckDB
+    (FP-scaled) on a quotient that landed on an exact 1e-6 midpoint at
+    sf0.1 (266.9078125). The final cost is one IEEE division of the
+    same bigint by 1e6 on both sides.
     """
     li = _t(spark, sf_dir, "lineitem")
+    cost_micro = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000"
+        " div CAST(l_quantity AS BIGINT)"
+    )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        F.min(cost_micro).alias("cost_micro")
     )
     s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -633,35 +642,38 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        j.withColumn("min_cost", F.min("cost").over(w))
-        .filter(F.col("cost") == F.col("min_cost"))
+        j.withColumn("min_cost", F.min("cost_micro").over(w))
+        .filter(F.col("cost_micro") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("cost", 6).alias("cost"),
+            (F.col("cost_micro").cast("double") / F.lit(1000000.0)).alias("cost"),
         )
     )
 
 
 SQL_TPCH_Q2 = """
 WITH ps AS (
-    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+    SELECT l_partkey, l_suppkey,
+           min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * 10000 // CAST(l_quantity AS BIGINT)) AS cost_micro
     FROM lineitem GROUP BY 1, 2
 ),
 j AS (
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_micro
     FROM ps
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
     JOIN part     ON l_partkey = p_partkey AND p_type = 'LARGE' AND p_size < 15
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, round(cost, 6) AS cost
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost_micro AS DOUBLE) / 1000000 AS cost
 FROM j
-WHERE cost = (SELECT min(cost) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+WHERE cost_micro = (SELECT min(cost_micro) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
 """
 
 
