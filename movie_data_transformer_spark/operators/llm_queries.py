@@ -658,11 +658,17 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synthesize media table, extract features via
-    Arrow-batched mapInPandas (fake decoder; rows-only check — the
-    histogram UDF is exercised against golden values in pytest).
+    Arrow-batched mapInPandas (fake decoder). FULLY ORACLE-CHECKED since
+    r4: the fake feature is an integer-exact byte histogram (micro-unit
+    normalization, no float rounding — multimodal.extract_features), the
+    corpus is pure ASCII so DuckDB reproduces the byte values via
+    ascii(), and each element is formatted through DECIMAL(9,6) on both
+    sides (fixed-point string, never scientific notation). The float32
+    round-trip through the Arrow schema stays well under the 1e-6 grid
+    (eps ~6e-8 at 1.0), so the decimal cast recovers the exact value.
 
-    The feature vector surfaces as a round(6) string, not array<float>:
-    the driver's pandas canonicalization cannot hash list cells (see
+    The feature vector surfaces as a CSV string, not array<float>: the
+    driver's pandas canonicalization cannot hash list cells (see
     agg_approx_sketches in CORRECTNESS_r01)."""
     from movie_data_transformer_spark.operators.multimodal import (
         extract_features,
@@ -674,9 +680,42 @@ def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         *scalar_cols,
         F.concat_ws(
-            ",", F.transform(F.col("features"), lambda v: F.round(v, 6).cast("string"))
+            ",",
+            F.transform(
+                F.col("features"), lambda v: v.cast("decimal(9,6)").cast("string")
+            ),
         ).alias("features_csv"),
     )
+
+
+def _mm_media_features_sql() -> str:
+    cols = ",\n           ".join(
+        f"count(*) FILTER (WHERE bucket = {k}) AS c{k}" for k in range(8)
+    )
+    elems = ", ".join(
+        f"CAST(CAST(coalesce(c{k}, 0) * 1000000 // greatest(m.n_bytes, 1) AS DOUBLE)"
+        f" / 1000000 AS DECIMAL(9,6))"
+        for k in range(8)
+    )
+    return f"""
+WITH media AS (
+    SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           text
+    FROM documents
+),
+idx AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM media),
+chars AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 8 AS bucket FROM idx),
+counts AS (
+    SELECT doc_id,
+           {cols}
+    FROM chars GROUP BY doc_id
+)
+SELECT m.doc_id, m.media_type, m.n_bytes,
+       concat_ws(',', {elems}) AS features_csv
+FROM media m LEFT JOIN counts c USING (doc_id)
+"""
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,6 +835,6 @@ FLAGSHIP_QUERIES = {
     "sim_ivf_topk": (q_sim_ivf_topk, None),  # approximate -> rows-only
     "sim_pq_topk": (q_sim_pq_topk, None),  # approximate -> rows-only
     "sim_lsh_topk": (q_sim_lsh_topk, None),  # approximate -> rows-only
-    "mm_media_features": (q_mm_media_features, None),  # Pandas-UDF path -> rows-only
+    "mm_media_features": (q_mm_media_features, _mm_media_features_sql()),
     "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
 }

@@ -90,18 +90,24 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas. The fake feature is a deterministic byte histogram folded
     to FEATURE_DIM buckets — stands in for an image/audio embedding while
-    exercising identical batch shapes."""
+    exercising identical batch shapes.
+
+    Normalization is EXACT INTEGER micro-units ((count * 10^6) // total,
+    then one IEEE division by 10^6): no float rounding call anywhere, so
+    the values are bit-reproducible across engines and the registry entry
+    carries a full DuckDB oracle instead of a rows-only check (cf. the
+    round(double, n) midpoint pitfall in NOTES.md)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for content, fmt in zip(pdf["content"], pdf["format"]):
                 decoded = decode_media(content, fmt, fake=fake_decode)
-                buckets = [0.0] * FEATURE_DIM
+                buckets = [0] * FEATURE_DIM
                 for byte in decoded:
-                    buckets[byte % FEATURE_DIM] += 1.0
+                    buckets[byte % FEATURE_DIM] += 1
                 total = max(len(decoded), 1)
-                feats.append([round(b / total, 6) for b in buckets])
+                feats.append([(b * 1000000) // total / 1e6 for b in buckets])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -39,7 +39,6 @@ ROWS_ONLY_FLOORS = {
     "sim_ivf_topk": 50,  # exactly n_queries x k
     "sim_pq_topk": 50,
     "sim_lsh_topk": 25,  # observed 50; sparse buckets may under-fill
-    "mm_media_features": 250,  # observed 500 (one row per doc)
     "semdedup_pairs": 25,  # observed 50 (planted near-dups)
     "agg_approx_sketches": 3,  # one row per region bucket
 }
