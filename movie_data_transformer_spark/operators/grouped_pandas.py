@@ -25,25 +25,39 @@ TREND_SCHEMA = StructType(
 
 
 def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
-    # ts arrives as int64 nanos (load_events_raw_ns); regress value on days.
-    # Sort by event_id first: group rows arrive in arbitrary partition
-    # order, and FP summation order must be fixed for reproducible output.
-    pdf = pdf.sort_values("event_id")
-    t = (pdf["ts"].astype("int64") / 1e9 / 86400.0).to_numpy()
-    v = pdf["value"].to_numpy()
-    n = len(pdf)
-    if n < 2:
-        slope = 0.0
-    else:
-        tc, vc = t - t.mean(), v - v.mean()
-        denom = float((tc * tc).sum())
-        slope = float((tc * vc).sum() / denom) if denom > 0 else 0.0
+    """Per-group OLS slope from EXACT integer sums (x = epoch seconds,
+    y = value cents via the engines' shared double->DECIMAL(18,2) HALF_UP
+    cast), closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2): every sum is a
+    Python big int (== DuckDB HUGEINT, conversion to double is
+    round-nearest in both — probed), and the only FP work is ONE IEEE
+    division per output column. Bit-reproducible on any partitioning /
+    row order (integer addition commutes — no sort needed), which is what
+    upgrades the registry entry from rows-only to a full DuckDB oracle
+    while keeping the applyInPandas user-extension surface.
+
+    slope is value-units per DAY: numerator scaled by 86400/100 = 864
+    (exact int) before the single division."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    xs = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+    ys = [
+        int(Decimal(float(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+        for v in pdf["value"]
+    ]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = float(num * 864) / float(den) if n >= 2 and den != 0 else 0.0
+    mean = float(sy) / float(100 * n) if n else 0.0
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n": [n],
-            "slope_per_day": [round(slope, 6)],
-            "mean_value": [round(float(v.mean()), 6)] if n else [0.0],
+            "slope_per_day": [slope],
+            "mean_value": [mean],
         }
     )
 

@@ -784,12 +784,37 @@ def q_events_gmean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas per-group OLS (rows-only: FP regression isn't
-    SQL-bit-reproducible; numpy equivalence asserted in pytest)."""
+    """applyInPandas per-group OLS — FULLY ORACLE-CHECKED since r4: the
+    UDF computes the closed form from exact integer sums (Python big
+    ints == DuckDB HUGEINT; one IEEE division per output), so the
+    pandas user-extension surface is held to a DuckDB oracle instead of
+    a rows-only check. numpy equivalence additionally asserted in
+    pytest."""
     from movie_data_transformer_spark.operators.grouped_pandas import user_value_trend
     from movie_data_transformer_spark.sources.tables import load_events_raw_ns
 
     return user_value_trend(load_events_raw_ns(spark, sf_dir))
+
+
+SQL_GROUPED_OLS_TREND = """
+WITH pts AS (
+    SELECT user_id,
+           epoch_ns(ts) // 1000000000 AS x,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+    FROM events
+),
+s AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM pts GROUP BY 1
+)
+SELECT user_id, n,
+       CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST((n * sxy - sx * sy) * 864 AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_per_day,
+       CAST(sy AS DOUBLE) / CAST(100 * n AS DOUBLE) AS mean_value
+FROM s
+"""
 
 
 # Text-pack + exact-dedup entries (driver-green since r01/r02) plus the two
@@ -816,7 +841,7 @@ QUERIES = {
 # without dragging the whole already-driver-green text pack back in
 # (NOTES.md coverage ledger / round-3 VERDICT advice #1).
 GROUPED_EXTRA_QUERIES = {
-    "grouped_ols_trend": (q_grouped_ols_trend, None),  # applyInPandas -> rows-only
+    "grouped_ols_trend": (q_grouped_ols_trend, SQL_GROUPED_OLS_TREND),
     "events_gmean_udaf": (q_events_gmean_udaf, None),  # pandas UDAF -> rows-only
 }
 

@@ -30,9 +30,14 @@ def test_user_value_trend_matches_numpy(spark, sf_dir):
     got = {r.user_id: r for r in user_value_trend(raw).collect()}
     pdf = raw.select("user_id", "ts", "value").toPandas()
     for uid, g in pdf.groupby("user_id"):
-        t = (g["ts"].astype("int64") / 1e9 / 86400.0).to_numpy()
+        # numpy reference on FLOOR-SECOND x (the operator's exact-integer
+        # domain; sub-second jitter would otherwise shift the slope by
+        # ~1s over a month-long span)
+        t = ((g["ts"].astype("int64") // 1_000_000_000) / 86400.0).to_numpy()
         v = g["value"].to_numpy()
         tc, vc = t - t.mean(), v - v.mean()
         want = float((tc * vc).sum() / (tc * tc).sum())
-        assert abs(got[uid].slope_per_day - round(want, 6)) < 1e-6
+        tol = max(1e-6, 1e-6 * abs(want))
+        assert abs(got[uid].slope_per_day - want) < tol
         assert got[uid].n == len(g)
+        assert abs(got[uid].mean_value - round(float(v.mean()), 2)) < 0.005

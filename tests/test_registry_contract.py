@@ -33,7 +33,6 @@ def test_registry_consistent_without_session():
 ROWS_ONLY_FLOORS = {
     "pack_sequences": 350,  # observed 705
     "graph_pagerank": 5,  # exactly the movie-graph node count
-    "grouped_ols_trend": 8,  # observed 15 (one row per user)
     "events_gmean_udaf": 5,  # exactly the event-type count
     "movies_incremental_merge": 75,  # exactly the merged key count
     "sim_ivf_topk": 50,  # exactly n_queries x k
