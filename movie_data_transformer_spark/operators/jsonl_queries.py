@@ -33,6 +33,38 @@ def source_fingerprint(sf_dir: str) -> str:
     return f"{st.st_size}_{int(st.st_mtime)}"
 
 
+def publish_fixture_dir(build_fn, d: str) -> str:
+    """Build a cached fixture directory ATOMICALLY: build_fn(tmp) fills a
+    unique sibling dir, which is then rename()d into place. Concurrent
+    builders (the driver harness and pytest share /tmp fixtures) race
+    benignly — the first rename wins, losers discard their build — and a
+    reader can never observe a half-written fixture, because the cache
+    key (the `_DONE` marker inside `d`) only exists in fully-built dirs."""
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(d) + ".build", dir=os.path.dirname(d) or None
+    )
+    try:
+        build_fn(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            if os.path.exists(done):
+                shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+            else:
+                # stale partial dir from a crashed run: replace it
+                shutil.rmtree(d, ignore_errors=True)
+                os.rename(tmp, d)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return d
+
+
 def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per sf + source fingerprint) the nested movies as JSONL
     under /tmp, with the reference's failure modes planted: a .txt decoy
@@ -46,30 +78,28 @@ def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     one part file — exactly how a bad S3 object would appear."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(tempfile.gettempdir(), f"mdt_jsonl_{tag}_{source_fingerprint(sf_dir)}")
-    done = os.path.join(d, "_DONE")
-    if not os.path.exists(done):
+
+    def _build(out: str) -> None:
         nested = derive_movies(spark, sf_dir)
-        stage = d + "_stage"
+        stage = out + "_stage"
         (
             nested.repartition(4)
             .select(F.to_json(F.struct(*nested.columns)).alias("value"))
             .write.mode("overwrite")
             .text(stage)
         )
-        os.makedirs(d, exist_ok=True)
         # stable names like the reference's S3 objects; listing order is
         # the sorted part-file order, so batch composition is reproducible
         parts = sorted(globmod.glob(os.path.join(stage, "part-*")))
         for i, p in enumerate(parts):
-            shutil.move(p, os.path.join(d, f"movies_{i}.json"))
+            shutil.move(p, os.path.join(out, f"movies_{i}.json"))
         shutil.rmtree(stage, ignore_errors=True)
-        with open(os.path.join(d, "movies_0.json"), "a") as f:
+        with open(os.path.join(out, "movies_0.json"), "a") as f:
             f.write("THIS LINE IS NOT JSON {{{\n")  # op 15 target
-        with open(os.path.join(d, "README.txt"), "w") as f:
+        with open(os.path.join(out, "README.txt"), "w") as f:
             f.write(json.dumps({"movieId": "m_DECOY", "title": "X"}) + "\n")  # op 2 target
-        with open(done, "w") as f:
-            f.write("ok")
-    return d
+
+    return publish_fixture_dir(_build, d)
 
 
 def q_movies_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

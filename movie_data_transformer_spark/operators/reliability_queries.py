@@ -57,17 +57,20 @@ def _skip_dir(spark: SparkSession, sf_dir: str) -> str:
     import glob as globmod
     import shutil
 
-    from movie_data_transformer_spark.operators.jsonl_queries import source_fingerprint
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
+    )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
         tempfile.gettempdir(),
         f"mdt_jsonl_skip_{tag}_b{BAD_FILE}_n{N_FILES}_{source_fingerprint(sf_dir)}",
     )
-    done = os.path.join(d, "_DONE")
-    if not os.path.exists(done):
+
+    def _build(out: str) -> None:
         nested = derive_movies(spark, sf_dir)
-        stage = d + "_stage"
+        stage = out + "_stage"
         (
             nested.withColumn(
                 "bucket",
@@ -82,20 +85,18 @@ def _skip_dir(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .text(stage)
         )
-        os.makedirs(d, exist_ok=True)
         for i in range(N_FILES):
             # concatenate the bucket's part files (file-level move/append;
             # empty buckets still yield an empty movies_i.json)
-            with open(os.path.join(d, f"movies_{i}.json"), "w") as f:
+            with open(os.path.join(out, f"movies_{i}.json"), "w") as f:
                 for p in sorted(globmod.glob(os.path.join(stage, f"bucket={i}", "part-*"))):
                     with open(p) as part:
                         shutil.copyfileobj(part, f)
                 if i == BAD_FILE:
                     f.write("THIS FILE IS POISONED {{{\n")  # op 14 target
         shutil.rmtree(stage, ignore_errors=True)
-        with open(done, "w") as f:
-            f.write("ok")
-    return d
+
+    return publish_fixture_dir(_build, d)
 
 
 def q_movies_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:

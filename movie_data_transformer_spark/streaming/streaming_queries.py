@@ -99,31 +99,32 @@ def _ingest_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     collect), split across 4 files so availableNow slices them into
     multiple micro-batches."""
     from movie_data_transformer_spark.operators.dedup import augmented_corpus
-    from movie_data_transformer_spark.operators.jsonl_queries import source_fingerprint
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
+    )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
         tempfile.gettempdir(), f"mdt_ingest_{tag}_{source_fingerprint(sf_dir)}"
     )
-    done = os.path.join(d, "_DONE")
-    if not os.path.exists(done):
+
+    def _build(out: str) -> None:
         batch = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(
             F.col("doc_id") >= 100000
         )
-        stage = d + "_stage"
+        stage = out + "_stage"
         (
             batch.repartition(4)
             .select(F.to_json(F.struct(*batch.columns)).alias("value"))
             .write.mode("overwrite")
             .text(stage)
         )
-        os.makedirs(d, exist_ok=True)
         for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*")))):
-            shutil.move(p, os.path.join(d, f"docs_{i}.json"))
+            shutil.move(p, os.path.join(out, f"docs_{i}.json"))
         shutil.rmtree(stage, ignore_errors=True)
-        with open(done, "w") as f:
-            f.write("ok")
-    return d
+
+    return publish_fixture_dir(_build, d)
 
 
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
