@@ -44,6 +44,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.behavior_queries",
     "movie_data_transformer_spark.operators.search_queries",
     "movie_data_transformer_spark.operators.source_queries",
+    "movie_data_transformer_spark.operators.gate_queries",
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
