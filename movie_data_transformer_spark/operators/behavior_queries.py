@@ -36,8 +36,12 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts + probabilities over each
     user's event sequence. (user_id, ts) is unique in the testdata, so
     ordering by ts alone is total per user; event_id is added as a
-    belt-and-braces tiebreak. share = n / total is one double division
-    on two exact BIGINTs — cross-engine bit-stable."""
+    belt-and-braces tiebreak. share is EXACT integer micro-units
+    ((n * 10^6) div total, then one IEEE division by 10^6): round() on
+    the raw ratio is a cross-engine landmine — an exact integer ratio
+    like odd/128 = x.xx78125 lands exactly on a 1e-6 midpoint, where
+    Spark (exact-BigDecimal HALF_UP) and DuckDB (FP-scaled) round apart
+    (the tpch_q2 bug class, NOTES.md pitfalls)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     pairs = (
@@ -51,11 +55,16 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     wp = Window.partitionBy("prev_type")
-    return pairs.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("share"),
+    return (
+        pairs.withColumn("_total", F.sum("n").over(wp))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.expr("(n * 1000000) div _total").cast("double") / F.lit(1000000.0)).alias(
+                "share"
+            ),
+        )
     )
 
 
@@ -73,7 +82,8 @@ pairs AS (
     GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n,
-       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS share
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+           / 1000000 AS share
 FROM pairs
 """
 
