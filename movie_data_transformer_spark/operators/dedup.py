@@ -236,9 +236,23 @@ def lsh_candidate_pairs(signatures: DataFrame, max_bucket_size: int | None = Non
     )
 
 
+# Jaccard is emitted in EXACT integer micro-units throughout this module:
+# (n_inter * 10^6) div union, then one IEEE division by 10^6. round() on
+# the raw ratio is the cross-engine midpoint landmine — an exact integer
+# ratio like odd/128 lands exactly on a 1e-6 midpoint where Spark
+# (exact-BigDecimal HALF_UP) and DuckDB (FP-scaled) round apart (the
+# tpch_q2 bug class, NOTES.md pitfalls). Integer truncation is identical
+# in both engines, so the value AND the threshold-filter membership agree
+# everywhere.
+JACCARD_MICRO_EXPR = (
+    "CAST(n_inter * 1000000 div (n_a + n_b - n_inter) AS DOUBLE) / 1000000"
+)
+
+
 def jaccard_verify(candidates: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard on candidate pairs only: join both docs' shingle sets,
-    count intersections, divide by union size."""
+    count intersections, divide by union size (integer micro-units — see
+    JACCARD_MICRO_EXPR)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
@@ -255,11 +269,7 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame, threshold: float)
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.expr(JACCARD_MICRO_EXPR).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -281,16 +291,11 @@ def jaccard_verify_arrays(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect("_sa", "_sb")).cast("double")
-                / (
-                    F.size("_sa")
-                    + F.size("_sb")
-                    - F.size(F.array_intersect("_sa", "_sb"))
-                ),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_inter"),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
         )
+        .select("doc_a", "doc_b", F.expr(JACCARD_MICRO_EXPR).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -648,11 +653,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.expr(JACCARD_MICRO_EXPR).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

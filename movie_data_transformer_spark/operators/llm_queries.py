@@ -384,11 +384,13 @@ inter AS (
 ),
 pairs AS (
     SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+           CAST(n_inter * 1000000 // (na.n + nb.n - n_inter) AS DOUBLE)
+               / 1000000 AS jaccard
     FROM inter
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.3
+    WHERE CAST(n_inter * 1000000 // (na.n + nb.n - n_inter) AS DOUBLE)
+              / 1000000 >= 0.3
 )"""
 
 
@@ -577,11 +579,13 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+       CAST(n_inter * 1000000 // (na.n + nb.n - n_inter) AS DOUBLE)
+           / 1000000 AS jaccard
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
-WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5
+WHERE CAST(n_inter * 1000000 // (na.n + nb.n - n_inter) AS DOUBLE)
+          / 1000000 >= 0.5
 """
 
 

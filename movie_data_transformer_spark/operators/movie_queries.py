@@ -227,8 +227,11 @@ def q_movies_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "movie_a",
             "movie_b",
-            F.round(
-                F.col("n_co").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_co")), 6
+            # integer micro-units, not round(): an exact ratio like
+            # odd/128 is a 1e-6 midpoint where the engines round apart
+            # (tpch_q2 bug class, NOTES.md pitfalls)
+            F.expr(
+                "CAST(n_co * 1000000 div (n_a + n_b - n_co) AS DOUBLE) / 1000000"
             ).alias("viewer_jaccard"),
         )
     )
@@ -245,7 +248,8 @@ co AS (
     GROUP BY 1, 2
 )
 SELECT movie_a, movie_b,
-       round(CAST(n_co AS DOUBLE) / (na.n + nb.n - n_co), 6) AS viewer_jaccard
+       CAST(n_co * 1000000 // (na.n + nb.n - n_co) AS DOUBLE) / 1000000
+           AS viewer_jaccard
 FROM co
 JOIN sizes na ON na.movieId = movie_a
 JOIN sizes nb ON nb.movieId = movie_b
