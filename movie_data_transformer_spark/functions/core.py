@@ -42,13 +42,47 @@ def money_out(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(name) if name else out
 
 
+def micro_ratio(num: Column, den: Column) -> Column:
+    """floor(num / den * 10^6) / 10^6 in EXACT arithmetic — the
+    midpoint-proof replacement for round(num/den, 6) on integer inputs
+    (the tpch_q2 rounding-midpoint class, NOTES.md pitfalls: round() of a
+    double that is an exact integer ratio can land on a 1e-6 midpoint
+    where Spark HALF_UP and DuckDB FP-scaled rounding disagree).
+
+    Pure Column ops, usable inside a single select/agg: `a div b` via
+    F.expr needs named columns, and Spark's `div` operator silently WRAPS
+    when the quotient exceeds int64 (probed) — so the quotient is taken
+    in decimal with the remainder subtracted first, which makes the
+    decimal division land on an exact integral value. Exact whenever
+    num < 10^31 and the micro-quotient < 2^53 (ratio < ~9e9 — every
+    ratio/average this repo emits). Requires num, den >= 0 (floor ==
+    truncation). den = 0 -> NULL on both engines.
+
+    Oracle twin (DuckDB):  CAST(num * 1000000 // den AS DOUBLE) / 1000000
+    (use CAST(... AS HUGEINT) around the product when it can pass 1e18).
+    """
+    m = num.cast("decimal(31,0)") * F.lit(1_000_000).cast("decimal(7,0)")
+    d = F.nullif(den.cast("decimal(20,0)"), F.lit(0).cast("decimal(20,0)"))
+    q = (m - (m % d)) / d  # exact: numerator is an exact multiple of d
+    return q.cast("double") / F.lit(1_000_000.0)
+
+
 def deterministic_avg(col: Column | str, scale: int = 4, alias: str | None = None) -> Column:
-    """Average as exact-decimal-sum / count, rounded — one FP division on
-    exact inputs, so identical on every engine and partitioning."""
+    """Average as exact-decimal-sum / count in integer micro-units
+    (floor at 1e-6, ONE IEEE division at output) — order-independent AND
+    midpoint-proof: the old round(sum_double/count, 6) form was exact up
+    to the rounding call, but sum/count is a pure integer ratio after the
+    decimal cast, which can land exactly on a 1e-6 midpoint where Spark
+    and DuckDB round apart (tpch_q2 class, NOTES.md pitfalls)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), 6
-    )
+    s = F.sum(c.cast(f"decimal(18,{scale})"))
+    # value * 10^6 is integral (scale <= 6); keep the declared scale — the
+    # fraction digits are zero — and subtract the remainder so the decimal
+    # division is exact.
+    micro = s.cast(f"decimal(30,{scale})") * F.lit(1_000_000).cast("decimal(7,0)")
+    d = F.nullif(F.count(c).cast("decimal(20,0)"), F.lit(0).cast("decimal(20,0)"))
+    q = (micro - (micro % d)) / d
+    out = q.cast("double") / F.lit(1_000_000.0)
     return out.alias(alias) if alias else out
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
+from movie_data_transformer_spark.functions import micro_ratio
 from movie_data_transformer_spark.operators.movie_queries import q_movies_cooccurrence
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -203,8 +204,12 @@ def q_incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.unionByName(delta)
         .groupBy("user_id", "event_type")
         .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        # avg in exact 1e-6 units (total is DECIMAL scale 4, so *1e4 is
+        # integral; scale den by the same 1e4): round(double/count, 6) is
+        # the midpoint class (NOTES.md)
         .withColumn(
-            "avg_value", F.round(F.col("total").cast("double") / F.col("n"), 6)
+            "avg_value",
+            micro_ratio(F.col("total") * F.lit(10_000), F.col("n") * F.lit(10_000)),
         )
         .withColumn("total", F.col("total").cast("double"))
     )
@@ -214,7 +219,8 @@ SQL_INCREMENTAL_AGG_ROLLUP = """
 SELECT user_id, event_type,
        count(value) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
-       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 6) AS avg_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) * 1000000 AS HUGEINT)
+            // count(value) AS DOUBLE) / 1000000 AS avg_value
 FROM events
 GROUP BY 1, 2
 """

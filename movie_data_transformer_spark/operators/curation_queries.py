@@ -115,12 +115,13 @@ WITH toks AS (
 s AS (
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
-           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
-           round(CAST(len(list_filter(tl, w -> w IN
-                 ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
-                 / len(tl), 6) AS stopword_ratio,
-           round(CAST(list_aggregate(list_transform(tl, w -> length(w)), 'sum') AS DOUBLE)
-                 / len(tl), 6) AS mean_word_len
+           CAST(CAST(len(list_distinct(t)) AS BIGINT) * 1000000 // len(t) AS DOUBLE)
+               / 1000000 AS ttr,
+           CAST(CAST(len(list_filter(tl, w -> w IN
+                ('the','a','an','and','or','of','to','in','is'))) AS BIGINT)
+                * 1000000 // len(tl) AS DOUBLE) / 1000000 AS stopword_ratio,
+           CAST(CAST(list_aggregate(list_transform(tl, w -> length(w)), 'sum') AS BIGINT)
+                * 1000000 // len(tl) AS DOUBLE) / 1000000 AS mean_word_len
     FROM toks
 )
 SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_word_len
@@ -376,12 +377,14 @@ def q_quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(3).alias("stage"), F.lit("stopwords").alias("stage_name"),
                  F.col("n2").alias("n_in"), F.col("n3").alias("n_out")),
     )
+    from movie_data_transformer_spark.functions import micro_ratio
+
     return (
         agg.select(F.explode(stages).alias("s"))
         .select("s.stage", "s.stage_name", "s.n_in", "s.n_out")
         .withColumn(
             "drop_rate",
-            F.round((F.col("n_in") - F.col("n_out")) / F.col("n_in"), 6),
+            micro_ratio(F.col("n_in") - F.col("n_out"), F.col("n_in")),
         )
     )
 
@@ -395,10 +398,11 @@ WITH toks AS (
 s AS (
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
-           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
-           round(CAST(len(list_filter(tl, w -> w IN
-                 ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
-                 / len(tl), 6) AS stopword_ratio
+           CAST(CAST(len(list_distinct(t)) AS BIGINT) * 1000000 // len(t) AS DOUBLE)
+               / 1000000 AS ttr,
+           CAST(CAST(len(list_filter(tl, w -> w IN
+                ('the','a','an','and','or','of','to','in','is'))) AS BIGINT)
+                * 1000000 // len(tl) AS DOUBLE) / 1000000 AS stopword_ratio
     FROM toks
 ),
 agg AS (
@@ -411,7 +415,8 @@ agg AS (
 )
 SELECT stage, stage_name,
        CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
-       round(CAST(n_in - n_out AS DOUBLE) / n_in, 6) AS drop_rate
+       CAST(CAST(n_in - n_out AS BIGINT) * 1000000 // n_in AS DOUBLE) / 1000000
+           AS drop_rate
 FROM (
     SELECT 1 AS stage, 'min_length' AS stage_name, n0 AS n_in, n1 AS n_out FROM agg
     UNION ALL

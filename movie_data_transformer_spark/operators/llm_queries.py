@@ -68,9 +68,10 @@ SELECT doc_id,
        CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_raw,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
-       round(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS DOUBLE)
-             / len(t), 6) AS avg_token_len,
-       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr
+       CAST(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS BIGINT)
+            * 1000000 // len(t) AS DOUBLE) / 1000000 AS avg_token_len,
+       CAST(CAST(len(list_distinct(t)) AS BIGINT) * 1000000 // len(t) AS DOUBLE)
+           / 1000000 AS ttr
 FROM toks
 """
 
@@ -109,15 +110,15 @@ WITH toks AS (
     SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
 )
 SELECT doc_id,
-       round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
-             / length(text), 6) AS punct_ratio,
-       round(CAST(len(list_filter(t, w -> w IN
-             ('the','a','an','and','or','of','to','in','is'))) AS DOUBLE)
-             / len(t), 6) AS stopword_ratio,
-       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
-             / length(text), 6) AS alpha_ratio,
-       round(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS DOUBLE)
-             / len(t), 6) AS mean_word_len
+       CAST(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT)
+            * 1000000 // length(text) AS DOUBLE) / 1000000 AS punct_ratio,
+       CAST(CAST(len(list_filter(t, w -> w IN
+            ('the','a','an','and','or','of','to','in','is'))) AS BIGINT)
+            * 1000000 // len(t) AS DOUBLE) / 1000000 AS stopword_ratio,
+       CAST(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+            * 1000000 // length(text) AS DOUBLE) / 1000000 AS alpha_ratio,
+       CAST(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS BIGINT)
+            * 1000000 // len(t) AS DOUBLE) / 1000000 AS mean_word_len
 FROM toks
 """
 
@@ -210,7 +211,8 @@ ucn AS (SELECT doc_id, g, count(*) AS n FROM uc GROUP BY doc_id, g),
 us AS (
     SELECT doc_id,
            CASE WHEN sum(n * length(g)) > 0
-                THEN round(CAST(max(n * length(g)) AS DOUBLE) / sum(n * length(g)), 6)
+                THEN CAST(CAST(max(n * length(g)) AS BIGINT) * 1000000
+                          // sum(n * length(g)) AS DOUBLE) / 1000000
                 ELSE 0.0 END AS frac_chars_top_token
     FROM ucn GROUP BY doc_id
 ),
@@ -221,8 +223,9 @@ bc AS (
 ),
 bs AS (
     SELECT doc_id,
-           round(CAST(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) AS DOUBLE)
-                 / sum(n * length(g)), 6) AS frac_chars_dup_2grams
+           CAST(CAST(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) AS BIGINT)
+                * 1000000 // sum(n * length(g)) AS DOUBLE) / 1000000
+               AS frac_chars_dup_2grams
     FROM bc GROUP BY doc_id
 ),
 tidx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
@@ -232,8 +235,8 @@ tc AS (
 ),
 ts AS (
     SELECT doc_id,
-           round(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6)
-               AS frac_dup_3grams
+           CAST(CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) * 1000000
+                // sum(n) AS DOUBLE) / 1000000 AS frac_dup_3grams
     FROM tc GROUP BY doc_id
 )
 SELECT us.doc_id, us.frac_chars_top_token,

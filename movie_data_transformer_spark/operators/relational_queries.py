@@ -255,8 +255,8 @@ SELECT l_returnflag,
        count(*) AS n_rows,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / count(l_extendedprice), 6) AS avg_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS HUGEINT)
+            // count(l_extendedprice) AS DOUBLE) / 1000000 AS avg_price,
        count(DISTINCT l_suppkey) AS n_suppliers
 FROM lineitem GROUP BY l_returnflag
 """

@@ -57,12 +57,16 @@ def token_count_vectorized():
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting + quality-score features per document."""
+    """Token counting + quality-score features per document. Ratio
+    columns are exact integer micro-units (micro_ratio), never
+    round(int/int, 6) — the rounding-midpoint class (NOTES.md)."""
+    from movie_data_transformer_spark.functions import micro_ratio
+
     t = tokens(F.col(text_col))
     token_len_sum = F.aggregate(
         F.transform(t, lambda w: F.length(w).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_uniq_tokens"),
@@ -71,10 +75,17 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+"), F.lit(0)))
         .cast("long")
         .alias("n_tokens_re"),
-        F.round(token_len_sum.cast("double") / F.size(t), 6).alias("avg_token_len"),
-        F.round(
-            F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
-        ).alias("ttr"),  # type-token ratio: the classic repetition/quality signal
+        token_len_sum.alias("_len_sum"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        "n_chars_raw",
+        "n_tokens_re",
+        micro_ratio(F.col("_len_sum"), F.col("n_tokens")).alias("avg_token_len"),
+        # type-token ratio: the classic repetition/quality signal
+        micro_ratio(F.col("n_uniq_tokens"), F.col("n_tokens")).alias("ttr"),
     )
 
 
@@ -101,32 +112,39 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The classic corpus quality signals: punctuation ratio, stopword
     ratio, alpha ratio, mean word length — the filters an LLM data
-    pipeline cuts on."""
+    pipeline cuts on. All ratios in exact integer micro-units
+    (micro_ratio) so threshold membership downstream (corpus_quality_
+    filter, quality_gate_funnel) can never flip on a rounding midpoint."""
+    from movie_data_transformer_spark.functions import micro_ratio
+
     t = tokens(F.lower(F.col(text_col)))
     n_chars = F.length(text_col)
     stop = F.size(
         F.filter(t, lambda w: w.isin("the", "a", "an", "and", "or", "of", "to", "in", "is"))
     )
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        F.round(
-            F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
-            / n_chars,
-            6,
-        ).alias("punct_ratio"),
-        F.round(stop.cast("double") / F.size(t), 6).alias("stopword_ratio"),
-        F.round(
-            F.size(F.regexp_extract_all(text_col, F.lit("[a-zA-Z]"), F.lit(0))) / n_chars, 6
-        ).alias("alpha_ratio"),
-        F.round(
-            F.aggregate(
-                F.transform(t, lambda w: F.length(w).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            ).cast("double")
-            / F.size(t),
-            6,
-        ).alias("mean_word_len"),
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+        .cast("long")
+        .alias("_n_punct"),
+        n_chars.cast("long").alias("_n_chars"),
+        stop.cast("long").alias("_n_stop"),
+        F.size(t).cast("long").alias("_n_toks"),
+        F.size(F.regexp_extract_all(text_col, F.lit("[a-zA-Z]"), F.lit(0)))
+        .cast("long")
+        .alias("_n_alpha"),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("_len_sum"),
+    )
+    return base.select(
+        "doc_id",
+        micro_ratio(F.col("_n_punct"), F.col("_n_chars")).alias("punct_ratio"),
+        micro_ratio(F.col("_n_stop"), F.col("_n_toks")).alias("stopword_ratio"),
+        micro_ratio(F.col("_n_alpha"), F.col("_n_chars")).alias("alpha_ratio"),
+        micro_ratio(F.col("_len_sum"), F.col("_n_toks")).alias("mean_word_len"),
     )
 
 
@@ -275,28 +293,45 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
+    from movie_data_transformer_spark.functions import micro_ratio
+
     chars = F.col("n") * F.length("g")
-    uni_stats = gram_counts(F.col("t")).groupBy("doc_id").agg(
-        F.when(
-            F.sum(chars) > 0,
-            F.round(F.max(chars).cast("double") / F.sum(chars), 6),
+    # ratios in exact integer micro-units (micro_ratio), never
+    # round(int/int, 6) — the rounding-midpoint class (NOTES.md)
+    uni_stats = (
+        gram_counts(F.col("t"))
+        .groupBy("doc_id")
+        .agg(F.max(chars).alias("_mx"), F.sum(chars).alias("_sm"))
+        .select(
+            "doc_id",
+            F.when(F.col("_sm") > 0, micro_ratio(F.col("_mx"), F.col("_sm")))
+            .otherwise(F.lit(0.0))
+            .alias("frac_chars_top_token"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("frac_chars_top_token")
     )
-    bi_stats = gram_counts(big).groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("n") > 1, chars).otherwise(F.lit(0))).cast("double")
-            / F.sum(chars),
-            6,
-        ).alias("frac_chars_dup_2grams")
+    bi_stats = (
+        gram_counts(big)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") > 1, chars).otherwise(F.lit(0))).alias("_dup"),
+            F.sum(chars).alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            micro_ratio(F.col("_dup"), F.col("_sm")).alias("frac_chars_dup_2grams"),
+        )
     )
-    tri_stats = gram_counts(tri).groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).cast("double")
-            / F.sum("n"),
-            6,
-        ).alias("frac_dup_3grams")
+    tri_stats = (
+        gram_counts(tri)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias("_dup"),
+            F.sum("n").alias("_sm"),
+        )
+        .select(
+            "doc_id",
+            micro_ratio(F.col("_dup"), F.col("_sm")).alias("frac_dup_3grams"),
+        )
     )
     return (
         uni_stats.join(bi_stats, "doc_id", "left")

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.functions import decimal_sum, deterministic_avg, money_out
+from movie_data_transformer_spark.functions import (
+    decimal_sum,
+    deterministic_avg,
+    micro_ratio,
+    money_out,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -46,9 +51,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS HUGEINT)
+            // count(l_quantity) AS DOUBLE) / 1000000 AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS HUGEINT)
+            // count(l_extendedprice) AS DOUBLE) / 1000000 AS avg_price,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) * 1000000 AS HUGEINT)
+            // count(l_discount) AS DOUBLE) / 1000000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -212,30 +220,34 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    return j.agg(
-        money_out(decimal_sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0), 4), "promo_revenue"),
-        money_out(decimal_sum(rev, 4), "total_revenue"),
-        F.round(
-            F.sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0).cast("decimal(18,4)"))
-            .cast("double")
-            / F.sum(rev.cast("decimal(18,4)")).cast("double")
-            * 100,
-            6,
+    agg = j.agg(
+        decimal_sum(F.when(F.col("p_name").contains("red"), rev).otherwise(0), 4).alias("_promo"),
+        decimal_sum(rev, 4).alias("_total"),
+    )
+    # pct in exact integer units: floor(promo/total * 100 * 1e6) via
+    # micro_ratio(promo*1e6, total*1e4) — both sums are DECIMAL(38,4) so
+    # the scaled values are integral; no round(double) call (NOTES.md)
+    return agg.select(
+        money_out("_promo", "promo_revenue"),
+        money_out("_total", "total_revenue"),
+        micro_ratio(
+            F.col("_promo") * F.lit(1_000_000), F.col("_total") * F.lit(10_000)
         ).alias("promo_pct"),
     )
 
 
 SQL_TPCH_Q14 = """
-SELECT CAST(sum(CAST(CASE WHEN contains(p_name, 'red')
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                 AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
-       round(CAST(sum(CAST(CASE WHEN contains(p_name, 'red')
-                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                           AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-             * 100, 6) AS promo_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
+SELECT CAST(pr AS DOUBLE) AS promo_revenue,
+       CAST(tr AS DOUBLE) AS total_revenue,
+       CAST(CAST(pr * 1000000 AS HUGEINT) * 1000000
+            // CAST(tr * 10000 AS HUGEINT) AS DOUBLE) / 1000000 AS promo_pct
+FROM (
+    SELECT sum(CAST(CASE WHEN contains(p_name, 'red')
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+               AS DECIMAL(18,4))) AS pr,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
 """
 
 
@@ -332,10 +344,11 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
     """Q22: customers with above-average balance and no orders (scalar
     subquery + anti join), grouped by nation."""
     c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    # threshold via deterministic_avg (exact micro-unit floor): the old
+    # round(sum/count, 6) could land on a 1e-6 midpoint and flip the
+    # c_acctbal > a membership across engines (NOTES.md midpoint class)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("c_acctbal"), 6
-        ).alias("a")
+        deterministic_avg("c_acctbal", 2, "a")
     )
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
     big = o.filter(F.col("o_totalprice") > 200000)
@@ -348,8 +361,8 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
 
 SQL_TPCH_Q22 = """
 WITH avg_bal AS (
-    SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(c_acctbal), 6) AS a
+    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 1000000 AS HUGEINT)
+                // count(c_acctbal) AS DOUBLE) / 1000000 AS a
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
@@ -387,13 +400,16 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nation_rev"),
         F.sum(rev.cast("decimal(18,4)")).alias("total_rev"),
     )
+    # share in exact integer 1e-4 units (both sums are DECIMAL(38,4), so
+    # *10^4 is integral) -> micro_ratio, never round(double/double, 6)
+    # (midpoint class, NOTES.md)
     return yearly.select(
         "o_year",
         money_out("nation_rev"),
         money_out("total_rev"),
-        F.round(F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"), 6).alias(
-            "mkt_share"
-        ),
+        micro_ratio(
+            F.col("nation_rev") * F.lit(10000), F.col("total_rev") * F.lit(10000)
+        ).alias("mkt_share"),
     )
 
 
@@ -411,13 +427,17 @@ WITH base AS (
     JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
 )
 SELECT o_year,
-       CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
-                     AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
-       CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
-       round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
-                           AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
-FROM base GROUP BY o_year
+       CAST(nr AS DOUBLE) AS nation_rev,
+       CAST(tr AS DOUBLE) AS total_rev,
+       CAST(CAST(nr * 10000 AS HUGEINT) * 1000000
+            // CAST(tr * 10000 AS HUGEINT) AS DOUBLE) / 1000000 AS mkt_share
+FROM (
+    SELECT o_year,
+           sum(CAST(CASE WHEN supp_nation = 'NATION_0' THEN rev ELSE 0 END
+                    AS DECIMAL(18,4))) AS nr,
+           sum(CAST(rev AS DECIMAL(18,4))) AS tr
+    FROM base GROUP BY o_year
+)
 """
 
 
