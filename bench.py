@@ -59,14 +59,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
+    # median of 3 warm timed runs per query (r4 VERDICT advice #4 — the
+    # recorded BENCH_r04 was ~30% machine-load-inflated; medians shed
+    # one-off host-noise spikes cheaply since the runs are warm), with
+    # 1-minute loadavg recorded before/after so an inflated recording is
+    # self-diagnosing.
+    load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
-        t0 = time.time()
-        df2 = qs[name](spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df2 = qs[name](spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     print(
         json.dumps(
@@ -76,6 +85,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_1m": {
+                    "before": round(load_before, 2),
+                    "after": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )

@@ -56,7 +56,10 @@ def micro_ratio(num: Column, den: Column) -> Column:
     decimal division land on an exact integral value. Exact whenever
     num < 10^31 and the micro-quotient < 2^53 (ratio < ~9e9 — every
     ratio/average this repo emits). Requires num, den >= 0 (floor ==
-    truncation). den = 0 -> NULL on both engines.
+    truncation). For SIGNED numerators the remainder-subtract form (like
+    Spark % and DuckDB //) truncates TOWARD ZERO, not floor — consistent
+    across both engines but not the documented floor; no current call
+    site passes signed data. den = 0 -> NULL on both engines.
 
     Oracle twin (DuckDB):  CAST(num * 1000000 // den AS DOUBLE) / 1000000
     (use CAST(... AS HUGEINT) around the product when it can pass 1e18).

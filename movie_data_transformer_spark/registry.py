@@ -24,14 +24,23 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-4 window (exactly 50), all never-driver-checked before this round
-# (NOTES.md ledger / round-3 VERDICT advice #1): temporal 3 + function_packs
-# 12 + profile 2 + curation 13 + lm 6 + analytics 5 + timeseries 5 +
-# grouped extras 2 + sim_ann_recall 1 + behavior head 1 = 50. The r03
-# window (movie/merge/jsonl/reliability/tpch/flagship) and the r01/r02-era
-# modules rotate behind it; r05 takes the behavior tail + search + source
-# + re-greens.
+# Round-5 window (exactly 50), per the NOTES.md ledger / round-4 VERDICT
+# advice #1: behavior 5 (1 re-green + 4 never) + search 3 (never) + source 1
+# (never) + gate_queries 5 (never) + flagship 17 (15 r03-green + 2 never:
+# dedup_incremental_minhash/dedup_apply_filter) + streaming 5 (4 r02 +
+# stream_incremental_dedup never) + llm 12 (r02 re-green) = 48, plus the
+# relational head 2 (join_multiway, fuzzy_name_match re-green) = 50. After
+# r05 NOTHING is never-driver-checked; r06 takes the relational tail (23) +
+# movie/merge/jsonl/reliability/tpch re-greens.
 _MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.behavior_queries",
+    "movie_data_transformer_spark.operators.search_queries",
+    "movie_data_transformer_spark.operators.source_queries",
+    "movie_data_transformer_spark.operators.gate_queries",
+    "movie_data_transformer_spark.operators.flagship_queries",
+    "movie_data_transformer_spark.streaming.streaming_queries",
+    "movie_data_transformer_spark.operators.llm_queries",
+    "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.operators.temporal_queries",
     "movie_data_transformer_spark.operators.function_packs",
     "movie_data_transformer_spark.operators.profile_queries",
@@ -41,19 +50,11 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.timeseries_queries",
     "movie_data_transformer_spark.operators.grouped_extras_queries",
     "movie_data_transformer_spark.operators.recall_queries",
-    "movie_data_transformer_spark.operators.behavior_queries",
-    "movie_data_transformer_spark.operators.search_queries",
-    "movie_data_transformer_spark.operators.source_queries",
-    "movie_data_transformer_spark.operators.gate_queries",
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
     "movie_data_transformer_spark.operators.reliability_queries",
     "movie_data_transformer_spark.operators.tpch_queries",
-    "movie_data_transformer_spark.operators.flagship_queries",
-    "movie_data_transformer_spark.operators.llm_queries",
-    "movie_data_transformer_spark.operators.relational_queries",
-    "movie_data_transformer_spark.streaming.streaming_queries",
 ]
 
 

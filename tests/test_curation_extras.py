@@ -46,7 +46,9 @@ def test_quality_funnel_chains(spark, sf_dir):
     assert rows[0].n_in == n_docs
     for r in rows:
         assert 0 <= r.n_out <= r.n_in
-        assert abs(r.drop_rate - round((r.n_in - r.n_out) / r.n_in, 6)) < 1e-12
+        # drop_rate is FLOOR-based (micro_ratio), not round(): assert the
+        # floor form so a fixture ratio like 2/3 can't break it spuriously
+        assert abs(r.drop_rate - ((r.n_in - r.n_out) * 1_000_000 // r.n_in) / 1_000_000) < 1e-12
     # sequential gate: each stage's input is the previous stage's output
     assert rows[1].n_in == rows[0].n_out
     assert rows[2].n_in == rows[1].n_out

