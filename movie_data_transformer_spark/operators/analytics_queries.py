@@ -83,7 +83,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank by power iteration on a directed edge list.
     Returns (node, pr). Dangling nodes (no out-edges) redistribute their
@@ -101,65 +101,88 @@ def pagerank(
     table (same trick as the TPC-H q11/q15 scalar thresholds). FP drift
     vs the explicit dangling sum is ~1e-15/iteration, far under the 1e-6
     NumPy pin in tests. Lineage is truncated by localCheckpoint every
-    `checkpoint_every` iterations (not every one): the uncheckpointed
-    plan grows ~2^checkpoint_every (tiny for <=3), and the job count
-    drops from 2/superstep to 1/checkpoint. On a real cluster swap
-    localCheckpoint for a reliable checkpoint dir."""
+    `checkpoint_every` iterations (not every one): the plan grows
+    LINEARLY in supersteps (each adds one join + one agg + one window),
+    so a 5-superstep chain optimizes fine in one job and the job count
+    drops from 2/superstep to 1/checkpoint — each checkpoint job is
+    scheduling overhead on a small graph, so fewer, deeper jobs win
+    until plan-optimization time catches up (~10 supersteps). On a real
+    cluster swap localCheckpoint for a reliable checkpoint dir."""
     # materialize the input edge list ONCE: nodes / out-weights /
     # normalized edges all derive from it, and without this the upstream
     # lineage (e.g. the co-watch pair generation) would replay in each of
     # their checkpoint jobs
     edges = edges.select(src, dst, weight).localCheckpoint()
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()  # reused every superstep (rank-table skeleton)
-    )
-    n = nodes.count()
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
-    norm_edges = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("e_src"),
-            F.col(dst).alias("e_dst"),
-            (F.col(weight) / F.col("outw")).alias("p"),
+    n_edges = edges.count()
+    # Size EVERY shuffle of this fixpoint computation by the data, not
+    # the session default: the node skeleton, the normalized-edge
+    # layout, and the per-superstep rank reshuffle (groupBy + window)
+    # all hold graph-sized tables, and an over-provisioned reduce spec
+    # costs task scheduling AQE cannot give back (AQE coalesces the
+    # reads, but the 5-node test graph still paid ~2x wall time in
+    # 32-wide bookkeeping across 10 supersteps — measured 3.6s -> 2.1s
+    # at one partition). ~100k edges per partition, capped at session
+    # parallelism, keeps the layout wide at cluster scale. The session
+    # value is restored in finally; the result is materialized by a
+    # final localCheckpoint INSIDE the scope so the returned DataFrame
+    # is a plain scan and never replans under the restored width.
+    parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, n_edges // 100_000 + 1))
+    sess = edges.sparkSession
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint()  # reused every superstep (rank-table skeleton)
         )
-        # hash-partition ON THE JOIN KEY before materializing: every
-        # superstep joins ranks (already hash-partitioned by node from
-        # its groupBy) against this table on e_src, so pre-partitioning
-        # removes one edge-table exchange from every superstep — the
-        # classic "partition once, iterate many" layout for iterative
-        # graph dataflow
-        .repartition(F.col("e_src"))
-        .localCheckpoint()
-    )
-    from pyspark.sql import Window
-
-    zero_rows = nodes.select("node", F.lit(0.0).alias("c"))
-    w_all = Window.partitionBy()  # whole (aggregated) table — tiny
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for i in range(n_iter):
-        spread = ranks.join(norm_edges, ranks.node == norm_edges.e_src).select(
-            F.col("e_dst").alias("node"), (F.col("pr") * F.col("p")).alias("c")
+        n = nodes.count()
+        outw = edges.groupBy(src).agg(F.sum(weight).alias("outw"))
+        norm_edges = (
+            edges.join(outw, src)
+            .select(
+                F.col(src).alias("e_src"),
+                F.col(dst).alias("e_dst"),
+                (F.col(weight) / F.col("outw")).alias("p"),
+            )
+            # hash-partition ON THE JOIN KEY before materializing: every
+            # superstep joins ranks (already hash-partitioned by node from
+            # its groupBy) against this table on e_src, so pre-partitioning
+            # removes one edge-table exchange from every superstep — the
+            # classic "partition once, iterate many" layout for iterative
+            # graph dataflow
+            .repartition(n_parts, F.col("e_src"))
+            .localCheckpoint()
         )
-        contribs = (
-            spread.unionByName(zero_rows).groupBy("node").agg(F.sum("c").alias("contrib"))
+        zero_rows = nodes.select("node", F.lit(0.0).alias("c"))
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+        # CAST('<repr>' AS DOUBLE) round-trips the exact binary64 constant
+        # through the SQL parser (a bare decimal literal would parse as
+        # DECIMAL and re-round); one selectExpr per superstep keeps the
+        # driver-side plan-construction cost flat (the Column form spent
+        # more wall time BUILDING the 10-superstep plan over py4j than
+        # executing it on the 5-node test graph).
+        teleport = f"CAST('{(1 - damping) / n!r}' AS DOUBLE)"
+        damp = f"CAST('{damping!r}' AS DOUBLE)"
+        rank_expr = (
+            f"{teleport} + {damp} * (contrib + "
+            f"(1.0 - sum(contrib) OVER ()) / CAST('{float(n)!r}' AS DOUBLE)) AS pr"
         )
-        ranks = contribs.select(
-            "node",
-            (
-                F.lit((1 - damping) / n)
-                + F.lit(damping)
-                * (
-                    F.col("contrib")
-                    + (F.lit(1.0) - F.sum("contrib").over(w_all)) / F.lit(float(n))
-                )
-            ).alias("pr"),
-        )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            ranks = ranks.localCheckpoint()
-    return ranks
+        for i in range(n_iter):
+            spread = ranks.join(norm_edges, ranks.node == norm_edges.e_src).selectExpr(
+                "e_dst AS node", "pr * p AS c"
+            )
+            contribs = (
+                spread.unionByName(zero_rows).groupBy("node").agg(F.sum("c").alias("contrib"))
+            )
+            ranks = contribs.selectExpr("node", rank_expr)
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+                ranks = ranks.localCheckpoint()
+        return ranks.localCheckpoint()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,14 @@ MINHASH_P = 2147483647
 MINHASH_COEFFS = [(2 * i + 1, 7919 * (i + 1)) for i in range(32)]
 N_BANDS, ROWS_PER_BAND = 16, 2
 
+#: SQL twin of transform(shingles, portable_hash) — a single F.expr is
+#: far cheaper to CONSTRUCT than the Python-lambda transform (py4j
+#: roundtrips per lambda), and this runs on every query build.
+HVALS_EXPR = (
+    "transform(shingles, s -> "
+    "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+)
+
 
 def normalize_text(col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
@@ -163,18 +171,18 @@ def minhash_signatures_from_arrays(shingle_sets: DataFrame) -> DataFrame:
 
     REQUIRES a materialized `hvals` column (see minhash_dedup_pairs):
     referencing an md5 expression from 32 sibling projections would
-    re-evaluate it 32x after projection collapse."""
+    re-evaluate it 32x after projection collapse.
 
-    def _affine(a: int, b: int):
-        # closure, NOT lambda defaults (PySpark reads lambda arity from
-        # the signature — NOTES.md fact #5)
-        return lambda h: (h * a + b) % MINHASH_P
-
-    cols = [
-        F.array_min(F.transform(F.col("hvals"), _affine(a, b))).alias(f"mh{i}")
+    Built as ONE selectExpr: the 32-lambda Column form cost ~0.4s of
+    py4j expression construction PER QUERY BUILD on the driver — about
+    a quarter of dedup_minhash_lsh's warm wall time at sf0.1 (the r4
+    bench regression was driver-side plan construction, not the
+    executed plan, which is byte-identical)."""
+    exprs = [
+        f"array_min(transform(hvals, h -> (h * {a} + {b}) % {MINHASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return shingle_sets.select("doc_id", *cols)
+    return shingle_sets.selectExpr("doc_id", *exprs)
 
 
 def band_table(signatures: DataFrame) -> DataFrame:
@@ -182,22 +190,17 @@ def band_table(signatures: DataFrame) -> DataFrame:
     signature table: 16 bands of 2 rows each (LSH threshold
     (1/b)^(1/r) ~= 0.25, recall ~0.94 at jaccard 0.4). Row-local
     expression work only — this IS the LSH index layout a corpus
-    maintains across ingests (see incremental_minhash_pairs)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("sig"),
-            )
-            for bi in range(N_BANDS)
-        ]
+    maintains across ingests (see incremental_minhash_pairs). inline()
+    in one selectExpr: explodes AND flattens the struct fields in a
+    single cheap-to-construct expression."""
+    structs = ", ".join(
+        "named_struct('band', {bi}, 'sig', concat_ws(':', {cols}))".format(
+            bi=bi,
+            cols=", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for bi in range(N_BANDS)
     )
-    return signatures.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
-    )
+    return signatures.selectExpr("doc_id", f"inline(array({structs}))")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
@@ -219,19 +222,13 @@ def lsh_candidate_pairs(signatures: DataFrame, max_bucket_size: int | None = Non
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("docs") <= max_bucket_size)
-    sorted_buckets = buckets.select(F.array_sort("docs").alias("docs"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        sorted_buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        buckets.selectExpr("array_sort(docs) AS docs")
+        .selectExpr(
+            "inline(flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), y -> "
+            "named_struct('doc_a', x, 'doc_b', y)))))"
+        )
         .distinct()
     )
 
@@ -322,7 +319,7 @@ def minhash_dedup_pairs(
         )
         # hash once per shingle, MATERIALIZED by the persist — the 32
         # signature projections then read cached values
-        .withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
+        .withColumn("hvals", F.expr(HVALS_EXPR))
         .persist()
     )
     cands = lsh_candidate_pairs(
@@ -343,7 +340,7 @@ def doc_shingle_sets(docs: DataFrame, text_col: str = "text", n: int = 3) -> Dat
             "doc_id",
             word_shingles(normalize_text(F.col(text_col)), n).alias("shingles"),
         )
-        .withColumn("hvals", F.transform("shingles", lambda s: portable_hash(s)))
+        .withColumn("hvals", F.expr(HVALS_EXPR))
     )
 
 
@@ -552,45 +549,34 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in every addition order (no ANSI overflow) and produces identical
     two's-complement bit patterns in Spark and DuckDB."""
     t = F.array_distinct(tokens(normalize_text(F.col(text_col))))
-    hashes = F.transform(
-        t,
-        lambda w: F.struct(
-            portable_hash(w).alias("lo"),
-            portable_hash(F.concat(F.lit("hi:"), w)).alias("hi"),
-        ),
+    # One selectExpr for the whole vote-fold (same py4j-construction
+    # economics as minhash_signatures_from_arrays — the nested-lambda
+    # Column form cost ~0.5s of driver-side plan building per query).
+    powers = "array(" + ", ".join(f"{1 << b}L" for b in range(32)) + ")"
+    hi_raw = (
+        "aggregate(zip_with(slice(acc, 33, 32), " + powers + ", "
+        "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0L END), 0L, (a, x) -> a + x)"
     )
-    powers32 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
-    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-
-    def merge(acc, h):
-        votes = F.concat(
-            F.transform(
-                powers32,
-                lambda p: F.when(h["lo"].bitwiseAND(p) != 0, 1).otherwise(-1).cast("long"),
-            ),
-            F.transform(
-                powers32,
-                lambda p: F.when(h["hi"].bitwiseAND(p) != 0, 1).otherwise(-1).cast("long"),
-            ),
-        )
-        return F.zip_with(acc, votes, lambda a, v: a + v)
-
-    def _sum_bits(votes_slice):
-        bit_values = F.zip_with(
-            votes_slice, powers32, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
-        )
-        return F.aggregate(bit_values, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    def finish(acc):
-        lo = _sum_bits(F.slice(acc, 1, 32))
-        hi_raw = _sum_bits(F.slice(acc, 33, 32))
-        hi_signed = hi_raw - F.when(
-            hi_raw >= F.lit(1 << 31).cast("long"), F.lit(1 << 32).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        return hi_signed * F.lit(1 << 32).cast("long") + lo
-
-    fp = F.aggregate(hashes, zero, merge, finish)
-    return widen_for_compute(docs).select("doc_id", fp.cast("long").alias("simhash"))
+    lo = (
+        "aggregate(zip_with(slice(acc, 1, 32), " + powers + ", "
+        "(v, p) -> CASE WHEN v > 0 THEN p ELSE 0L END), 0L, (a, x) -> a + x)"
+    )
+    fp_sql = f"""CAST(aggregate(
+        transform(_toks, w -> named_struct(
+            'lo', CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT),
+            'hi', CAST(conv(substring(md5(concat('hi:', w)), 1, 8), 16, 10) AS BIGINT))),
+        array_repeat(0L, {SIMHASH_BITS}),
+        (acc, h) -> zip_with(acc,
+            concat(
+                transform({powers}, p -> CAST(CASE WHEN (h.lo & p) != 0 THEN 1 ELSE -1 END AS BIGINT)),
+                transform({powers}, p -> CAST(CASE WHEN (h.hi & p) != 0 THEN 1 ELSE -1 END AS BIGINT))),
+            (a, v) -> a + v),
+        acc -> ({hi_raw} - CASE WHEN {hi_raw} >= {1 << 31}L THEN {1 << 32}L ELSE 0L END)
+               * {1 << 32}L + {lo}
+    ) AS BIGINT) AS simhash"""
+    return widen_for_compute(docs).select("doc_id", t.alias("_toks")).selectExpr(
+        "doc_id", fp_sql
+    )
 
 
 def simhash_near_pairs(
@@ -610,19 +596,14 @@ def simhash_near_pairs(
     # low 16 bits of the shifted value, so bands extracted from the SIGNED
     # fingerprint are well-defined — and DuckDB's >> on negative BIGINT is
     # arithmetic too (probed), so the oracle mirrors this exactly.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * bi)
-                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-                .alias("nib"),
-            )
-            for bi in range(SIMHASH_BANDS)
-        ]
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_structs = ", ".join(
+        f"named_struct('band', {bi}, "
+        f"'nib', shiftright(simhash, {SIMHASH_BAND_BITS * bi}) & {mask})"
+        for bi in range(SIMHASH_BANDS)
     )
-    exploded = fps.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.nib").alias("nib")
+    exploded = fps.selectExpr(
+        "doc_id", "simhash", f"inline(array({band_structs}))"
     )
     # Same single-shuffle bucket-group shape as lsh_candidate_pairs; the
     # hamming verify runs ROW-LOCAL inside the pair expansion, so the
@@ -635,25 +616,14 @@ def simhash_near_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket_size)
-    sorted_buckets = buckets.select(F.array_sort("ds").alias("ds"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
     return (
-        sorted_buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        buckets.selectExpr("array_sort(ds) AS ds")
+        .selectExpr(
+            "inline(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, "
+            "'hamming', CAST(bit_count(x.simhash ^ y.simhash) AS INT))))))"
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
