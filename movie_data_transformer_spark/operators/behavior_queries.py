@@ -192,14 +192,24 @@ def q_source_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shannon entropy: log() is not correctly rounded in either runtime)."""
     docs = load_table(spark, sf_dir, "documents")
     per_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
-    return per_lang.groupBy("source").agg(
-        F.count("*").alias("n_langs"),
-        F.sum("cnt").alias("n_docs"),
-        F.round(
-            F.lit(1.0)
-            - F.sum(F.col("cnt") * F.col("cnt")) / (F.sum("cnt") * F.sum("cnt")),
-            6,
-        ).alias("gini_impurity"),
+    # integer micro-units: 1 - sumsq/total^2 == (total^2 - sumsq)/total^2
+    # is a pure integer ratio, so round(double, 6) is the cross-engine
+    # midpoint landmine (NOTES.md pitfalls); floor in exact bigint math
+    # instead. Bounded: total^2 * 1e6 needs total <= 3e6 docs per source.
+    return (
+        per_lang.groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.sum("cnt").alias("n_docs"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("_sumsq"),
+        )
+        .selectExpr(
+            "source",
+            "n_langs",
+            "n_docs",
+            "CAST((n_docs * n_docs - _sumsq) * 1000000 div (n_docs * n_docs)"
+            " AS DOUBLE) / 1000000 AS gini_impurity",
+        )
     )
 
 
@@ -211,7 +221,8 @@ WITH per_lang AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_langs,
        CAST(sum(cnt) AS BIGINT) AS n_docs,
-       round(1.0 - sum(cnt * cnt) / (sum(cnt) * sum(cnt)), 6) AS gini_impurity
+       CAST((sum(cnt) * sum(cnt) - sum(cnt * cnt)) * 1000000
+            // (sum(cnt) * sum(cnt)) AS DOUBLE) / 1000000 AS gini_impurity
 FROM per_lang
 GROUP BY 1
 """
@@ -241,7 +252,10 @@ def q_orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gaps.groupBy("order_year").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.sum("gap_days") / F.count("*"), 6).alias("avg_gap_days"),
+        # integer-ratio average -> floor micro-units (midpoint-proof)
+        F.expr(
+            "CAST(sum(gap_days) * 1000000 div count(*) AS DOUBLE) / 1000000"
+        ).alias("avg_gap_days"),
         F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("p50_gap"),
         F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("p90_gap"),
     )
@@ -260,7 +274,7 @@ WITH gaps AS (
 )
 SELECT order_year,
        CAST(count(*) AS BIGINT) AS n_gaps,
-       round(sum(gap_days) / count(*), 6) AS avg_gap_days,
+       CAST(sum(gap_days) * 1000000 // count(*) AS DOUBLE) / 1000000 AS avg_gap_days,
        round(quantile_cont(gap_days, 0.5), 6) AS p50_gap,
        round(quantile_cont(gap_days, 0.9), 6) AS p90_gap
 FROM gaps

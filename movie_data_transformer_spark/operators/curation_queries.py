@@ -197,63 +197,72 @@ def q_sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution. Keep rate r_l = min(1, target_share/actual_share) =
     min(1, (sqrt(n_l) * N) / (sum(sqrt) * n_l)); membership is the
     deterministic portable hash, so the sample is bit-reproducible.
-    All FP steps (sqrt -> round -> one multiply each side -> one divide)
-    are order-fixed IEEE ops on exact inputs -> fully oracle-checked.
+    The ONLY FP step is floor(sqrt(n) * 1e6) — floor of an identical
+    IEEE double is bit-identical across engines (unlike round(), whose
+    midpoint handling diverges — NOTES.md pitfalls); everything after
+    runs in exact integer micro-units, so the keep-rate, the hash cut,
+    and the sampled counts are midpoint-proof by construction.
     Output: per-language audit (n_docs, n_sampled, rate)."""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn(
-        "w", F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)")
+        "w_micro", F.expr("CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT)")
     )
     tot = stats.agg(
-        F.sum("w").cast("double").alias("wsum"), F.sum("n_docs").alias("n")
+        F.sum("w_micro").alias("wsum_micro"), F.sum("n_docs").alias("n")
     )
     rates = (
         stats.crossJoin(F.broadcast(tot))
         .withColumn(
-            "rate",
-            F.least(
-                F.lit(1.0),
-                F.round(
-                    (F.col("w").cast("double") * F.col("n"))
-                    / (F.col("wsum") * F.col("n_docs")),
-                    6,
-                ),
+            "rate_micro",
+            F.expr(
+                "least(CAST(1000000 AS BIGINT),"
+                " CAST(w_micro AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(wsum_micro AS DECIMAL(38,0)) * n_docs))"
             ),
         )
-        .select("lang", "n_docs", "rate")
+        .select("lang", "n_docs", "rate_micro")
     )
-    cut = F.round(F.col("rate") * 1000000, 0).cast("long")
     sampled = (
         docs.join(F.broadcast(rates), "lang")
-        .filter(portable_hash(F.col("doc_id").cast("string")) % 1000000 < cut)
+        .filter(
+            portable_hash(F.col("doc_id").cast("string")) % 1000000
+            < F.col("rate_micro")
+        )
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
     return rates.join(sampled, "lang", "left").select(
-        "lang", "n_docs", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"), "rate"
+        "lang",
+        "n_docs",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        (F.col("rate_micro").cast("double") / F.lit(1000000.0)).alias("rate"),
     )
 
 
 SQL_SAMPLE_TEMPERATURE = f"""
 WITH s AS (
-    SELECT lang, count(*) AS n_docs,
-           CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w_micro
     FROM documents GROUP BY 1
 ),
-t AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum, CAST(sum(n_docs) AS BIGINT) AS n FROM s),
+t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum_micro,
+             CAST(sum(n_docs) AS BIGINT) AS n FROM s),
 r AS (
     SELECT lang, n_docs,
-           least(1.0, round((CAST(w AS DOUBLE) * t.n) / (t.wsum * n_docs), 6)) AS rate
+           least(CAST(1000000 AS BIGINT),
+                 CAST(CAST(w_micro AS HUGEINT) * t.n * 1000000
+                      // (CAST(wsum_micro AS HUGEINT) * n_docs) AS BIGINT))
+               AS rate_micro
     FROM s, t
 ),
 c AS (
     SELECT d.lang, count(*) AS n_sampled
     FROM documents d JOIN r USING (lang)
-    WHERE {_HASH.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000
-          < CAST(round(rate * 1000000, 0) AS BIGINT)
+    WHERE {_HASH.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000 < rate_micro
     GROUP BY 1
 )
-SELECT r.lang, r.n_docs, coalesce(c.n_sampled, 0) AS n_sampled, r.rate
+SELECT r.lang, r.n_docs, coalesce(c.n_sampled, 0) AS n_sampled,
+       CAST(rate_micro AS DOUBLE) / 1000000 AS rate
 FROM r LEFT JOIN c USING (lang)
 """
 

@@ -65,8 +65,9 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram-LM statistics against the corpus itself:
     token count, summed corpus frequency of its tokens, rarest-token
     frequency, rare-token (freq<=2) occurrence count, and mean token
-    frequency. round(avg) is one IEEE division on exact integers, so
-    it is bit-identical on every engine and partitioning."""
+    frequency. The average is exact integer micro-units (floor), so it
+    is bit-identical on every engine and partitioning — round(int/int)
+    is the cross-engine midpoint class (NOTES.md pitfalls)."""
     tfd = (
         _doc_tokens(load_table(spark, sf_dir, "documents"))
         .groupBy("doc_id", "token")
@@ -86,7 +87,10 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_freq",
-            F.round(F.col("sum_freq").cast("double") / F.col("n_tokens"), 6),
+            # integer-ratio average -> floor micro-units (midpoint-proof)
+            F.expr(
+                "CAST(sum_freq * 1000000 div n_tokens AS DOUBLE) / 1000000"
+            ),
         )
     )
 
@@ -99,7 +103,8 @@ SELECT d.doc_id,
        CAST(sum(d.tf * f.freq) AS BIGINT) AS sum_freq,
        min(f.freq) AS min_freq,
        CAST(sum(CASE WHEN f.freq <= 2 THEN d.tf ELSE 0 END) AS BIGINT) AS rare_tokens,
-       round(CAST(sum(d.tf * f.freq) AS DOUBLE) / CAST(sum(d.tf) AS BIGINT), 6) AS avg_freq
+       CAST(CAST(sum(d.tf * f.freq) AS HUGEINT) * 1000000
+            // CAST(sum(d.tf) AS HUGEINT) AS DOUBLE) / 1000000 AS avg_freq
 FROM tfd d JOIN tf f USING (token)
 GROUP BY d.doc_id
 """
@@ -107,8 +112,8 @@ GROUP BY d.doc_id
 
 def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document. idf kept as the exact
-    rational N/df (monotone with log(N/df)): score = tf * N / df is one
-    exact bigint product and one IEEE division — cross-engine stable.
+    rational N/df (monotone with log(N/df)): score = tf * N / df in
+    exact integer micro-units (floor — midpoint-proof, NOTES.md).
     Ties broken by token so the top-k set is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     tfd = (
@@ -121,7 +126,10 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
-            F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6),
+            # integer ratio -> floor micro-units; monotone except exact
+            # micro-ties, which both engines floor identically, so the
+            # (score DESC, token ASC) ranking stays deterministic
+            F.expr("CAST(tf * n_docs * 1000000 div df AS DOUBLE) / 1000000"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
@@ -138,7 +146,8 @@ dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY 1),
 nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
     SELECT d.doc_id, d.token, d.tf,
-           round(CAST(d.tf * nd.n_docs AS DOUBLE) / f.df, 6) AS score
+           CAST(CAST(d.tf AS HUGEINT) * nd.n_docs * 1000000
+                // f.df AS DOUBLE) / 1000000 AS score
     FROM tfd d JOIN dfreq f USING (token) CROSS JOIN nd
 ),
 ranked AS (

@@ -126,25 +126,28 @@ def q_events_crosstab_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("col_total"),
         F.sum("obs").over(wg).alias("grand_total"),
     )
-    diff = (
-        F.col("obs") * F.col("grand_total") - F.col("row_total") * F.col("col_total")
-    ).cast("double")
-    den = (
-        F.col("grand_total") * F.col("row_total") * F.col("col_total")
-    ).cast("double")
-    return with_marg.select(
+    # Exact integer micro-units via DECIMAL intermediates (DuckDB twin
+    # uses HUGEINT): expected and chi2_contrib are pure integer ratios,
+    # so round(double, 6) is the cross-engine midpoint landmine
+    # (NOTES.md pitfalls). diff^2 * 1e6 stays under DECIMAL(38) for
+    # corpora up to ~1e12 total events — far past the double form's own
+    # precision cliff (diff^2 exceeds 2^53 already at ~1e8 events).
+    return with_marg.selectExpr(
         "event_type",
         "event_hour",
         "obs",
         "row_total",
         "col_total",
         "grand_total",
-        F.round(
-            (F.col("row_total") * F.col("col_total")).cast("double")
-            / F.col("grand_total"),
-            6,
-        ).alias("expected"),
-        F.round(diff * diff / den, 6).alias("chi2_contrib"),
+        "CAST(CAST(row_total AS DECIMAL(38,0)) * col_total * 1000000"
+        " div grand_total AS DOUBLE) / 1000000 AS expected",
+        "CAST((CAST(obs AS DECIMAL(38,0)) * grand_total"
+        "      - CAST(row_total AS DECIMAL(38,0)) * col_total)"
+        "     * (CAST(obs AS DECIMAL(38,0)) * grand_total"
+        "        - CAST(row_total AS DECIMAL(38,0)) * col_total)"
+        "     * 1000000"
+        " div (CAST(grand_total AS DECIMAL(38,0)) * row_total * col_total)"
+        " AS DOUBLE) / 1000000 AS chi2_contrib",
     )
 
 
@@ -161,11 +164,15 @@ marg AS (
     FROM cells
 )
 SELECT event_type, event_hour, obs, row_total, col_total, grand_total,
-       round(CAST(row_total * col_total AS DOUBLE) / grand_total, 6) AS expected,
-       round(CAST(obs * grand_total - row_total * col_total AS DOUBLE)
-             * CAST(obs * grand_total - row_total * col_total AS DOUBLE)
-             / CAST(grand_total * row_total * col_total AS DOUBLE), 6)
-           AS chi2_contrib
+       CAST(CAST(row_total AS HUGEINT) * col_total * 1000000
+            // grand_total AS DOUBLE) / 1000000 AS expected,
+       CAST((CAST(obs AS HUGEINT) * grand_total
+             - CAST(row_total AS HUGEINT) * col_total)
+            * (CAST(obs AS HUGEINT) * grand_total
+               - CAST(row_total AS HUGEINT) * col_total)
+            * 1000000
+            // (CAST(grand_total AS HUGEINT) * row_total * col_total)
+            AS DOUBLE) / 1000000 AS chi2_contrib
 FROM marg
 """
 
