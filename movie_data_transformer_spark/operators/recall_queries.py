@@ -85,6 +85,66 @@ UNION ALL SELECT 'lsh', CAST(1 AS BOOLEAN)
 UNION ALL SELECT 'pq', CAST(1 AS BOOLEAN)
 """
 
+def q_ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest: the original embeddings are the existing
+    index corpus (frozen coarse centroids), the planted +100000 vectors
+    are today's ingest batch; each batch vector is assigned to its
+    nearest centroid with EXACT integer micro-unit math, so the whole
+    maintenance dataflow carries a full DuckDB oracle (the approximate
+    query path stays rows-only + recall-gated). See
+    similarity.ivf_assign_incremental."""
+    from movie_data_transformer_spark.operators.similarity import (
+        augmented_embeddings,
+        ivf_assign_incremental,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = augmented_embeddings(emb).filter(F.col("vec_id") >= 100000)
+    return ivf_assign_incremental(emb, batch)
+
+
+SQL_ANN_IVF_INCREMENTAL_ASSIGN = """
+WITH sdims AS (
+    SELECT label, dim,
+           CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+    FROM (SELECT label, embedding,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings)
+),
+cmeans AS (
+    SELECT label, dim,
+           CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) AS cm
+    FROM sdims GROUP BY 1, 2
+),
+bdims AS (
+    SELECT vec_id + 100000 AS vec_id, dim,
+           CAST(floor(CASE WHEN dim % 2 = 0
+                           THEN CAST(embedding[dim + 1] AS DOUBLE) * 1.2
+                           ELSE CAST(embedding[dim + 1] AS DOUBLE) * 1.0 END
+                      * 1000000) AS BIGINT) AS vm
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings WHERE vec_id < 50)
+),
+scored AS (
+    SELECT b.vec_id, c.label,
+           CAST(sum((b.vm - c.cm) * (b.vm - c.cm)) AS BIGINT) AS dist_micro
+    FROM bdims b JOIN cmeans c USING (dim)
+    GROUP BY 1, 2
+)
+SELECT vec_id, CAST(label AS INT) AS cell, dist_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist_micro ASC, label ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
+    "ann_ivf_incremental_assign": (
+        q_ann_ivf_incremental_assign,
+        SQL_ANN_IVF_INCREMENTAL_ASSIGN,
+    ),
 }

@@ -704,6 +704,106 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, the classic runtime-filter trick for
+    selective joins made explicit and PORTABLE: build a Bloom filter
+    (m=65536 bits, k=3, double hashing from two md5 domains) over the
+    selective dim side (EUROPE customers), prune the fact side (orders)
+    by requiring ALL k probe positions present, then exact-verify the
+    survivors. Output is a one-row audit: dim keys, set bits, fact rows,
+    BF-pass candidates, exact matches, and false positives — the FP tail
+    the exact verify removes (BF guarantees NO false negatives, pinned
+    in tests/test_relational.py).
+
+    At 100 TB this is the shape of a semi-join runtime filter: the bit
+    table is tiny (<= m rows) and broadcast by AQE; the fact side is
+    filtered BEFORE any wide join or shuffle, and only candidates reach
+    the exact join. Spark's own runtime BF (might_contain) is not a
+    public SQL function on this build — and an engine-native filter
+    could not be oracle-checked anyway; md5 double-hashing makes every
+    bit position bit-identical in DuckDB, so the WHOLE pruning dataflow
+    (not just the final answer) is differentially tested."""
+    c, n, r = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    from movie_data_transformer_spark.operators.text import portable_hash
+
+    m, k = 65536, 3
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    def hashes(df, key):
+        ks = F.col(key).cast("string")
+        return df.withColumn("h1", portable_hash(ks)).withColumn(
+            "h2", portable_hash(F.concat(F.lit("bf:"), ks))
+        )
+    pos_expr = f"explode(transform(sequence(0, {k - 1}), i -> (h1 + i * h2) % {m})) AS pos"
+    bits = hashes(dim, "c_custkey").selectExpr(pos_expr).distinct()
+    probes = hashes(o.select("o_orderkey", "o_custkey"), "o_custkey").selectExpr(
+        "o_orderkey", "o_custkey", pos_expr
+    )
+    cand = (
+        probes.join(bits, "pos")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .select("o_orderkey", "o_custkey")
+    )
+    matched = cand.join(dim, cand.o_custkey == dim.c_custkey, "left_semi")
+    return (
+        dim.agg(F.count("*").alias("n_dim_keys"))
+        .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
+        .crossJoin(o.agg(F.count("*").alias("n_fact_rows")))
+        .crossJoin(cand.agg(F.count("*").alias("n_bf_pass")))
+        .crossJoin(matched.agg(F.count("*").alias("n_exact_match")))
+        .withColumn("n_false_pos", F.col("n_bf_pass") - F.col("n_exact_match"))
+    )
+
+
+_BF_H = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+SQL_JOIN_BLOOM_PRUNE = f"""
+WITH dim AS (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+ks AS (SELECT unnest(range(0, 3)) AS i),
+bits AS (
+    SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+    FROM (SELECT {_BF_H.format(x="CAST(c_custkey AS VARCHAR)")} AS h1,
+                 {_BF_H.format(x="'bf:' || CAST(c_custkey AS VARCHAR)")} AS h2
+          FROM dim) CROSS JOIN ks
+),
+probes AS (
+    SELECT o_orderkey, o_custkey, (h1 + i * h2) % 65536 AS pos
+    FROM (SELECT o_orderkey, o_custkey,
+                 {_BF_H.format(x="CAST(o_custkey AS VARCHAR)")} AS h1,
+                 {_BF_H.format(x="'bf:' || CAST(o_custkey AS VARCHAR)")} AS h2
+          FROM orders) CROSS JOIN ks
+),
+cand AS (
+    SELECT o_orderkey, o_custkey
+    FROM probes JOIN bits USING (pos)
+    GROUP BY 1, 2 HAVING count(*) = 3
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_fact_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_bf_pass,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand
+        WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_exact_match,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand)
+       - (SELECT CAST(count(*) AS BIGINT) FROM cand
+          WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_false_pos
+"""
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
@@ -730,4 +830,5 @@ QUERIES = {
     "scalar_math_pack": (q_scalar_math_pack, SQL_SCALAR_MATH_PACK),
     "scalar_date_pack": (q_scalar_date_pack, SQL_SCALAR_DATE_PACK),
     "expr_json": (q_expr_json, SQL_EXPR_JSON),
+    "join_bloom_prune": (q_join_bloom_prune, SQL_JOIN_BLOOM_PRUNE),
 }

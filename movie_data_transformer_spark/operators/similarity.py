@@ -563,3 +563,70 @@ def pq_topk(
         .withColumn("rk", F.row_number().over(rw).cast("int"))
         .filter(F.col("rk") <= k)
     )
+
+
+def frozen_centroids_micro(
+    seed: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Frozen IVF coarse centroids in EXACT integer micro-units:
+    (label, centroid_micro array<bigint>). v_micro = floor(double(v) *
+    1e6) — floor of an identical IEEE double is bit-identical across
+    engines (unlike round, whose midpoint handling diverges — NOTES.md);
+    the per-dimension mean is truncating integer division (Spark `div`
+    == DuckDB `//` on signed bigints, probed in functions/core.py). The
+    whole centroid table is therefore engine- AND partitioning-exact,
+    which is what lets incremental cell assignment carry a full DuckDB
+    oracle while ivf_topk's double-avg centroids stay rows-only."""
+    dims = seed.select("label", F.posexplode(F.col(vec_col)).alias("dim", "val")).selectExpr(
+        "label",
+        "dim",
+        "CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS vm",
+    )
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.expr("sum(vm) div count(*)").alias("cm"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cm"))).alias("_p"))
+        .selectExpr("label", "transform(_p, x -> x.cm) AS centroid_micro")
+    )
+
+
+def ivf_assign_incremental(
+    seed: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN index maintenance — the vector-store mirror of
+    incremental_minhash_pairs_from_index: a production store continuously
+    ingests embeddings into an IVF index whose coarse centroids are
+    FROZEN (retrained offline, not per ingest). Per batch: assign each
+    new vector to its nearest centroid (broadcast 10-row centroid table,
+    row-local exact integer L2 — no shuffle, no state read) and append
+    the (cell, vec_id) rows to the cell-partitioned index; the query
+    path (ivf_topk) probes cells exactly as before. Assignment is
+    stateless per row, so any micro-batch slicing yields the same index
+    (the same append-only machinery as streaming/dedup_stream.py
+    composes it into a stream).
+
+    Returns (vec_id, cell, dist_micro): nearest label and its exact
+    squared-L2 distance in micro^2 units — fully DuckDB-oracle-checked,
+    unlike the approximate ANN entries (exact integer math end-to-end:
+    floor-micro quantization, truncating-division centroids, bigint
+    distance fold, min(struct) argmin with label tiebreak)."""
+    cents = frozen_centroids_micro(seed, vec_col)
+    b = batch.selectExpr(
+        f"{id_col}",
+        f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS _vm",
+    )
+    scored = b.join(F.broadcast(cents)).selectExpr(
+        id_col,
+        "label",
+        "aggregate(zip_with(_vm, centroid_micro, (x, c) -> (x - c) * (x - c)),"
+        " 0L, (a, x) -> a + x) AS dist_micro",
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("dist_micro", "label")).alias("_b"))
+        .selectExpr(id_col, "CAST(_b.label AS INT) AS cell", "_b.dist_micro AS dist_micro")
+    )

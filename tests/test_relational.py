@@ -112,3 +112,33 @@ def test_fuzzy_name_match_blocks_and_distance(spark, sf_dir):
         assert r.name_a.split()[-1] == r.name_b.split()[-1]  # same noun block
         assert 1 <= r.edit_dist <= 4
         assert lev(r.name_a, r.name_b) == r.edit_dist
+
+
+def test_bloom_prune_no_false_negatives_and_audit_consistent(spark, sf_dir):
+    """A Bloom filter can only over-approximate: every order whose
+    customer IS in the dim must survive pruning (n_exact_match equals
+    the independent exact semi-join count), candidates never exceed the
+    facts, and the bit table never exceeds keys x k."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.relational_queries import (
+        q_join_bloom_prune,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    row = q_join_bloom_prune(spark, sf_dir).collect()[0]
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "EUROPE"), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    exact = o.join(dim, o.o_custkey == dim.c_custkey, "left_semi").count()
+    assert row.n_exact_match == exact  # no false negatives, ever
+    assert row.n_bf_pass >= row.n_exact_match  # FP-only over-approximation
+    assert row.n_false_pos == row.n_bf_pass - row.n_exact_match
+    assert row.n_bf_pass <= row.n_fact_rows
+    assert 0 < row.n_bits_set <= row.n_dim_keys * 3

@@ -183,3 +183,58 @@ def test_pq_codes_and_recall_vs_brute_force(spark, sf_dir):
     # structure); with 3k-candidate exact re-rank the mechanism must
     # still clearly beat the random floor (5/499 ~ 0.01)
     assert recall >= 0.3, f"PQ recall {recall:.2f}"
+
+
+def test_ivf_incremental_assign_matches_numpy_exact_integers(spark, sf_dir):
+    """The incremental-ingest assignment is EXACT integer math end to
+    end, so an independent Python recomputation (floor-micro quantize,
+    truncating-division centroids, integer L2, (dist, label) argmin)
+    must agree bit-for-bit — engine- and partitioning-independence is
+    the whole point of the frozen-centroid design."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.recall_queries import (
+        q_ann_ivf_incremental_assign,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {
+        r.vec_id: (r.cell, r.dist_micro)
+        for r in q_ann_ivf_incremental_assign(spark, sf_dir).collect()
+    }
+
+    seed = load_table(spark, sf_dir, "embeddings").collect()
+
+    def trunc_div(a: int, b: int) -> int:  # Spark div / DuckDB // (toward zero)
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[int, int] = {}
+    for r in seed:
+        counts[r.label] = counts.get(r.label, 0) + 1
+        for d, v in enumerate(r.embedding):
+            key = (r.label, d)
+            sums[key] = sums.get(key, 0) + math.floor(float(v) * 1_000_000)
+    labels = sorted(counts)
+    cents = {
+        lab: [trunc_div(sums[(lab, d)], counts[lab]) for d in range(len(seed[0].embedding))]
+        for lab in labels
+    }
+
+    want = {}
+    for r in seed:
+        if r.vec_id >= 50:
+            continue
+        vm = [
+            math.floor((float(v) * 1.2 if d % 2 == 0 else float(v) * 1.0) * 1_000_000)
+            for d, v in enumerate(r.embedding)
+        ]
+        best = min(
+            (sum((x - c) ** 2 for x, c in zip(vm, cents[lab])), lab) for lab in labels
+        )
+        want[r.vec_id + 100000] = (best[1], best[0])
+
+    assert got == want
