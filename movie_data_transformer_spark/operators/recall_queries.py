@@ -141,10 +141,80 @@ WHERE rn = 1
 """
 
 
+def _ingest_embeddings_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf + source fingerprint) the embedding ingest
+    batch — the planted +100000 vectors, with the augmentation arithmetic
+    applied so values are doubles (JSON round-trips shortest-repr doubles
+    exactly) — as 4 JSONL files under /tmp, distributed write."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
+    )
+    from movie_data_transformer_spark.operators.similarity import (
+        augmented_embeddings,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"mdt_emb_ingest_{tag}_{source_fingerprint(sf_dir)}"
+    )
+
+    def _build(out: str) -> None:
+        batch = (
+            augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
+            .filter(F.col("vec_id") >= 100000)
+            .selectExpr(
+                "vec_id",
+                "CAST(embedding AS ARRAY<DOUBLE>) AS embedding",
+                "CAST(label AS INT) AS label",
+            )
+        )
+        stage = out + "_stage"
+        (
+            batch.repartition(4)
+            .select(F.to_json(F.struct(*batch.columns)).alias("value"))
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        for i, pth in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*")))):
+            shutil.move(pth, os.path.join(out, f"emb_{i}.json"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return publish_fixture_dir(_build, d)
+
+
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous embedding ingest end-to-end: freeze centroids from the
+    original embeddings, stream the planted +100000 vectors in
+    single-file micro-batches, assign each batch map-side, and return
+    the accumulated assignment log. Assignment is stateless per row, so
+    the log equals the batch form under any slicing — the SAME DuckDB
+    oracle checks both entries."""
+    import tempfile
+
+    from movie_data_transformer_spark.sources.tables import load_table
+    from movie_data_transformer_spark.streaming.ann_stream import (
+        run_streaming_ann_ingest,
+    )
+
+    seed = load_table(spark, sf_dir, "embeddings")
+    src = _ingest_embeddings_jsonl_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mdt_ann_stream_")
+    out = run_streaming_ann_ingest(spark, src, seed, work, max_files_per_trigger=1)
+    return spark.read.parquet(out).select("vec_id", "cell", "dist_micro")
+
+
 QUERIES = {
     "sim_ann_recall": (q_sim_ann_recall, SQL_SIM_ANN_RECALL),
     "ann_ivf_incremental_assign": (
         q_ann_ivf_incremental_assign,
         SQL_ANN_IVF_INCREMENTAL_ASSIGN,
     ),
+    "stream_ann_ingest": (q_stream_ann_ingest, SQL_ANN_IVF_INCREMENTAL_ASSIGN),
 }

@@ -614,7 +614,20 @@ def ivf_assign_incremental(
     unlike the approximate ANN entries (exact integer math end-to-end:
     floor-micro quantization, truncating-division centroids, bigint
     distance fold, min(struct) argmin with label tiebreak)."""
-    cents = frozen_centroids_micro(seed, vec_col)
+    return ivf_assign_from_centroids(
+        frozen_centroids_micro(seed, vec_col), batch, id_col, vec_col
+    )
+
+
+def ivf_assign_from_centroids(
+    cents: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment against an ALREADY-FROZEN centroid table — the form the
+    streaming ingest uses (centroids computed once, localCheckpoint'd,
+    broadcast into every micro-batch; per-trigger work is map-side only)."""
     b = batch.selectExpr(
         f"{id_col}",
         f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS _vm",

@@ -238,3 +238,42 @@ def test_ivf_incremental_assign_matches_numpy_exact_integers(spark, sf_dir):
         want[r.vec_id + 100000] = (best[1], best[0])
 
     assert got == want
+
+
+def test_streaming_ann_ingest_slicing_invariant_and_batch_sized(spark, sf_dir):
+    """The streamed assignment log equals the batch-form result under a
+    different slicing (2 files per trigger vs the registry entry's 1),
+    and each micro-batch commits exactly its own rows (no rewrite)."""
+    import os
+    import tempfile
+
+    from movie_data_transformer_spark.operators.recall_queries import (
+        _ingest_embeddings_jsonl_dir,
+        q_ann_ivf_incremental_assign,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+    from movie_data_transformer_spark.streaming.ann_stream import (
+        run_streaming_ann_ingest,
+    )
+
+    want = {
+        (r.vec_id, r.cell, r.dist_micro)
+        for r in q_ann_ivf_incremental_assign(spark, sf_dir).collect()
+    }
+    seed = load_table(spark, sf_dir, "embeddings")
+    src = _ingest_embeddings_jsonl_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="mdt_ann_stream_test_")
+    out = run_streaming_ann_ingest(spark, src, seed, work, max_files_per_trigger=2)
+    got = {
+        (r.vec_id, r.cell, r.dist_micro) for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+    n_files = len([f for f in os.listdir(src) if f.endswith(".json")])
+    ingests = sorted(os.listdir(out))
+    assert len(ingests) == (n_files + 1) // 2  # 2 files per trigger
+    per_ingest = [
+        spark.read.parquet(os.path.join(out, d)).count() for d in ingests
+    ]
+    assert sum(per_ingest) == len(want)  # every vector committed exactly once
+    assert max(per_ingest) < len(want)  # batch-sized, never a full rewrite
