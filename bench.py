@@ -49,6 +49,10 @@ HEADLINE = [
     # here includes the inline state-index build that a real deployment
     # amortizes across ingests)
     "dedup_incremental_minhash",
+    # r5 additions: Bloom semi-join pruning and incremental IVF assignment
+    # (new operator families)
+    "join_bloom_prune",
+    "ann_ivf_incremental_assign",
 ]
 
 

@@ -753,13 +753,23 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_hits") == k)
         .select("o_orderkey", "o_custkey")
     )
-    matched = cand.join(dim, cand.o_custkey == dim.c_custkey, "left_semi")
+    # ONE pass over the candidate set computes both the BF-pass count and
+    # the exact-match count (left join against the unique dim keys;
+    # count(non-null) = matched) — the separate left_semi + two aggregates
+    # evaluated the expensive probe-join subtree twice.
+    cand_counts = cand.join(
+        dim.withColumnRenamed("c_custkey", "_dk"),
+        cand.o_custkey == F.col("_dk"),
+        "left",
+    ).agg(
+        F.count("*").alias("n_bf_pass"),
+        F.count("_dk").alias("n_exact_match"),
+    )
     return (
         dim.agg(F.count("*").alias("n_dim_keys"))
         .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
         .crossJoin(o.agg(F.count("*").alias("n_fact_rows")))
-        .crossJoin(cand.agg(F.count("*").alias("n_bf_pass")))
-        .crossJoin(matched.agg(F.count("*").alias("n_exact_match")))
+        .crossJoin(cand_counts)
         .withColumn("n_false_pos", F.col("n_bf_pass") - F.col("n_exact_match"))
     )
 
