@@ -555,6 +555,74 @@ WHERE (cum * {SYSTEMATIC_K} + total_w - 1) // total_w
 """
 
 
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-collision decontamination (the GPT-3/PaLM recipe): exact
+    md5-digest matching (contamination_check) only catches verbatim
+    copies, but a benchmark leaks into training data through PARTIAL
+    overlap too. This flags (train_doc, bench_doc) pairs sharing >= 5
+    distinct word 8-grams, after dropping promiscuous 8-grams that occur
+    in more than 10 benchmark docs (boilerplate stop-grams — the
+    standard skew guard, and at 100 TB the thing that keeps the
+    shingle-keyed shuffle from hot-spotting; the join key is the 8-gram
+    itself here, hash-bucketed at scale). The planted exact copies
+    (+200000) must surface with their full window count; near-dups
+    (+100000, 's'-words removed) surface only where 8 consecutive
+    surviving words align."""
+    n, min_shared, max_df = 8, 5, 10
+    from movie_data_transformer_spark.operators.dedup import doc_shingles
+
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    train = corpus.filter(F.col("doc_id") >= 100000)
+    bench = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    t_sh = doc_shingles(train, n=n).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    b_sh = doc_shingles(bench, n=n).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    rare = (
+        b_sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    return (
+        t_sh.join(rare, "shingle", "left_semi")
+        .join(b_sh, "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+SQL_CONTAMINATION_NGRAM = f"""
+WITH {CORPUS_ORACLE_CTE},
+tr AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000),
+be AS (SELECT doc_id,
+              lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text
+       FROM documents),
+t_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+b_toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM be),
+t_idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i FROM t_toks),
+b_idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i FROM b_toks),
+t_sh AS (SELECT DISTINCT doc_id AS train_doc,
+                concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+         FROM t_idx),
+b_sh AS (SELECT DISTINCT doc_id AS bench_doc,
+                concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]) AS shingle
+         FROM b_idx),
+rare AS (SELECT shingle FROM b_sh GROUP BY 1 HAVING count(*) <= 10)
+SELECT train_doc, bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+FROM t_sh
+JOIN rare USING (shingle)
+JOIN b_sh USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
     "sample_weighted_systematic": (
@@ -575,4 +643,8 @@ QUERIES = {
     "corpus_quality_filter": (q_corpus_quality_filter, SQL_CORPUS_QUALITY_FILTER),
     "sample_temperature_lang": (q_sample_temperature_lang, SQL_SAMPLE_TEMPERATURE),
     "pack_sequences": (q_pack_sequences, None),  # procedural packing -> rows-only
+    "contamination_ngram_overlap": (
+        q_contamination_ngram_overlap,
+        SQL_CONTAMINATION_NGRAM,
+    ),
 }

@@ -124,3 +124,33 @@ def test_dq_constraint_report_clean(spark, sf_dir):
     assert rows["orders_pk_unique"].n_checked == o_n
     assert rows["lineitem_orderkey_fk"].n_checked == li_n
     assert not audit_plan(df).has_cartesian
+
+
+def test_ngram_contamination_catches_planted_copies(spark, sf_dir):
+    """Every planted exact copy (+200000) long enough to have >= 5 word
+    8-grams must be flagged against its source benchmark doc, sharing
+    ALL of its windows (n_tokens - 7); and every flagged pair genuinely
+    shares at least the threshold."""
+    from movie_data_transformer_spark.operators.curation_queries import (
+        q_contamination_ngram_overlap,
+    )
+
+    got = {
+        (r.train_doc, r.bench_doc): r.n_shared
+        for r in q_contamination_ngram_overlap(spark, sf_dir).collect()
+    }
+    assert all(v >= 5 for v in got.values())
+    docs = load_table(spark, sf_dir, "documents")
+    toks = {
+        r.doc_id: r.n
+        for r in docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    }
+    for doc, n in toks.items():
+        if n - 7 >= 5:
+            key = (doc + 200000, doc)
+            assert key in got, f"planted exact copy {key} not flagged"
+            # all of the copy's windows are shared (minus any dropped as
+            # promiscuous stop-grams, hence >=, and never more than exist)
+            assert 5 <= got[key] <= n - 7
