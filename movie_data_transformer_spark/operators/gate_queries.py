@@ -163,6 +163,8 @@ def q_gmean_bounds_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 QUERIES = {
     "pack_sequences_gate": (
         q_pack_sequences_gate,

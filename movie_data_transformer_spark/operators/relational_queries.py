@@ -638,6 +638,29 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+ hll_sketch_agg / hll_union_agg): per-(returnflag, year)
+    sketch BLOBs built once from the facts, then merged up to returnflag
+    grain and estimated — the pre-aggregated-rollup workflow at 100 TB
+    (store fine-grain sketch columns in a summary table; answer ANY
+    coarser distinct-count rollup by merging sketches, never rescanning
+    facts — mergeability is what approx_count_distinct's scalar output
+    cannot give you). Rows-only (sketch binaries are engine-specific);
+    the estimate-vs-exact tolerance is gated oracle-style by
+    hll_union_gate, and the exact shape twin is agg_sketch_exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        "l_returnflag", F.year(F.col("l_shipdate").cast("date")).alias("ship_year")
+    ).agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk"))
+    return partials.groupBy("l_returnflag").agg(
+        F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").alias(
+            "approx_parts"
+        ),
+        F.count("*").alias("n_partials"),
+    )
+
+
 def q_agg_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sibling of agg_approx_sketches (r2 VERDICT advice #7): the
     identical projection computed exactly — count(DISTINCT) instead of HLL,
@@ -814,10 +837,46 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
 """
 
 
+def q_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_hll_mergeable invariants (gate_queries pattern, registered
+    here so the r05 driver window stays fixed): for EVERY returnflag,
+    the merged-sketch estimate is within 5% of the exact distinct-part
+    count (HLL lgK=12 gives ~1.6% rse; 5% is the collapse gate, not a
+    precision claim), and the merge consumed one partial per ship
+    year."""
+    approx = q_agg_hll_mergeable(spark, sf_dir).select(
+        "l_returnflag", "approx_parts", "n_partials"
+    )
+    exact = q_agg_sketch_exact(spark, sf_dir).select("l_returnflag", "exact_parts")
+    li = _t(spark, sf_dir, "lineitem")
+    years = li.groupBy("l_returnflag").agg(
+        F.countDistinct(F.year(F.col("l_shipdate").cast("date"))).alias("n_years")
+    )
+    j = approx.join(exact, "l_returnflag").join(years, "l_returnflag")
+    return j.agg(
+        F.max(
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+            > F.col("exact_parts") * 5
+        ).alias("_bad_tol"),
+        F.max(F.col("n_partials") != F.col("n_years")).alias("_bad_merge"),
+    ).select(
+        (~F.col("_bad_tol")).alias("estimates_within_5pct"),
+        (~F.col("_bad_merge")).alias("one_partial_per_year"),
+    )
+
+
+SQL_HLL_UNION_GATE = (
+    "SELECT CAST(1 AS BOOLEAN) AS estimates_within_5pct, "
+    "CAST(1 AS BOOLEAN) AS one_partial_per_year"
+)
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
     "agg_approx_sketches": (q_agg_approx, None),
+    "agg_hll_mergeable": (q_agg_hll_mergeable, None),
+    "hll_union_gate": (q_hll_union_gate, SQL_HLL_UNION_GATE),
     "join_skew_salted": (q_join_skew_salted, SQL_JOIN_SKEW_SALTED),
     "agg_distinct_per_attrs": (q_agg_distinct_per_attrs, SQL_AGG_DISTINCT_PER_ATTRS),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),

@@ -40,6 +40,7 @@ ROWS_ONLY_FLOORS = {
     "sim_lsh_topk": 25,  # observed 50; sparse buckets may under-fill
     "semdedup_pairs": 25,  # observed 50 (planted near-dups)
     "agg_approx_sketches": 3,  # one row per region bucket
+    "agg_hll_mergeable": 3,  # exactly one row per returnflag
 }
 
 
