@@ -412,3 +412,58 @@ def test_streaming_dedup_commits_are_batch_sized(spark, sf_dir):
     batch_sizes = [v for k, v in per_ingest.items() if k != "ingest=seed"]
     assert sum(batch_sizes) == n_batch_total
     assert max(batch_sizes) < n_seed  # a corpus rewrite would exceed this
+
+
+def test_streaming_dedup_restart_processes_only_new_files(spark, sf_dir):
+    """Continuous ingest across RESTARTS: run the stream over half the
+    files, then drop the rest into the source dir and run again with the
+    same work dir + checkpoint. The second run must process ONLY the new
+    files (no reprocessing: ingest subdirs strictly grow, earlier pairs
+    untouched), and the final pairs log must equal the batch-form result
+    over everything — the restart contract of a daily crawl pipeline."""
+    import os
+    import shutil
+    import tempfile
+
+    from movie_data_transformer_spark.operators.dedup import incremental_minhash_pairs
+    from movie_data_transformer_spark.streaming.dedup_stream import (
+        run_streaming_incremental_dedup,
+    )
+    from movie_data_transformer_spark.streaming.streaming_queries import (
+        _ingest_jsonl_dir,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    seed = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_minhash_pairs(seed, batch, n=3, threshold=0.3).collect()
+    }
+
+    fixture = _ingest_jsonl_dir(spark, sf_dir)
+    files = sorted(f for f in os.listdir(fixture) if f.endswith(".json"))
+    assert len(files) >= 2
+    src = tempfile.mkdtemp(prefix="mdt_dedup_restart_src_")
+    work = tempfile.mkdtemp(prefix="mdt_dedup_restart_work_")
+    for f in files[: len(files) // 2]:
+        shutil.copy(os.path.join(fixture, f), os.path.join(src, f))
+    pairs_dir = run_streaming_incremental_dedup(
+        spark, src, seed, work, max_files_per_trigger=1, n=3, threshold=0.3
+    )
+    ingests_first = set(os.listdir(os.path.join(work, "index_sets")))
+
+    for f in files[len(files) // 2 :]:
+        shutil.copy(os.path.join(fixture, f), os.path.join(src, f))
+    run_streaming_incremental_dedup(
+        spark, src, seed, work, max_files_per_trigger=1, n=3, threshold=0.3
+    )
+    ingests_second = set(os.listdir(os.path.join(work, "index_sets")))
+
+    # restart appended new ingests; nothing from the first run was redone
+    assert ingests_first < ingests_second
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard").collect()
+    }
+    assert got == want

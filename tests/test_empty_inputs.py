@@ -55,3 +55,54 @@ def test_null_watchedby_drops_row(spark):
 
 def test_kv_serialize_empty(spark):
     assert kv_serialize(group_watched(_empty_flat(spark))).count() == 0
+
+
+def test_incremental_dedup_empty_batch_and_empty_state(spark):
+    """First trigger of a stream (empty state) and an empty micro-batch
+    must both produce zero pairs without error."""
+    from movie_data_transformer_spark.operators.dedup import (
+        band_table,
+        doc_shingle_sets,
+        incremental_minhash_pairs_from_index,
+        minhash_signatures_from_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sets = doc_shingle_sets(docs)
+    bands = band_table(minhash_signatures_from_arrays(sets))
+    e_sets = doc_shingle_sets(empty)
+    e_bands = band_table(minhash_signatures_from_arrays(e_sets))
+    # empty batch vs populated index
+    assert (
+        incremental_minhash_pairs_from_index(sets, bands, e_sets, threshold=0.3).count()
+        == 0
+    )
+    # populated batch vs empty index: no state, no self-pairs suppressed
+    # beyond the index contract (batch docs still pair among themselves)
+    got = incremental_minhash_pairs_from_index(e_sets, e_bands, sets, threshold=0.3)
+    assert got.count() == 0  # the two docs share no shingles
+
+
+def test_ivf_assign_empty_batch(spark):
+    from movie_data_transformer_spark.operators.similarity import (
+        frozen_centroids_micro,
+        ivf_assign_from_centroids,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, [0.1, 0.2], 0), (2, [0.9, 0.8], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = frozen_centroids_micro(seed)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    assert ivf_assign_from_centroids(cents, empty).count() == 0
+    # and a singleton batch assigns to the nearer centroid
+    one = spark.createDataFrame(
+        [(10, [0.85, 0.75])], "vec_id long, embedding array<double>"
+    )
+    row = ivf_assign_from_centroids(cents, one).collect()[0]
+    assert (row.vec_id, row.cell) == (10, 1)
