@@ -2,11 +2,16 @@
 opaque `binary` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(raises NotImplementedError unless `fake=True` uses the deterministic
-fake decoder) — but everything Spark-side is real and tested: the schema
-contract, the mapInPandas batch shape, partition sizing, and the feature
-pipeline. Swapping the stub for PIL/ffmpeg changes one function.
+The container has no image/audio CODEC libraries, so decode of
+COMPRESSED formats (jpeg/mp4) is stubbed (raises NotImplementedError
+unless `fake=True` uses the deterministic fake decoder) — but
+everything Spark-side is real and tested: the schema contract, the
+mapInPandas batch shape, partition sizing, and the feature pipeline.
+Swapping the stub for PIL/ffmpeg changes one function. Uncompressed
+CONTAINERS need no codec and are decoded for REAL at the bottom of this
+module: 16-bit PCM WAV via the stdlib wave module and 24-bit BMP via
+struct + numpy, both held to full DuckDB oracles
+(operators/mm_decode_queries.py).
 
 Scale notes: binary payloads ride in parquet binary columns; decode/
 feature-extract run as mapInPandas over Arrow record batches, so Python
@@ -172,3 +177,224 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         "width",
         "height",
     )
+
+
+# --- REAL container decode (no codec libraries needed) ---------------------
+#
+# The codec stub above is an environment boundary for COMPRESSED formats
+# (jpeg/mp4 need libjpeg/ffmpeg). Uncompressed containers need no codec:
+# WAV is a 44-byte RIFF header + raw PCM (stdlib `wave`), BMP is a
+# 54-byte header + raw BGR rows (struct + numpy). These pipelines
+# synthesize REAL container bytes from integer generative formulas,
+# decode them back by PARSING THE CONTAINER (not by trusting the
+# metadata), and emit exact-integer features — so the full
+# encode -> decode -> feature loop carries a DuckDB oracle that
+# recomputes the features from the formulas alone. A real deployment
+# swaps the synthesizer for its media table and keeps the decoder.
+
+WAV_RATE = 8000
+
+WAV_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(n_samples, sawtooth step) — integer generative parameters. The
+    sawtooth sample is ((i * step) % 65536) - 32768: pure integer, so
+    the DuckDB oracle reproduces every sample exactly (a sine would pin
+    the oracle to libm's non-correctly-rounded sin())."""
+    return 400 + doc_id % 400, 64 + doc_id % 1000
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """REAL 16-bit mono PCM WAV blobs (stdlib wave writer), one per doc,
+    waveform generated from _wav_params. mapInPandas: blobs are built
+    executor-side from Arrow batches, never on the driver."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                n, step = _wav_params(int(doc_id))
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * step) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(samples.tobytes())
+                out.append((int(doc_id), buf.getvalue()))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(gen, WAV_MEDIA_SCHEMA)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Decode REAL WAV bytes by parsing the RIFF container (rate and
+    sample count come from the HEADER, samples from the PCM payload) and
+    emit exact-integer audio features: peak |amplitude|, strict
+    sign-change zero crossings, total energy (sum of squares). All
+    bigint — no FP anywhere — so the registry oracle recomputes them
+    from the generative formula and any container/decode bug breaks the
+    value hash."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                neg = s < 0
+                out.append(
+                    (
+                        int(doc_id),
+                        int(n),
+                        int(rate),
+                        int(np.abs(s).max()) if n else 0,
+                        int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0,
+                        int((s * s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "peak_abs",
+                    "zero_crossings",
+                    "energy",
+                ],
+            )
+
+    return media.mapInPandas(dec, WAV_FEATURES_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _bmp_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) — widths cycle through every mod-4 padding case."""
+    return 4 + doc_id % 13, 4 + doc_id % 9
+
+
+def _bmp_pixel(doc_id: int, x, y):
+    """(r, g, b) integer pixel formula — numpy-broadcastable."""
+    return (
+        (doc_id * 7 + x * 13 + y * 31) % 256,
+        (doc_id * 11 + x * 17 + y * 5) % 256,
+        (doc_id * 3 + x * 29 + y * 23) % 256,
+    )
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """REAL 24-bit uncompressed BMP blobs (14-byte file header + 40-byte
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes), pixels from
+    _bmp_pixel. Executor-side via mapInPandas."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _bmp_params(d)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r, g, b = _bmp_pixel(d, x, y)
+                row_len = w * 3
+                pad = (-row_len) % 4
+                # bottom-up storage: row y=h-1 first
+                rows = []
+                for yy in range(h - 1, -1, -1):
+                    px = np.empty((w, 3), dtype=np.uint8)
+                    px[:, 0] = b[yy]  # BGR order
+                    px[:, 1] = g[yy]
+                    px[:, 2] = r[yy]
+                    rows.append(px.tobytes() + b"\x00" * pad)
+                pixel_data = b"".join(rows)
+                dib = struct_mod.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+                )
+                header = struct_mod.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+                )
+                out.append((d, header + dib + pixel_data))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(gen, WAV_MEDIA_SCHEMA)
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """Decode REAL BMP bytes by parsing the headers (width/height/offset
+    from the DIB header, rows read bottom-up with mod-4 padding) and emit
+    exact-integer channel sums — oracle-recomputable from _bmp_pixel."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(blob)
+                assert data[:2] == b"BM"
+                (offset,) = struct_mod.unpack_from("<I", data, 10)
+                w, h = struct_mod.unpack_from("<ii", data, 18)
+                (bpp,) = struct_mod.unpack_from("<H", data, 28)
+                assert bpp == 24
+                row_len = w * 3
+                stride = row_len + ((-row_len) % 4)
+                sr = sg = sb = 0
+                for row in range(abs(h)):
+                    start = offset + row * stride
+                    px = np.frombuffer(data, dtype=np.uint8, count=row_len, offset=start).reshape(
+                        w, 3
+                    ).astype(np.int64)
+                    sb += int(px[:, 0].sum())
+                    sg += int(px[:, 1].sum())
+                    sr += int(px[:, 2].sum())
+                out.append((int(doc_id), int(w), int(abs(h)), sr, sg, sb))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)

@@ -235,3 +235,67 @@ def test_gmean_udaf_matches_numpy(spark, sf_dir):
     for t, v in vals.items():
         want = float(np.exp(np.log(np.array(v)).mean()))
         assert abs(got[t] - want) < 1e-9, (t, got[t], want)
+
+
+def test_wav_decode_reads_container_not_metadata(spark):
+    """The audio features must come from PARSING the RIFF container:
+    tampering with the sample-rate field in the header changes the
+    decoded rate (proving it is read from bytes, not assumed), while the
+    PCM-derived features are untouched."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_features,
+    )
+
+    docs = spark.createDataFrame([(7,), (21,)], "doc_id long")
+    media = synthesize_wav_media(docs)
+    base = {r.doc_id: r for r in wav_features(media).collect()}
+    assert all(r.sample_rate == 8000 for r in base.values())
+    assert all(r.peak_abs > 0 and r.energy > 0 for r in base.values())
+
+    # tamper: WAV stores the sample rate at byte offset 24 (LE uint32)
+    def tamper(content):
+        b = bytearray(content)
+        b[24:28] = struct.pack("<I", 4000)
+        return bytes(b)
+
+    tampered = media.select(
+        "doc_id", F.udf(tamper, "binary")("content").alias("content")
+    )
+    got = {r.doc_id: r for r in wav_features(tampered).collect()}
+    for d, r in got.items():
+        assert r.sample_rate == 4000  # read from the container
+        assert r.energy == base[d].energy  # PCM payload unchanged
+        assert r.zero_crossings == base[d].zero_crossings
+
+
+def test_bmp_decode_handles_every_padding_case(spark):
+    """Widths 4..16 cover all four mod-4 row paddings; channel sums must
+    match the pixel formula exactly for each (a padding slip shifts BGR
+    bytes and breaks the sums)."""
+    from movie_data_transformer_spark.operators.multimodal import (
+        _bmp_params,
+        _bmp_pixel,
+        bmp_features,
+        synthesize_bmp_media,
+    )
+
+    ids = list(range(12))  # widths 4..15 -> row_len % 4 in all classes
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r for r in bmp_features(synthesize_bmp_media(docs)).collect()}
+    for d in ids:
+        w, h = _bmp_params(d)
+        sr = sg = sb = 0
+        for x in range(w):
+            for y in range(h):
+                r, g, b = _bmp_pixel(d, x, y)
+                sr += r
+                sg += g
+                sb += b
+        row = got[d]
+        assert (row.width, row.height) == (w, h)
+        assert (row.sum_r, row.sum_g, row.sum_b) == (sr, sg, sb), d
