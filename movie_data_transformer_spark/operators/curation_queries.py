@@ -14,10 +14,13 @@ from movie_data_transformer_spark.operators.dedup import (
     augmented_corpus,
     normalize_text,
 )
-from movie_data_transformer_spark.operators.text import portable_hash
+from movie_data_transformer_spark.operators.text import (
+    PORTABLE_HASH_SQL,
+    portable_hash,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
-_HASH = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+_HASH = PORTABLE_HASH_SQL  # single source: operators/text.py
 
 
 def hash_bucket(col, n: int = 100):
@@ -597,7 +600,7 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-SQL_CONTAMINATION_NGRAM = f"""
+SQL_CONTAMINATION_NGRAM = rf"""
 WITH {CORPUS_ORACLE_CTE},
 tr AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000),
 be AS (SELECT doc_id,

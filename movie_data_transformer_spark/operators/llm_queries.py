@@ -34,6 +34,7 @@ from movie_data_transformer_spark.operators.similarity import (
     semdedup_pairs,
 )
 from movie_data_transformer_spark.operators.text import (
+    PORTABLE_HASH_SQL,
     PII_EMAIL,
     PII_IP,
     PII_PHONE,
@@ -49,7 +50,7 @@ from movie_data_transformer_spark.operators.text import (
 )
 from movie_data_transformer_spark.sources.tables import load_table
 
-_HASH = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+_HASH = PORTABLE_HASH_SQL  # single source: operators/text.py
 
 
 # --- text analysis -----------------------------------------------------------

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.functions.core import decimal_sum
+from movie_data_transformer_spark.functions.core import decimal_sum, micro_ratio
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -86,11 +86,11 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # integer-ratio average -> floor micro-units (midpoint-proof);
+            # micro_ratio widens to DECIMAL internally, matching the
+            # oracle's HUGEINT (a bare bigint product would overflow first)
             "avg_freq",
-            # integer-ratio average -> floor micro-units (midpoint-proof)
-            F.expr(
-                "CAST(sum_freq * 1000000 div n_tokens AS DOUBLE) / 1000000"
-            ),
+            micro_ratio(F.col("sum_freq"), F.col("n_tokens")),
         )
     )
 
@@ -125,11 +125,12 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfd.join(dfreq, "token")
         .crossJoin(F.broadcast(nd))
         .withColumn(
-            "score",
-            # integer ratio -> floor micro-units; monotone except exact
+            # integer ratio -> floor micro-units (micro_ratio: DECIMAL
+            # internals == the oracle's HUGEINT); monotone except exact
             # micro-ties, which both engines floor identically, so the
             # (score DESC, token ASC) ranking stays deterministic
-            F.expr("CAST(tf * n_docs * 1000000 div df AS DOUBLE) / 1000000"),
+            "score",
+            micro_ratio(F.col("tf") * F.col("n_docs"), F.col("df")),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))

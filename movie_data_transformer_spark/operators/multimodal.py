@@ -194,7 +194,10 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 WAV_RATE = 8000
 
-WAV_MEDIA_SCHEMA = StructType(
+#: shared blob-row contract for BOTH container pipelines (WAV + BMP):
+#: extending one format's metadata means giving it its OWN schema, not
+#: widening this one.
+MEDIA_BLOB_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("content", BinaryType()),
@@ -246,7 +249,7 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 out.append((int(doc_id), buf.getvalue()))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, WAV_MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def wav_features(media: DataFrame) -> DataFrame:
@@ -360,7 +363,7 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 out.append((d, header + dib + pixel_data))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, WAV_MEDIA_SCHEMA)
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def bmp_features(media: DataFrame) -> DataFrame:

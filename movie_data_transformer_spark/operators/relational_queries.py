@@ -23,6 +23,9 @@ from movie_data_transformer_spark.functions import (
     running_sum,
     top_k_per_group,
 )
+from movie_data_transformer_spark.operators.text import (
+    PORTABLE_HASH_SQL as _BF_H,  # md5-hex oracle twin — single source
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -765,7 +768,12 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h2", portable_hash(F.concat(F.lit("bf:"), ks))
         )
     pos_expr = f"explode(transform(sequence(0, {k - 1}), i -> (h1 + i * h2) % {m})) AS pos"
-    bits = hashes(dim, "c_custkey").selectExpr(pos_expr).distinct()
+    # dim feeds the bit table, the exact verify, and the n_dim_keys
+    # audit; bits feeds the probe join and its own count — persist both
+    # so the audit assembly's crossJoined aggregates don't re-run the
+    # dimension joins / the shuffle-distinct per consumer
+    dim = dim.persist()
+    bits = hashes(dim, "c_custkey").selectExpr(pos_expr).distinct().persist()
     probes = hashes(o.select("o_orderkey", "o_custkey"), "o_custkey").selectExpr(
         "o_orderkey", "o_custkey", pos_expr
     )
@@ -797,7 +805,6 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BF_H = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
 SQL_JOIN_BLOOM_PRUNE = f"""
 WITH dim AS (

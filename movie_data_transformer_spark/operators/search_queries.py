@@ -129,9 +129,11 @@ def q_events_crosstab_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact integer micro-units via DECIMAL intermediates (DuckDB twin
     # uses HUGEINT): expected and chi2_contrib are pure integer ratios,
     # so round(double, 6) is the cross-engine midpoint landmine
-    # (NOTES.md pitfalls). diff^2 * 1e6 stays under DECIMAL(38) for
-    # corpora up to ~1e12 total events — far past the double form's own
-    # precision cliff (diff^2 exceeds 2^53 already at ~1e8 events).
+    # (NOTES.md pitfalls). Bound: diff can reach ~N^2/4, so diff^2 * 1e6
+    # ~ N^4 * 1e6 / 16 stays under DECIMAL(38)/HUGEINT up to N ~ 1e8
+    # total events — about where the old double form's exactness cliff
+    # sat anyway (diff^2 passes 2^53 near N ~ 2e8); past that, shard the
+    # contingency analysis or drop to a scaled ratio.
     return with_marg.selectExpr(
         "event_type",
         "event_hour",

@@ -27,9 +27,14 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+#: DuckDB twin of portable_hash — THE single source; modules alias it as
+#: their local _HASH. Keep in lockstep with portable_hash below.
+PORTABLE_HASH_SQL = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
 def portable_hash(col: Column) -> Column:
     """Deterministic 32-bit-range hash reproducible in ANSI SQL:
-    int(first 8 hex chars of md5)."""
+    int(first 8 hex chars of md5). SQL twin: PORTABLE_HASH_SQL."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 

@@ -29,9 +29,12 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # (never) + gate_queries 5 (never) + flagship 17 (15 r03-green + 2 never:
 # dedup_incremental_minhash/dedup_apply_filter) + streaming 5 (4 r02 +
 # stream_incremental_dedup never) + llm 12 (r02 re-green) = 48, plus the
-# relational head 2 (join_multiway, fuzzy_name_match re-green) = 50. After
-# r05 NOTHING is never-driver-checked; r06 takes the relational tail (23) +
-# movie/merge/jsonl/reliability/tpch re-greens.
+# relational head 2 (join_multiway, fuzzy_name_match re-green) = 50. The
+# r05-session additions (join_bloom_prune, agg_hll_mergeable,
+# hll_union_gate, ann/mm/contamination entries) register OUTSIDE the
+# window on purpose; the r06 window (exact counts in NOTES.md) takes the
+# relational tail + those + movie/merge/jsonl/reliability/tpch-head
+# re-greens.
 _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.behavior_queries",
     "movie_data_transformer_spark.operators.search_queries",

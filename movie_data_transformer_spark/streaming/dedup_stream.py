@@ -95,6 +95,14 @@ class AppendOnlyStore:
 
     def read(self, exclude: str | None = None) -> DataFrame:
         paths = [self._subdir(i) for i in self.ingest_ids() if i != exclude]
+        if not paths:
+            # fail with a diagnosable message instead of Spark's opaque
+            # "unable to infer schema" — an empty store has no schema to
+            # return an empty DataFrame with
+            raise ValueError(
+                f"AppendOnlyStore at {self.root} has no committed ingests"
+                + (f" (excluding {exclude!r})" if exclude else "")
+            )
         return self.spark.read.parquet(*paths)
 
 
@@ -122,10 +130,15 @@ def run_streaming_incremental_dedup(
 
     if "seed" not in sets_store.ingest_ids():  # restart keeps the seed rows
         seed_sets = doc_shingle_sets(seed_docs, n=n).persist()
-        sets_store.append(seed_sets, "seed")
+        # bands FIRST, sets LAST: the sets subdir is the seed COMMIT
+        # MARKER (this guard checks it), so a crash between the two
+        # appends leaves the marker absent and a restart redoes both
+        # (idempotent overwrites) instead of wedging with a committed
+        # sets seed and no bands seed
         bands_store.append(
             band_table(minhash_signatures_from_arrays(seed_sets)), "seed"
         )
+        sets_store.append(seed_sets, "seed")
         seed_sets.unpersist(blocking=False)
 
     stream = (
