@@ -1,0 +1,117 @@
+"""Cross-engine property tests for the primitives every oracle rests on:
+micro_ratio / deterministic_avg / portable_hash must agree bit-for-bit
+with their documented DuckDB twins on randomized inputs, not just on the
+fixture corpora. Randomness is hypothesis-driven (seeded, shrinking);
+each example ships a BATCH of values through one Spark job and one
+DuckDB query so the property run stays fast."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.functions.core import deterministic_avg, micro_ratio
+from movie_data_transformer_spark.operators.text import (
+    PORTABLE_HASH_SQL,
+    portable_hash,
+)
+
+pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**15),
+        st.integers(min_value=0, max_value=10**9),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs)
+def test_micro_ratio_matches_duckdb_twin(spark, data):
+    rows = [(i, n, d) for i, (n, d) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, num long, den long")
+    got = {
+        r.id: r.v
+        for r in df.select(
+            "id", micro_ratio(F.col("num"), F.col("den")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "num", "den"]))
+    want = {
+        int(i): v
+        for i, v in con.sql(
+            "SELECT id, CAST(CAST(num AS HUGEINT) * 1000000 // den AS DOUBLE)"
+            " / 1000000 AS v FROM t"
+        ).fetchall()
+    }
+    for i, (n, d) in enumerate(data):
+        if d == 0:
+            assert got[i] is None and want[i] is None
+        else:
+            assert got[i] == want[i] == (n * 1_000_000 // d) / 1_000_000, (n, d)
+
+
+cents_lists = st.lists(
+    st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=20
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(cents_lists)
+def test_deterministic_avg_matches_duckdb_twin(spark, groups):
+    rows = [(g, c / 100.0) for g, vals in enumerate(groups) for c in vals]
+    df = spark.createDataFrame(rows, "g long, v double")
+    got = {
+        r.g: r.a
+        for r in df.groupBy("g").agg(deterministic_avg("v", 2, "a")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v"]))
+    want = {
+        int(g): a
+        for g, a in con.sql(
+            "SELECT g, CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) * 1000000 AS HUGEINT)"
+            " // count(v) AS DOUBLE) / 1000000 AS a FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts)
+def test_portable_hash_matches_duckdb_twin(spark, strings):
+    rows = [(i, t) for i, t in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r.id: r.h for r in df.select("id", portable_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "s"]))
+    want = {
+        int(i): int(h)
+        for i, h in con.sql(
+            f"SELECT id, {PORTABLE_HASH_SQL.format(x='s')} AS h FROM t"
+        ).fetchall()
+    }
+    assert got == want
