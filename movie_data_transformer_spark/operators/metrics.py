@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from movie_data_transformer_spark.operators.merge import FLAT_COLS, merge_flat
+from movie_data_transformer_spark.operators.merge import merge_flat
 
 
 @dataclass
