@@ -52,8 +52,17 @@ def test_micro_ratio_matches_duckdb_twin(spark, data):
     for i, (n, d) in enumerate(data):
         if d == 0:
             assert got[i] is None and want[i] is None
-        else:
-            assert got[i] == want[i] == (n * 1_000_000 // d) / 1_000_000, (n, d)
+            continue
+        # the cross-engine property holds unconditionally: both engines
+        # compute the exact integer micro-quotient, cast to double, then
+        # divide by 1e6 — the same two IEEE roundings
+        assert got[i] == want[i], (n, d)
+        # the "equals the exact rational floored at 1e-6" claim only
+        # holds while the micro-quotient fits a double (the documented
+        # ratio < ~9e9 domain); beyond it the cast itself rounds
+        q = n * 1_000_000 // d
+        if q < 2**53:
+            assert got[i] == q / 1_000_000, (n, d)
 
 
 cents_lists = st.lists(
