@@ -60,6 +60,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.tpch_queries",
     "movie_data_transformer_spark.operators.mm_decode_queries",
     "movie_data_transformer_spark.operators.embedding_queries",
+    "movie_data_transformer_spark.operators.format_queries",
 ]
 
 
