@@ -878,6 +878,83 @@ SQL_HLL_UNION_GATE = (
 )
 
 
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (the deterministic sibling of
+    the KLL/t-digest workflow the HLL entries model for count-distinct):
+    bucket `value` into exact $1 bins (integer cents DIV 100), store
+    per-(event_type, year, bin) count partials — the sketch a 100 TB
+    pipeline persists per partition/day — then MERGE partials to
+    event_type grain by plain summation and answer p50/p90/p99 from the
+    cumulative bin counts. The estimate brackets the exact ceil-rank
+    order statistic within one bin ([est_lo_cents, est_hi_cents), width
+    $1 — pinned in tests/test_relational.py), and unlike percentile()
+    the stored partials are re-usable and associative: any subset of
+    years merges to the same structure. All integer arithmetic -> full
+    oracle. Merge-grain mergeability itself is exercised in-plan: the
+    partial agg and the merging agg are separate shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = (
+        ev.selectExpr(
+            "event_type",
+            "year(ts) AS yr",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100 AS bin",
+        )
+        .groupBy("event_type", "yr", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = partials.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    cum = merged.selectExpr(
+        "event_type",
+        "bin",
+        "sum(n) OVER (PARTITION BY event_type ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "sum(n) OVER (PARTITION BY event_type) AS n_total",
+    )
+    hits = cum.selectExpr(
+        "event_type", "bin", "cum", "n_total", "explode(array(50, 90, 99)) AS q"
+    ).filter("cum >= (n_total * q + 99) div 100")
+    return hits.groupBy("event_type", "q").agg(
+        F.max("n_total").alias("n_total"),
+        (F.min("bin") * 100).cast("bigint").alias("est_lo_cents"),
+        (F.min("bin") * 100 + 100).cast("bigint").alias("est_hi_cents"),
+    )
+
+
+SQL_AGG_QUANTILE_SKETCH = """
+WITH binned AS (
+    SELECT event_type, year(ts) AS yr,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS bin
+    FROM events
+),
+partials AS (
+    SELECT event_type, yr, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS n
+    FROM partials GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS n_total
+    FROM merged
+),
+hits AS (
+    SELECT c.event_type, c.bin, c.cum, c.n_total, t.q
+    FROM cum c CROSS JOIN (VALUES (50), (90), (99)) t(q)
+    WHERE c.cum >= (c.n_total * t.q + 99) // 100
+)
+SELECT event_type, CAST(q AS INT) AS q,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(min(bin) * 100 AS BIGINT) AS est_lo_cents,
+       CAST(min(bin) * 100 + 100 AS BIGINT) AS est_hi_cents
+FROM hits GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
@@ -907,4 +984,5 @@ QUERIES = {
     "scalar_date_pack": (q_scalar_date_pack, SQL_SCALAR_DATE_PACK),
     "expr_json": (q_expr_json, SQL_EXPR_JSON),
     "join_bloom_prune": (q_join_bloom_prune, SQL_JOIN_BLOOM_PRUNE),
+    "agg_quantile_sketch": (q_agg_quantile_sketch, SQL_AGG_QUANTILE_SKETCH),
 }

@@ -142,3 +142,37 @@ def test_bloom_prune_no_false_negatives_and_audit_consistent(spark, sf_dir):
     assert row.n_false_pos == row.n_bf_pass - row.n_exact_match
     assert row.n_bf_pass <= row.n_fact_rows
     assert 0 < row.n_bits_set <= row.n_dim_keys * 3
+
+
+def test_quantile_sketch_brackets_exact_order_statistic(spark, sf_dir):
+    """The $1-grid sketch's [est_lo, est_hi) must contain the EXACT
+    ceil-rank order statistic for every (event_type, q) — the bounded-
+    error guarantee that makes stored sketch partials usable in place of
+    a full sort at 100 TB."""
+    from collections import defaultdict
+
+    from movie_data_transformer_spark.operators.relational_queries import (
+        q_agg_quantile_sketch,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {
+        (r.event_type, r.q): (r.n_total, r.est_lo_cents, r.est_hi_cents)
+        for r in q_agg_quantile_sketch(spark, sf_dir).collect()
+    }
+    assert got and {q for _, q in got} == {50, 90, 99}
+    vals = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc")
+        .collect()
+    ):
+        vals[r.event_type].append(r.vc)
+    for et in vals:
+        vals[et].sort()
+    for (et, q), (n_total, lo, hi) in got.items():
+        assert n_total == len(vals[et])
+        assert hi - lo == 100  # one-bin bracket, always
+        rank = -(-n_total * q // 100)  # ceil
+        exact = vals[et][rank - 1]
+        assert lo <= exact < hi, (et, q, exact, lo, hi)
