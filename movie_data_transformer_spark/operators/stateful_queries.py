@@ -1,0 +1,96 @@
+"""Registry entry for the applyInPandasWithState custom stateful
+operator (streaming/stateful.py) — binding oracle evidence for the
+engine's arbitrary-stateful-processing surface.
+
+The reference's only stateful loop is the serial driver-side Redis
+read-modify-write (DataTransformationService.java:180-193). Here the
+state is Spark-owned (partition-local, checkpointed, RocksDB-spillable)
+and the operator is exercised as a REAL Structured Streaming run, not a
+batch stand-in: events stream through availableNow triggers, every
+micro-batch's update-mode emissions are appended to parquet via
+foreachBatch (a distributed write — no memory-sink driver collect), and
+the final answer takes each key's last emission (arg-max on the
+monotonically growing n_events). Because the updater accumulates exact
+integer cents and tie-breaks "latest" on the total order (ts, event_id),
+the final state equals the batch aggregate for EVERY micro-batch slicing
+— which is exactly what the DuckDB oracle recomputes.
+
+Scale: state and emissions are per-key rows; each micro-batch touches
+only the keys it contains, the sink append is O(|batch keys|), and the
+finalization is one shuffle on user_id over the emissions log.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_events_stream
+from movie_data_transformer_spark.streaming.stateful import running_user_totals_exact
+
+
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="mdt_stateful_")
+    out = os.path.join(work, "emissions")
+    ckpt = os.path.join(work, "ckpt")
+    stream = load_events_stream(spark, sf_dir, raw_ns=True, maxFilesPerTrigger="1")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_user_totals_exact(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the last (largest-n_events) emission; keep the
+    # result materialized past the work-dir cleanup
+    final = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value_cents", "last_event_type"),
+                F.col("n_events"),
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+    )
+    stable = tempfile.mkdtemp(prefix="mdt_stateful_final_")
+    final.write.mode("overwrite").parquet(stable)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(stable)
+
+
+SQL_STREAM_STATEFUL_TOTALS = """
+WITH base AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+latest AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM base
+)
+SELECT b.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(b.cents) AS BIGINT) AS sum_value_cents,
+       max(l.event_type) AS last_event_type
+FROM base b JOIN latest l ON b.user_id = l.user_id AND l.rn = 1
+GROUP BY b.user_id
+"""
+
+
+QUERIES = {
+    "stream_stateful_totals": (q_stream_stateful_totals, SQL_STREAM_STATEFUL_TOTALS),
+}

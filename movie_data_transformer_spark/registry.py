@@ -61,6 +61,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.mm_decode_queries",
     "movie_data_transformer_spark.operators.embedding_queries",
     "movie_data_transformer_spark.operators.format_queries",
+    "movie_data_transformer_spark.operators.stateful_queries",
 ]
 
 

@@ -70,6 +70,66 @@ def _update_user_totals(
     )
 
 
+EXACT_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+_EXACT_STATE_SCHEMA = (
+    "n_events BIGINT, sum_cents BIGINT, last_ts_ns BIGINT, "
+    "last_event_id BIGINT, last_event_type STRING"
+)
+
+
+def _update_user_totals_exact(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Integer-exact twin of _update_user_totals, built to sit behind a
+    full DuckDB oracle: values accumulate as exact integer CENTS (Python
+    int — order-independent), and "latest" is the total order
+    (ts, event_id) so ties cannot make the answer batch-slicing-
+    dependent. State totals are therefore identical for EVERY micro-batch
+    slicing of the same input — the property the oracle hash checks."""
+    (user_id,) = key
+    if state.exists:
+        n, cents, last_ts, last_eid, last_type = state.get
+    else:
+        n, cents, last_ts, last_eid, last_type = 0, 0, -1, -1, None
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        cand = (int(top["ts"]), int(top["event_id"]))
+        if cand > (last_ts, last_eid):
+            last_ts, last_eid = cand
+            last_type = str(top["event_type"])
+    state.update((n, cents, last_ts, last_eid, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value_cents": [cents],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def running_user_totals_exact(events_stream: DataFrame) -> DataFrame:
+    """Oracle-checkable form of running_user_totals (same raw-nanos input
+    contract)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals_exact,
+        outputStructType=EXACT_TOTALS_SCHEMA,
+        stateStructType=_EXACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def use_rocksdb_state_store(spark) -> None:
     """Switch stateful streaming to the RocksDB state-store provider:
     state spills to local disk instead of living on the JVM heap — the

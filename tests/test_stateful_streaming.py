@@ -83,3 +83,56 @@ def test_running_user_totals_matches_batch(spark, sf_dir, tmp_path):
     }
     for uid in got:
         assert got[uid][2] == latest[uid]
+
+
+def test_exact_totals_invariant_under_micro_batch_slicing(spark, sf_dir, tmp_path):
+    """The oracle-checked exact form must produce identical final state
+    no matter how the input is sliced into micro-batches: split events
+    into 3 files, stream them one file per trigger, and compare against
+    the single-batch run of the same data."""
+    from pyspark.sql.functions import col
+
+    from movie_data_transformer_spark.sources.tables import load_events_raw_ns
+    from movie_data_transformer_spark.streaming.stateful import (
+        running_user_totals_exact,
+    )
+
+    raw = load_events_raw_ns(spark, sf_dir)
+    src = str(tmp_path / "split")
+    raw.repartition(3).write.parquet(src)
+
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(src)
+        )
+        name = f"exact_totals_{max_files}"
+        q = (
+            running_user_totals_exact(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck{max_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import functions as F
+
+        return {
+            r.user_id: (r.n_events, r.sum_value_cents, r.last_event_type)
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "sum_value_cents", "last_event_type"),
+                    col("n_events"),
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
+            .collect()
+        }
+
+    sliced, whole = run(1), run(3)
+    assert sliced == whole and len(sliced) > 0
