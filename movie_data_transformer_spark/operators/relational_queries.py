@@ -955,6 +955,94 @@ FROM hits GROUP BY 1, 2
 """
 
 
+def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters — the mergeable point-frequency
+    sketch completing the sketch family (Bloom = membership, HLL =
+    distinct, fixed-grid = quantiles, CMS = frequency). d=3 hash rows x
+    w=1024 buckets over per-user event counts; partials are stored at
+    (row, bucket, year) grain and MERGED by summation (same
+    store-partials workflow as agg_quantile_sketch), estimates are
+    min-over-rows of the probed buckets. CMS is fully deterministic
+    given its hash functions — md5 via portable_hash, reproducible in
+    DuckDB — so unlike the DataSketches HLL entry this sketch carries a
+    FULL oracle. The one-sided guarantee (est >= true, over <= e*n/w
+    w.h.p.) is pinned for every user in tests/test_relational.py.
+
+    Scale: the sketch is 3 x 1024 rows regardless of corpus size; the
+    only full-data shuffle is the partial agg (after a 3x map-side
+    explode); probing broadcasts the sketch and touches only the probe
+    set. At 100 TB the (row, bucket, day) partials land in the lake and
+    any date range re-merges without rescanning events."""
+    W = 1024
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "year(ts) AS yr"
+    )
+    hash_expr = (
+        "CAST(conv(substring(md5(concat('cms:', CAST(r AS STRING), ':', "
+        f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {W}"
+    )
+    hashed = ev.selectExpr("user_id", "yr", "explode(array(0, 1, 2)) AS r").selectExpr(
+        "user_id", "yr", "r", f"{hash_expr} AS bucket"
+    )
+    partials = hashed.groupBy("r", "bucket", "yr").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cms = partials.groupBy("r", "bucket").agg(F.sum("cnt").cast("bigint").alias("c"))
+    probe_rows = (
+        ev.select("user_id")
+        .distinct()
+        .selectExpr("user_id", "explode(array(0, 1, 2)) AS r")
+        .selectExpr("user_id", "r", f"{hash_expr} AS bucket")
+    )
+    est = (
+        probe_rows.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
+    true_n = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    return (
+        est.join(true_n, ["user_id"])
+        .selectExpr(
+            "user_id", "true_n", "est_n", "CAST(est_n - true_n AS BIGINT) AS overcount"
+        )
+        .orderBy(F.col("est_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+SQL_AGG_CMS_HEAVY_HITTERS = f"""
+WITH ev AS (SELECT user_id, year(ts) AS yr FROM events),
+rr AS (SELECT 0 AS r UNION ALL SELECT 1 UNION ALL SELECT 2),
+hashed AS (
+    SELECT e.user_id, e.yr, rr.r,
+           {_BF_H.format(x="'cms:' || rr.r || ':' || e.user_id")} % 1024 AS bucket
+    FROM ev e CROSS JOIN rr
+),
+partials AS (
+    SELECT r, bucket, yr, count(*) AS cnt FROM hashed GROUP BY 1, 2, 3
+),
+cms AS (
+    SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS c FROM partials GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM ev),
+probe_rows AS (
+    SELECT p.user_id, rr.r,
+           {_BF_H.format(x="'cms:' || rr.r || ':' || p.user_id")} % 1024 AS bucket
+    FROM probes p CROSS JOIN rr
+),
+est AS (
+    SELECT pr.user_id, CAST(min(c.c) AS BIGINT) AS est_n
+    FROM probe_rows pr JOIN cms c ON pr.r = c.r AND pr.bucket = c.bucket
+    GROUP BY 1
+),
+tru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n FROM ev GROUP BY 1)
+SELECT e.user_id, t.true_n, e.est_n,
+       CAST(e.est_n - t.true_n AS BIGINT) AS overcount
+FROM est e JOIN tru t ON e.user_id = t.user_id
+ORDER BY e.est_n DESC, e.user_id ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
@@ -985,4 +1073,5 @@ QUERIES = {
     "expr_json": (q_expr_json, SQL_EXPR_JSON),
     "join_bloom_prune": (q_join_bloom_prune, SQL_JOIN_BLOOM_PRUNE),
     "agg_quantile_sketch": (q_agg_quantile_sketch, SQL_AGG_QUANTILE_SKETCH),
+    "agg_cms_heavy_hitters": (q_agg_cms_heavy_hitters, SQL_AGG_CMS_HEAVY_HITTERS),
 }

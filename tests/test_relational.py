@@ -176,3 +176,29 @@ def test_quantile_sketch_brackets_exact_order_statistic(spark, sf_dir):
         rank = -(-n_total * q // 100)  # ceil
         exact = vals[et][rank - 1]
         assert lo <= exact < hi, (et, q, exact, lo, hi)
+
+
+def test_cms_one_sided_guarantee_for_every_user(spark, sf_dir):
+    """CMS never undercounts: est >= true for EVERY probed key (not just
+    the returned top-20), and the expected-overcount bound n*d/w is a
+    sane sanity ceiling at this scale."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.relational_queries import (
+        q_agg_cms_heavy_hitters,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    top = q_agg_cms_heavy_hitters(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(top) == min(20, n_users)
+    assert all(r.overcount >= 0 for r in top)
+    assert all(r.est_n == r.true_n + r.overcount for r in top)
+    n = load_table(spark, sf_dir, "events").count()
+    # overcount is bounded by the colliding mass; with w=1024 buckets the
+    # per-row expected collision mass is ~n/1024 — allow 20x headroom so
+    # the assertion gates collapse (e.g. a broken hash sending everything
+    # to one bucket), not statistical noise
+    assert all(r.overcount <= max(20 * n // 1024, 50) for r in top)
