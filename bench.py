@@ -53,6 +53,11 @@ HEADLINE = [
     # (new operator families)
     "join_bloom_prune",
     "ann_ivf_incremental_assign",
+    # late-r5 additions: embedding compression and the mergeable
+    # quantile/frequency sketches (new operator families)
+    "emb_int8_quantize",
+    "agg_quantile_sketch",
+    "agg_cms_heavy_hitters",
 ]
 
 
