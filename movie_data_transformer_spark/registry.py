@@ -62,6 +62,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.embedding_queries",
     "movie_data_transformer_spark.operators.format_queries",
     "movie_data_transformer_spark.operators.stateful_queries",
+    "movie_data_transformer_spark.operators.streaming_extras_queries",
 ]
 
 
