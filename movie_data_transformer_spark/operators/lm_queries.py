@@ -355,6 +355,35 @@ GROUP BY p.doc_id
 """
 
 
+def q_text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF extension surface behind the driver oracle: the
+    SAME fixed-size token chunking as `text_chunks`, but computed by a
+    registered user-defined table function applied via LATERAL — the
+    user-extension point the reference engine entirely lacks
+    (SURVEY.md:182-199). Oracle = text_chunks' SQL: the UDTF must agree
+    with the expression form row-for-row (also pinned at chunk size 16
+    in tests/test_text_multimodal.py). Row-at-a-time Python, so the
+    expression form remains the production path; this entry binds the
+    extension surface itself into driver evidence."""
+    from movie_data_transformer_spark.operators.text import chunk_text_udtf
+
+    spark.udtf.register("chunk_text", chunk_text_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_chunk_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM udtf_chunk_docs d, LATERAL chunk_text(d.text, 64) c"
+    )
+
+
+
+# single source: the UDTF must match the expression chunker exactly, so
+# it is held to the exact same oracle SQL
+from movie_data_transformer_spark.operators.llm_queries import (  # noqa: E402
+    SQL_TEXT_CHUNKS as _SQL_TEXT_CHUNKS_UDTF,
+)
+
 QUERIES = {
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
@@ -362,4 +391,5 @@ QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF_TOPK),
     "scd2_user_value": (q_scd2_user_value, SQL_SCD2_USER_VALUE),
     "cdc_user_state_diff": (q_cdc_user_state_diff, SQL_CDC_USER_STATE_DIFF),
+    "text_chunks_udtf": (q_text_chunks_udtf, _SQL_TEXT_CHUNKS_UDTF),
 }
