@@ -321,6 +321,82 @@ FROM documents
 """
 
 
+def q_export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after shard assignment: ACTUALLY EXPORT the training
+    shards (partitioned parquet write, sorted within each shard) and
+    emit the manifest a downstream trainer consumes — per shard: doc
+    count, total whitespace tokens, doc-id range, and an
+    order-sensitive integrity checksum (sum over docs of
+    doc_id * pos — any mis-assignment or mis-ordering in the exported
+    files changes it). The manifest is computed FROM THE EXPORTED FILES
+    (read-back), so the oracle — which recomputes it straight from the
+    source table — checks the whole write->read round trip, not just
+    the assignment arithmetic.
+
+    Scale: one shuffle for the shard window (same as training_shards),
+    a partitioned write (16 files here; at 100 TB,
+    repartition(shard).sortWithinPartitions(pos) with thousands of
+    shards), and a manifest agg over shard-partitioned data (map-side
+    partials, 16 output rows)."""
+    import shutil
+    import tempfile
+
+    assign = q_training_shards(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    export = assign.join(docs, "doc_id").selectExpr(
+        "doc_id",
+        "shard",
+        "pos",
+        "size(split(trim(text), '\\\\s+')) AS n_tokens",
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="mdt_export_")
+    (
+        export.repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("order_checksum"),
+        )
+        .withColumn("shard", F.col("shard").cast("bigint"))
+    )
+    stable = tempfile.mkdtemp(prefix="mdt_export_manifest_")
+    manifest.write.mode("overwrite").parquet(stable)
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.read.parquet(stable)
+
+
+SQL_EXPORT_TRAINING_MANIFEST = f"""
+WITH assign AS (
+    SELECT doc_id,
+           {_H_SHARD} % 16 AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_H_SHARD} % 16
+               ORDER BY {_H_POS} ASC, doc_id ASC
+           ) AS INTEGER) AS pos,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
+FROM assign GROUP BY shard
+"""
+
+
 def q_docs_canonical_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection over exact-duplicate clusters: group
     the (duplicate-augmented) corpus by content digest and keep the
@@ -635,6 +711,10 @@ QUERIES = {
     "quality_gate_funnel": (q_quality_gate_funnel, SQL_QUALITY_GATE_FUNNEL),
     "token_budget_by_source": (q_token_budget_by_source, SQL_TOKEN_BUDGET_BY_SOURCE),
     "training_shards": (q_training_shards, SQL_TRAINING_SHARDS),
+    "export_training_manifest": (
+        q_export_training_manifest,
+        SQL_EXPORT_TRAINING_MANIFEST,
+    ),
     "docs_canonical_per_cluster": (
         q_docs_canonical_per_cluster,
         SQL_DOCS_CANONICAL_PER_CLUSTER,
