@@ -325,19 +325,24 @@ def q_export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step after shard assignment: ACTUALLY EXPORT the training
     shards (partitioned parquet write, sorted within each shard) and
     emit the manifest a downstream trainer consumes — per shard: doc
-    count, total whitespace tokens, doc-id range, and an
-    order-sensitive integrity checksum (sum over docs of
-    doc_id * pos — any mis-assignment or mis-ordering in the exported
-    files changes it). The manifest is computed FROM THE EXPORTED FILES
-    (read-back), so the oracle — which recomputes it straight from the
-    source table — checks the whole write->read round trip, not just
-    the assignment arithmetic.
+    count, total whitespace tokens, doc-id range, an assignment
+    checksum (sum over docs of doc_id * pos — any lost/duplicated/
+    re-assigned doc changes it), and `is_sorted`: whether the PHYSICAL
+    row order of the exported files really is the pos order
+    (row_number over monotonically_increasing_id in read order — each
+    shard is one parquet file here, so scan order IS file row order; a
+    dropped/broken sortWithinPartitions flips this to false and breaks
+    the oracle hash, which expects true). The manifest is computed FROM
+    THE EXPORTED FILES (read-back), so the oracle — which recomputes it
+    straight from the source table — checks the whole write->read round
+    trip, not just the assignment arithmetic.
 
     Scale: one shuffle for the shard window (same as training_shards),
     a partitioned write (16 files here; at 100 TB,
     repartition(shard).sortWithinPartitions(pos) with thousands of
     shards), and a manifest agg over shard-partitioned data (map-side
-    partials, 16 output rows)."""
+    partials, 16 output rows). The is_sorted audit assumes one file per
+    shard and unsplit scans (true here; at scale run it per file)."""
     import shutil
     import tempfile
 
@@ -351,22 +356,38 @@ def q_export_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     out = tempfile.mkdtemp(prefix="mdt_export_")
+    # sort by (shard, pos), not pos alone: the dynamic-partition writer
+    # requires rows ordered by the partition column and will inject its
+    # own NON-STABLE local sort on `shard` if the incoming ordering
+    # doesn't already lead with it — which scrambles pos within each
+    # shard file (caught by the is_sorted audit going false)
     (
         export.repartition("shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out)
     )
+    read_back = spark.read.parquet(out).withColumn(
+        "read_seq", F.monotonically_increasing_id()
+    )
+    read_ordered = read_back.withColumn(
+        "read_rank",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(F.col("read_seq").asc())
+        ),
+    )
     manifest = (
-        spark.read.parquet(out)
-        .groupBy("shard")
+        read_ordered.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
-            F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("order_checksum"),
+            F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias(
+                "assign_checksum"
+            ),
+            F.bool_and(F.col("pos") == F.col("read_rank")).alias("is_sorted"),
         )
         .withColumn("shard", F.col("shard").cast("bigint"))
     )
@@ -392,7 +413,8 @@ SELECT CAST(shard AS BIGINT) AS shard,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(min(doc_id) AS BIGINT) AS min_doc_id,
        CAST(max(doc_id) AS BIGINT) AS max_doc_id,
-       CAST(sum(doc_id * pos) AS BIGINT) AS order_checksum
+       CAST(sum(doc_id * pos) AS BIGINT) AS assign_checksum,
+       CAST(1 AS BOOLEAN) AS is_sorted
 FROM assign GROUP BY shard
 """
 

@@ -78,6 +78,20 @@ def _projected_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").selectExpr(*_PROJ)
 
 
+def _staged_format_write(df: DataFrame, out: str, fmt: str, ext: str) -> None:
+    """Distributed 4-part write of `df` as `fmt`, renamed to stable
+    customer_{i}.{ext} names (listing order = sorted part order, like the
+    reference's S3 objects)."""
+    stage = out + "_stage"
+    writer = df.repartition(4).write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "false")
+    getattr(writer, fmt)(stage)
+    for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, f"part-*.{ext}")))):
+        shutil.move(p, os.path.join(out, f"customer_{i}.{ext}"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Cached-per-(sf, source-fingerprint) CSV fixture: 4 part files with
     stable names + the planted decoy/malformed rows."""
@@ -87,17 +101,7 @@ def csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def _build(out: str) -> None:
-        stage = out + "_stage"
-        (
-            _projected_customer(spark, sf_dir)
-            .repartition(4)
-            .write.mode("overwrite")
-            .option("header", "false")
-            .csv(stage)
-        )
-        for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*.csv")))):
-            shutil.move(p, os.path.join(out, f"customer_{i}.csv"))
-        shutil.rmtree(stage, ignore_errors=True)
+        _staged_format_write(_projected_customer(spark, sf_dir), out, "csv", "csv")
         with open(os.path.join(out, "customer_0.csv"), "a") as f:
             f.write("not_a_number,Bad Row,7,AUTOMOBILE,123\n")  # key fails BIGINT
             f.write("99,short row\n")  # wrong arity
@@ -130,13 +134,7 @@ def orc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def _build(out: str) -> None:
-        stage = out + "_stage"
-        _projected_customer(spark, sf_dir).repartition(4).write.mode(
-            "overwrite"
-        ).orc(stage)
-        for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*.orc")))):
-            shutil.move(p, os.path.join(out, f"customer_{i}.orc"))
-        shutil.rmtree(stage, ignore_errors=True)
+        _staged_format_write(_projected_customer(spark, sf_dir), out, "orc", "orc")
 
     return publish_fixture_dir(_build, d)
 

@@ -897,7 +897,15 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.selectExpr(
             "event_type",
             "year(ts) AS yr",
-            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100 AS bin",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc",
+        )
+        # FLOOR division (not div/trunc) so the one-bin bracket guarantee
+        # holds for negative values too: trunc would collapse (-100, 0)
+        # into bin 0 and break lo <= exact < hi
+        .selectExpr(
+            "event_type",
+            "yr",
+            "CASE WHEN vc >= 0 THEN vc div 100 ELSE -((-vc + 99) div 100) END AS bin",
         )
         .groupBy("event_type", "yr", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -923,10 +931,16 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_AGG_QUANTILE_SKETCH = """
-WITH binned AS (
+WITH cents AS (
     SELECT event_type, year(ts) AS yr,
-           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS bin
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
     FROM events
+),
+binned AS (
+    SELECT event_type, yr,
+           CASE WHEN vc >= 0 THEN vc // 100
+                ELSE -((-vc + 99) // 100) END AS bin
+    FROM cents
 ),
 partials AS (
     SELECT event_type, yr, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3
@@ -973,13 +987,17 @@ def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode); probing broadcasts the sketch and touches only the probe
     set. At 100 TB the (row, bucket, day) partials land in the lake and
     any date range re-merges without rescanning events."""
+    from movie_data_transformer_spark.operators.text import PORTABLE_HASH_SPARK_SQL
+
     W = 1024
     ev = load_table(spark, sf_dir, "events").selectExpr(
         "user_id", "year(ts) AS yr"
     )
     hash_expr = (
-        "CAST(conv(substring(md5(concat('cms:', CAST(r AS STRING), ':', "
-        f"CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % {W}"
+        PORTABLE_HASH_SPARK_SQL.format(
+            x="concat('cms:', CAST(r AS STRING), ':', CAST(user_id AS STRING))"
+        )
+        + f" % {W}"
     )
     hashed = ev.selectExpr("user_id", "yr", "explode(array(0, 1, 2)) AS r").selectExpr(
         "user_id", "yr", "r", f"{hash_expr} AS bucket"

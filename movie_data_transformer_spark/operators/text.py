@@ -31,6 +31,11 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 #: their local _HASH. Keep in lockstep with portable_hash below.
 PORTABLE_HASH_SQL = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
+#: the same hash as a Spark SQL expression string, for operators built
+#: with selectExpr/generated SQL (the py4j-cheap construction path) —
+#: keep in lockstep with portable_hash/PORTABLE_HASH_SQL
+PORTABLE_HASH_SPARK_SQL = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
 
 def portable_hash(col: Column) -> Column:
     """Deterministic 32-bit-range hash reproducible in ANSI SQL:
@@ -394,7 +399,11 @@ def chunk_text_udtf():
         def eval(self, text: str, chunk_tokens: int):
             import re
 
-            toks = re.split(r"\s+", (text or "").strip())
+            if text is None:
+                # match the expression form: split(trim(NULL)) is NULL,
+                # so a NULL doc contributes no chunk rows
+                return
+            toks = re.split(r"\s+", text.strip())
             for ci in range(0, max(len(toks), 1), chunk_tokens):
                 window = toks[ci : ci + chunk_tokens]
                 yield ci // chunk_tokens, " ".join(window), len(window)

@@ -101,7 +101,14 @@ def _update_user_totals_exact(
         n, cents, last_ts, last_eid, last_type = 0, 0, -1, -1, None
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # round-half-UP cents (floor(x+0.5)) to match the oracle's
+        # CAST(value AS DECIMAL(18,2)) — pandas .round() is half-EVEN and
+        # diverges on exact half-cents (0.125 -> 12 vs DECIMAL's 13).
+        # Domain: non-negative values (events.value >= 0); negatives
+        # would need half-away-from-zero instead.
+        import numpy as np
+
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
         top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
         cand = (int(top["ts"]), int(top["event_id"]))
         if cand > (last_ts, last_eid):
