@@ -131,14 +131,24 @@ class KVTextWriter(DataSourceWriter):
                 n += 1
         return _KVCommitMessage(temp_path=temp, n_rows=n)
 
+    def _cleanup(self) -> None:
+        shutil.rmtree(self._job_tmp(), ignore_errors=True)
+        try:
+            # drop the shared _temporary parent too once the last job is
+            # done; harmless race with concurrent jobs (rmdir refuses
+            # non-empty)
+            os.rmdir(os.path.join(self.path, "_temporary"))
+        except OSError:
+            pass
+
     def commit(self, messages: Sequence[_KVCommitMessage]) -> None:
         for idx, msg in enumerate(messages):
             final = os.path.join(self.path, f"part-{idx:05d}.tsv")
             os.replace(msg.temp_path, final)
-        shutil.rmtree(self._job_tmp(), ignore_errors=True)
+        self._cleanup()
 
     def abort(self, messages: Sequence[_KVCommitMessage]) -> None:
-        shutil.rmtree(self._job_tmp(), ignore_errors=True)
+        self._cleanup()
 
 
 class KVTextDataSource(DataSource):

@@ -33,3 +33,59 @@ def test_state_store_prunes_old_versions(spark, tmp_path):
     # retain window: current + 2 prior
     assert versions == [4, 5, 6]
     assert store.read().count() == 3
+
+
+def test_kv_text_datasource_writer_round_trip(spark, tmp_path):
+    """The Python DataSource WRITER (two-phase commit): rows land as
+    key\\tvalue lines, all task temp state is cleaned up, and the output
+    equals the input exactly."""
+    import os
+
+    from movie_data_transformer_spark.sources.pydatasource import register_datasources
+
+    register_datasources(spark)
+    df = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(100)], "key string, value string"
+    ).repartition(4)
+    out = str(tmp_path / "kv_out")
+    os.makedirs(out)
+    df.write.format("kv_text").option("path", out).mode("append").save()
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert len(parts) == 4  # one committed file per task
+    assert not os.path.exists(os.path.join(out, "_temporary"))  # no temp litter
+    got = {}
+    for p in parts:
+        with open(os.path.join(out, p), encoding="utf-8") as fh:
+            for line in fh:
+                k, v = line.rstrip("\n").split("\t")
+                got[k] = v
+    assert got == {f"k{i}": f"v{i}" for i in range(100)}
+
+
+def test_kv_text_datasource_writer_abort_leaves_no_output(spark, tmp_path):
+    """A failing task aborts the job: no part files, no temp dir — the
+    exactly-once contract the reference's retry path lacks."""
+    import os
+
+    import pytest
+
+    from movie_data_transformer_spark.sources.pydatasource import register_datasources
+
+    register_datasources(spark)
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(100)], "key string, n int"
+        )
+        .repartition(4)
+        # ANSI division by zero throws inside task execution on some rows
+        .select("key", (F.lit(1) / (F.col("n") - 50)).cast("string").alias("value"))
+    )
+    out = str(tmp_path / "kv_fail")
+    os.makedirs(out)
+    with pytest.raises(Exception):
+        df.write.format("kv_text").option("path", out).mode("append").save()
+    assert [p for p in os.listdir(out) if p.startswith("part-")] == []
+    assert not os.path.exists(os.path.join(out, "_temporary"))
