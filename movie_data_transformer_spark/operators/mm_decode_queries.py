@@ -1,11 +1,12 @@
 """REAL multimodal container decode entries (no codec libraries): WAV
 PCM audio via the stdlib wave module, 24-bit BMP images via struct +
-numpy — see operators/multimodal.py. Each entry runs the full
+numpy, and COMPRESSED 8-bit truecolor PNG via stdlib zlib (all five
+scanline filters) — see operators/multimodal.py. Each entry runs the full
 encode -> container-parse -> exact-integer-features loop distributed
 (mapInPandas both ways) and is held to a DuckDB oracle that recomputes
 the features from the integer generative formulas alone, so a header
 mis-parse, a padding bug, an endianness slip, or a channel-order swap
-breaks the driver value hash. Compressed codecs (jpeg/mp4) remain the
+breaks the driver value hash. Lossy codecs (jpeg/mp4) remain the
 documented stub in multimodal.decode_media.
 """
 
@@ -15,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from movie_data_transformer_spark.operators.multimodal import (
     bmp_features,
+    png_features,
     synthesize_bmp_media,
+    synthesize_png_media,
     synthesize_wav_media,
     wav_features,
 )
@@ -79,7 +82,38 @@ GROUP BY doc_id, w, h
 """
 
 
+def q_mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images, COMPRESSED tier: real 8-bit truecolor PNGs (zlib IDAT,
+    CRC-checked chunks, scanline filters cycling None/Sub/Up/Average/
+    Paeth), decoded with stdlib zlib alone; per-channel exact integer
+    sums — a wrong unfilter in ANY of the five paths breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return png_features(synthesize_png_media(docs))
+
+
+SQL_MM_PNG_DECODE = """
+WITH p AS (SELECT doc_id, 4 + doc_id % 11 AS w, 4 + doc_id % 7 AS h
+           FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+cell AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, w, h,
+              (doc_id * 7 + x * 13 + y * 31) % 256 AS r,
+              (doc_id * 11 + x * 17 + y * 5) % 256 AS g,
+              (doc_id * 3 + x * 29 + y * 23) % 256 AS b
+       FROM cell)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (q_mm_wav_decode, SQL_MM_WAV_DECODE),
     "mm_bmp_decode": (q_mm_bmp_decode, SQL_MM_BMP_DECODE),
+    "mm_png_decode": (q_mm_png_decode, SQL_MM_PNG_DECODE),
 }

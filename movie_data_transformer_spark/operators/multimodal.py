@@ -401,3 +401,169 @@ def bmp_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)
+
+
+# --- PNG: a real COMPRESSED container, decoded with stdlib zlib only ----------
+
+
+def _png_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) for the synthetic PNG — small and varied."""
+    return 4 + doc_id % 11, 4 + doc_id % 7
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """REAL 8-bit truecolor PNG blobs: signature + IHDR + one
+    zlib-deflated IDAT + IEND, CRC32 on every chunk. Pixels come from the
+    same integer formula as the BMPs (_bmp_pixel, with _png_params dims);
+    the scanline FILTER TYPE CYCLES y % 5 through None/Sub/Up/Average/
+    Paeth, so a decoder that mis-implements any of the five unfilters
+    produces wrong channel sums and breaks the oracle hash. Executor-side
+    via mapInPandas — PNG is the compressed-container tier of the decode
+    story (WAV/BMP are raw; jpeg/mp4 stay stubbed, no codec libs)."""
+    import struct as struct_mod
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct_mod.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct_mod.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _png_params(d)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r, g, b = _bmp_pixel(d, x, y)
+                raw_rows = []
+                for yy in range(h):
+                    px = np.empty((w, 3), dtype=np.uint8)
+                    px[:, 0] = r[yy]
+                    px[:, 1] = g[yy]
+                    px[:, 2] = b[yy]
+                    raw_rows.append(px.reshape(-1).astype(np.int64))
+                scanlines = []
+                zeros = np.zeros(w * 3, dtype=np.int64)
+                for yy in range(h):
+                    cur, prior = raw_rows[yy], raw_rows[yy - 1] if yy else zeros
+                    left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+                    ul = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+                    ft = yy % 5
+                    if ft == 0:
+                        filt = cur
+                    elif ft == 1:
+                        filt = cur - left
+                    elif ft == 2:
+                        filt = cur - prior
+                    elif ft == 3:
+                        filt = cur - (left + prior) // 2
+                    else:
+                        pred = np.array(
+                            [_paeth(int(a), int(bb), int(c))
+                             for a, bb, c in zip(left, prior, ul)],
+                            dtype=np.int64,
+                        )
+                        filt = cur - pred
+                    scanlines.append(
+                        bytes([ft]) + (filt % 256).astype(np.uint8).tobytes()
+                    )
+                ihdr = struct_mod.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                blob = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+                    + chunk(b"IEND", b"")
+                )
+                out.append((d, blob))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Decode REAL PNG bytes: verify signature + per-chunk CRC32, parse
+    IHDR, zlib-inflate the concatenated IDAT stream, reverse all five
+    scanline filters (None/Sub/Up/Average/Paeth), and emit exact-integer
+    channel sums — oracle-recomputable from the pixel formula alone."""
+    import struct as struct_mod
+    import zlib
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(blob)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+                pos, w = 8, None
+                idat = b""
+                while pos < len(data):
+                    (ln,) = struct_mod.unpack_from(">I", data, pos)
+                    tag = data[pos + 4 : pos + 8]
+                    payload = data[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct_mod.unpack_from(">I", data, pos + 8 + ln)
+                    assert crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF), "CRC"
+                    if tag == b"IHDR":
+                        w, h, depth, ctype = struct_mod.unpack_from(">IIBB", payload)
+                        assert depth == 8 and ctype == 2, "unsupported PNG"
+                    elif tag == b"IDAT":
+                        idat += payload
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = zlib.decompress(idat)
+                stride = w * 3
+                prior = np.zeros(stride, dtype=np.int64)
+                sr = sg = sb = 0
+                for yy in range(h):
+                    off = yy * (stride + 1)
+                    ft = raw[off]
+                    filt = np.frombuffer(
+                        raw, dtype=np.uint8, count=stride, offset=off + 1
+                    ).astype(np.int64)
+                    if ft == 0:
+                        cur = filt
+                    elif ft == 1:  # Sub: per-channel prefix sum
+                        cur = filt.reshape(-1, 3).cumsum(axis=0).reshape(-1) % 256
+                    elif ft == 2:
+                        cur = (filt + prior) % 256
+                    else:  # Average / Paeth: sequential left dependency
+                        cur = np.empty(stride, dtype=np.int64)
+                        for i in range(stride):
+                            left = cur[i - 3] if i >= 3 else 0
+                            up = int(prior[i])
+                            ul = int(prior[i - 3]) if i >= 3 else 0
+                            if ft == 3:
+                                cur[i] = (filt[i] + (left + up) // 2) % 256
+                            else:
+                                cur[i] = (filt[i] + _paeth(int(left), up, ul)) % 256
+                    px = cur.reshape(-1, 3)
+                    sr += int(px[:, 0].sum())
+                    sg += int(px[:, 1].sum())
+                    sb += int(px[:, 2].sum())
+                    prior = cur
+                out.append((int(doc_id), int(w), int(h), sr, sg, sb))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)

@@ -299,3 +299,55 @@ def test_bmp_decode_handles_every_padding_case(spark):
         row = got[d]
         assert (row.width, row.height) == (w, h)
         assert (row.sum_r, row.sum_g, row.sum_b) == (sr, sg, sb), d
+
+
+def test_png_filters_all_exercised_and_tamper_detected(spark):
+    """The synthetic PNGs must actually use all five scanline filter
+    types (else the decoder's unfilter paths are untested), and the
+    decoder must verify chunk CRCs (a flipped IDAT byte raises, never
+    silently wrong sums)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from movie_data_transformer_spark.operators.multimodal import (
+        png_features,
+        synthesize_png_media,
+    )
+
+    docs = spark.range(0, 10).selectExpr("id AS doc_id")
+    blobs = {r.doc_id: bytes(r.content) for r in synthesize_png_media(docs).collect()}
+    seen = set()
+    for d, data in blobs.items():
+        pos = 8
+        idat = b""
+        while pos < len(data):
+            (ln,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            if tag == b"IHDR":
+                w, h = struct.unpack_from(">II", data, pos + 8)
+            if tag == b"IDAT":
+                idat += data[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = w * 3 + 1
+        seen |= {raw[y * stride] for y in range(h)}
+    assert seen == {0, 1, 2, 3, 4}
+
+    # tamper: flip one byte inside the first IDAT payload -> CRC fails
+    d0 = min(blobs)
+    data = bytearray(blobs[d0])
+    pos = 8
+    while True:
+        (ln,) = struct.unpack_from(">I", bytes(data), pos)
+        tag = bytes(data[pos + 4 : pos + 8])
+        if tag == b"IDAT":
+            data[pos + 8] ^= 0xFF
+            break
+        pos += 12 + ln
+    bad = spark.createDataFrame(
+        [(int(d0), bytes(data))], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="CRC"):
+        png_features(bad).collect()
