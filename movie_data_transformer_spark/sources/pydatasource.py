@@ -132,14 +132,16 @@ class KVTextWriter(DataSourceWriter):
         return _KVCommitMessage(temp_path=temp, n_rows=n)
 
     def _cleanup(self) -> None:
-        shutil.rmtree(self._job_tmp(), ignore_errors=True)
-        try:
-            # drop the shared _temporary parent too once the last job is
-            # done; harmless race with concurrent jobs (rmdir refuses
-            # non-empty)
-            os.rmdir(os.path.join(self.path, "_temporary"))
-        except OSError:
-            pass
+        # remove the ENTIRE _temporary tree, not just this job's subdir:
+        # a straggler task can re-create its job dir AFTER the driver's
+        # abort ran (same race FileOutputCommitter has), so stale job
+        # dirs from a previous failed write may exist — and concurrent
+        # jobs into one KV dir are unsupported anyway (part-file names
+        # would collide). Stale temp state is therefore swept by the
+        # next job's commit/abort; readers never see it (underscore
+        # prefix). The abort-then-succeed sequence is pinned in
+        # tests/test_sources_extras.py.
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
 
     def commit(self, messages: Sequence[_KVCommitMessage]) -> None:
         for idx, msg in enumerate(messages):

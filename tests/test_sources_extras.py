@@ -87,5 +87,14 @@ def test_kv_text_datasource_writer_abort_leaves_no_output(spark, tmp_path):
     os.makedirs(out)
     with pytest.raises(Exception):
         df.write.format("kv_text").option("path", out).mode("append").save()
+    # the exactly-once contract: NO visible output from the failed job
+    # (a straggler task may legitimately re-create _temporary after the
+    # driver's abort — same race as FileOutputCommitter — so temp litter
+    # is allowed here and must be swept by the next job)
     assert [p for p in os.listdir(out) if p.startswith("part-")] == []
-    assert not os.path.exists(os.path.join(out, "_temporary"))
+    ok = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    ok.coalesce(1).write.format("kv_text").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_temporary"))  # self-healed
+    (part,) = [p for p in os.listdir(out) if p.startswith("part-")]
+    with open(os.path.join(out, part), encoding="utf-8") as fh:
+        assert sorted(fh.read().splitlines()) == ["a\t1", "b\t2"]
