@@ -1,0 +1,41 @@
+"""Results must be IDENTICAL under any partitioning / shuffle width —
+the reproducibility property that makes the engine trustworthy on a
+1000-executor cluster (floating-point partial-agg order, window ties,
+and hash-bucket assignment are the classic ways engines silently lose
+it). Runs the most order-sensitive registry entries at shuffle widths
+3 and 32 and requires bit-identical sorted results."""
+
+from __future__ import annotations
+
+import pytest
+
+ENTRIES = [
+    "events_ewma",  # IEEE left-fold — order pinned by design
+    "stats_corr_by_year",  # exact decimal partials
+    "tpch_q1_pricing_summary",  # decimal sums + deterministic_avg
+    "dedup_minhash_lsh",  # hash buckets + pair expansion
+    "training_shards",  # window over hash total order
+    "events_value_mad_outliers",  # percentile interpolation
+    "agg_quantile_sketch",  # grid partials merge
+    "agg_cms_heavy_hitters",  # sketch partials merge
+]
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_result_invariant_under_shuffle_width(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for width in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            df = q(spark, sf_dir)
+            cols = sorted(df.columns)
+            results[width] = sorted(
+                tuple(row[c] for c in cols) for row in df.select(*cols).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results["3"] == results["32"] and len(results["3"]) > 0
