@@ -136,3 +136,76 @@ def test_exact_totals_invariant_under_micro_batch_slicing(spark, sf_dir, tmp_pat
 
     sliced, whole = run(1), run(3)
     assert sliced == whole and len(sliced) > 0
+
+
+def test_exact_totals_state_survives_restart(spark, sf_dir, tmp_path):
+    """applyInPandasWithState state recovery: stop after the first file,
+    add more files, restart from the SAME checkpoint — the final totals
+    must equal the batch aggregate over everything, proving state was
+    recovered (not recomputed from scratch, which double-counts, nor
+    reset, which undercounts)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.sources.tables import load_events_raw_ns
+    from movie_data_transformer_spark.streaming.stateful import (
+        running_user_totals_exact,
+    )
+
+    raw = load_events_raw_ns(spark, sf_dir)
+    staged = str(tmp_path / "staged")
+    live = str(tmp_path / "live")
+    raw.repartition(3).write.parquet(staged)
+    import os
+
+    os.makedirs(live)
+    parts = sorted(p for p in os.listdir(staged) if p.startswith("part-"))
+    assert len(parts) == 3
+    shutil.copy(os.path.join(staged, parts[0]), os.path.join(live, parts[0]))
+
+    emissions = str(tmp_path / "emissions")
+
+    def run_once():
+        # memory sink does NOT support checkpoint recovery; a durable
+        # foreachBatch sink is the restartable shape
+        stream = spark.readStream.schema(raw.schema).parquet(live)
+        q = (
+            running_user_totals_exact(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(emissions)
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    for p in parts[1:]:
+        shutil.copy(os.path.join(staged, p), os.path.join(live, p))
+    run_once()
+    # last emission per key across BOTH phases = recovered running total
+    final = {
+        r.user_id: (r.n_events, r.sum_value_cents)
+        for r in spark.read.parquet(emissions)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value_cents"), F.col("n_events")
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in raw.selectExpr(
+            "user_id", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("c"))
+        .collect()
+    }
+    assert final == want and len(final) > 0
