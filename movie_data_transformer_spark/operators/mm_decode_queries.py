@@ -1,7 +1,8 @@
 """REAL multimodal container decode entries (no codec libraries): WAV
 PCM audio via the stdlib wave module, 24-bit BMP images via struct +
-numpy, and COMPRESSED 8-bit truecolor PNG via stdlib zlib (all five
-scanline filters) — see operators/multimodal.py. Each entry runs the full
+numpy, COMPRESSED 8-bit truecolor PNG via stdlib zlib (all five
+scanline filters), and GIF87a via a hand-rolled variable-width LZW —
+see operators/multimodal.py. Each entry runs the full
 encode -> container-parse -> exact-integer-features loop distributed
 (mapInPandas both ways) and is held to a DuckDB oracle that recomputes
 the features from the integer generative formulas alone, so a header
@@ -16,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from movie_data_transformer_spark.operators.multimodal import (
     bmp_features,
+    gif_features,
     png_features,
     synthesize_bmp_media,
+    synthesize_gif_media,
     synthesize_png_media,
     synthesize_wav_media,
     wav_features,
@@ -112,8 +115,36 @@ GROUP BY doc_id, w, h
 """
 
 
+def q_mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images, LZW tier: real GIF87a blobs (256-color global palette,
+    hand-rolled variable-width LZW in sub-blocks), fully decoded —
+    palette lookup included — with exact integer channel sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_features(synthesize_gif_media(docs))
+
+
+SQL_MM_GIF_DECODE = """
+WITH p AS (SELECT doc_id, 6 + doc_id % 10 AS w, 4 + doc_id % 8 AS h
+           FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+cell AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, w, h,
+              (doc_id * 5 + x * 11 + y * 17) % 256 AS i
+       FROM cell)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(i) AS BIGINT) AS sum_r,
+       CAST(sum((i * 7) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((i * 13) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (q_mm_wav_decode, SQL_MM_WAV_DECODE),
     "mm_bmp_decode": (q_mm_bmp_decode, SQL_MM_BMP_DECODE),
     "mm_png_decode": (q_mm_png_decode, SQL_MM_PNG_DECODE),
+    "mm_gif_decode": (q_mm_gif_decode, SQL_MM_GIF_DECODE),
 }

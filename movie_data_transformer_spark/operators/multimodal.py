@@ -567,3 +567,194 @@ def png_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)
+
+
+# --- GIF: LZW-compressed container (variable-width codes, hand-rolled) --------
+
+
+def _gif_params(doc_id: int) -> tuple[int, int]:
+    return 6 + doc_id % 10, 4 + doc_id % 8
+
+
+def _gif_palette_rgb(idx):
+    """256-entry palette formula (numpy-broadcastable): r=i, g=(i*7)%256,
+    b=(i*13)%256 — mirrored verbatim by the DuckDB oracle."""
+    return idx % 256, (idx * 7) % 256, (idx * 13) % 256
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW with variable code width (min+1 .. 12 bits,
+    LSB-first packing), clear/EOI codes, dict reset at 4096."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    next_code, width = eoi + 1, min_code_size + 1
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    codes: list[tuple[int, int]] = [(clear, width)]
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code, width = eoi + 1, min_code_size + 1
+        w = bytes([k])
+    if w:
+        codes.append((table[w], width))
+    codes.append((eoi, width))
+    buf, acc, nbits = bytearray(), 0, 0
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev = None
+    while True:
+        while nbits < width:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width, prev = list(base), min_code_size + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise ValueError("missing EOI")
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """REAL GIF87a blobs: header + logical screen descriptor + 256-color
+    global palette (_gif_palette_rgb) + image descriptor + hand-rolled
+    LZW-compressed pixel indices in <=255-byte sub-blocks + trailer.
+    Pixel index formula (doc_id*5 + x*11 + y*17) % 256. The LZW variant
+    (variable width, clear/EOI, 4096 reset) is round-trip-fuzzed in
+    tests. Executor-side via mapInPandas."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = bytearray()
+        for i in range(256):
+            r, g, b = _gif_palette_rgb(i)
+            pal += bytes([r, g, b])
+        pal = bytes(pal)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _gif_params(d)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                idx = ((d * 5 + x * 11 + y * 17) % 256).astype(np.uint8)
+                lzw = _lzw_encode(idx.tobytes())
+                sub = b"".join(
+                    bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                    for i in range(0, len(lzw), 255)
+                )
+                blob = (
+                    b"GIF87a"
+                    + struct_mod.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 colors
+                    + pal
+                    + b"\x2c"
+                    + struct_mod.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+                    + bytes([8])  # LZW min code size
+                    + sub
+                    + b"\x00\x3b"  # block terminator + trailer
+                )
+                out.append((d, blob))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+
+
+def gif_features(media: DataFrame) -> DataFrame:
+    """Decode REAL GIF bytes: parse header/screen descriptor, read the
+    global color table, parse the image descriptor, reassemble the LZW
+    sub-blocks, decompress, map indices through the palette, and emit
+    exact-integer channel sums."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(blob)
+                assert data[:6] in (b"GIF87a", b"GIF89a"), "bad GIF signature"
+                sw, sh, flags, _bg, _ar = struct_mod.unpack_from("<HHBBB", data, 6)
+                assert flags & 0x80, "no global color table"
+                gct_len = 2 << (flags & 0x07)
+                pos = 13
+                pal = np.frombuffer(
+                    data, dtype=np.uint8, count=gct_len * 3, offset=pos
+                ).reshape(gct_len, 3).astype(np.int64)
+                pos += gct_len * 3
+                assert data[pos] == 0x2C, "expected image descriptor"
+                _l, _t, w, h, iflags = struct_mod.unpack_from("<HHHHB", data, pos + 1)
+                assert not (iflags & 0x40), "interlace unsupported"
+                pos += 10
+                mcs = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while data[pos] != 0:
+                    ln = data[pos]
+                    lzw += data[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = np.frombuffer(
+                    _lzw_decode(bytes(lzw), mcs), dtype=np.uint8
+                ).astype(np.int64)
+                assert idx.size == w * h, "pixel count mismatch"
+                px = pal[idx]
+                out.append(
+                    (
+                        int(doc_id),
+                        int(w),
+                        int(h),
+                        int(px[:, 0].sum()),
+                        int(px[:, 1].sum()),
+                        int(px[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)

@@ -351,3 +351,24 @@ def test_png_filters_all_exercised_and_tamper_detected(spark):
     )
     with pytest.raises(Exception, match="CRC"):
         png_features(bad).collect()
+
+
+def test_lzw_codec_fuzz_round_trip():
+    """The hand-rolled GIF LZW: fuzz round trip incl. the dict-growth,
+    4096-reset, and KwKwK paths."""
+    import random
+
+    from movie_data_transformer_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for _ in range(100):
+        n = rng.randint(1, 3000)
+        idx = bytes(rng.randint(0, 255) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(idx)) == idx
+    rep = bytes([1, 2, 3] * 5000)  # forces width growth to 12 + clear/reset
+    assert _lzw_decode(_lzw_encode(rep)) == rep
+    kwk = bytes([5]) * 64  # classic KwKwK (code == len(table)) case
+    assert _lzw_decode(_lzw_encode(kwk)) == kwk
