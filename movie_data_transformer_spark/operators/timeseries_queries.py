@@ -244,8 +244,78 @@ FROM events e JOIN p USING (event_type)
 """
 
 
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear (double exponential) smoothing — level +
+    trend state folded over the time-ordered value sequence
+    (alpha=0.2, beta=0.1; init l=x0, b=x1-x0), emitting the final state
+    and the one-step-ahead forecast l+b. The EWMA entry's cross-engine
+    IEEE-fold technique extended to a STRUCT accumulator: Spark's
+    aggregate() carries named_struct('l','b'), DuckDB's list_reduce
+    carries a 2-element list — both sides evaluate the IDENTICAL
+    expression tree in the identical left-fold order, so the doubles
+    match bit-for-bit (l' is spelled out twice inside b' on BOTH sides
+    rather than let either engine reuse a subexpression differently).
+    One shuffle on user_id; the fold is JVM-side (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    holt = (
+        "CASE WHEN size(vals) = 1 THEN named_struct("
+        "'l', CAST(element_at(vals, 1) AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)) "
+        "ELSE aggregate(slice(vals, 3, size(vals) - 2), "
+        "named_struct('l', CAST(element_at(vals, 1) AS DOUBLE), "
+        "'b', CAST(element_at(vals, 2) - element_at(vals, 1) AS DOUBLE)), "
+        "(acc, x) -> named_struct("
+        "'l', x * 0.2d + (acc.l + acc.b) * 0.8d, "
+        "'b', (x * 0.2d + (acc.l + acc.b) * 0.8d - acc.l) * 0.1d + acc.b * 0.9d)) "
+        "END"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("seq"))
+        .selectExpr("user_id", "transform(seq, s -> s.value) AS vals")
+        .selectExpr("user_id", "size(vals) AS n_events", f"{holt} AS lb")
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "round(lb.l, 6) AS level",
+            "round(lb.b, 6) AS trend",
+            "round(lb.l + lb.b, 6) AS forecast_1",
+        )
+    )
+
+
+SQL_EVENTS_HOLT_LINEAR = """
+WITH seq AS (
+    SELECT user_id, list(value ORDER BY ts ASC, event_id ASC) AS vs
+    FROM events GROUP BY 1
+),
+folded AS (
+    SELECT user_id, len(vs) AS n_events,
+           CASE WHEN len(vs) = 1 THEN [CAST(vs[1] AS DOUBLE), 0.0]
+                ELSE list_reduce(
+                    list_prepend([CAST(vs[1] AS DOUBLE),
+                                  CAST(vs[2] - vs[1] AS DOUBLE)],
+                                 list_transform(vs[3:], x -> [CAST(x AS DOUBLE), 0.0])),
+                    (a, e) -> [e[1] * 0.2 + (a[1] + a[2]) * 0.8,
+                               (e[1] * 0.2 + (a[1] + a[2]) * 0.8 - a[1]) * 0.1
+                               + a[2] * 0.9])
+           END AS lb
+    FROM seq
+)
+SELECT user_id,
+       CAST(n_events AS INTEGER) AS n_events,
+       round(lb[1], 6) AS level,
+       round(lb[2], 6) AS trend,
+       round(lb[1] + lb[2], 6) AS forecast_1
+FROM folded
+"""
+
+
 QUERIES = {
     "window_trailing_7d": (q_window_trailing_7d, SQL_WINDOW_TRAILING_7D),
+    "events_holt_linear": (q_events_holt_linear, SQL_EVENTS_HOLT_LINEAR),
     "events_value_winsorized": (
         q_events_value_winsorized,
         SQL_EVENTS_VALUE_WINSORIZED,

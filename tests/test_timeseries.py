@@ -160,3 +160,40 @@ def test_corr_matches_numpy(spark, sf_dir):
         assert abs(got[y].corr_qty_price - want_qp) < 1e-6, y
         assert abs(got[y].corr_disc_price - want_dp) < 1e-6, y
         assert got[y].n == len(rows)
+
+
+def test_holt_linear_matches_numpy_reference(spark, sf_dir):
+    """Independent Python recomputation of the Holt fold (same init and
+    coefficients) must agree to float tolerance for every user."""
+    from movie_data_transformer_spark.operators.timeseries_queries import (
+        q_events_holt_linear,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in q_events_holt_linear(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    assert set(got) == set(series)
+    for uid, seq in series.items():
+        xs = [v for _, _, v in sorted(seq)]
+        if len(xs) == 1:
+            lvl, tr = xs[0], 0.0
+        else:
+            lvl, tr = xs[0], xs[1] - xs[0]
+            for x in xs[2:]:
+                new_l = x * 0.2 + (lvl + tr) * 0.8
+                tr = (new_l - lvl) * 0.1 + tr * 0.9
+                lvl = new_l
+        n, g_l, g_t, g_f = got[uid]
+        assert n == len(xs)
+        assert abs(g_l - lvl) < 1e-6 and abs(g_t - tr) < 1e-6
+        assert abs(g_f - (lvl + tr)) < 2e-6
