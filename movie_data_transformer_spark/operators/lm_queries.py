@@ -384,6 +384,78 @@ from movie_data_transformer_spark.operators.llm_queries import (  # noqa: E402
     SQL_TEXT_CHUNKS as _SQL_TEXT_CHUNKS_UDTF,
 )
 
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the documents corpus (12 merges) —
+    see operators/bpe.py. Rows-only: the loop is inherently iterative;
+    the binding driver evidence is bpe_invariants_gate + the classic
+    low/lower/newest golden pytest (tests/test_bpe.py)."""
+    from movie_data_transformer_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=12)
+
+
+def q_bpe_invariants_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked gate over the rows-only BPE trainer: (1) the first
+    learned merge equals an INDEPENDENT single-round argmax
+    recomputation from the raw corpus, (2) merge_idx is dense 0..n-1
+    with positive counts, (3) encoding the corpus with the learned
+    merges strictly compresses (subwords < raw symbols) while never
+    going below one token per word. Oracle = the literal expected
+    booleans, so any trainer regression breaks the driver hash."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+        top_pair,
+        words_as_symbols,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = learn_bpe_merges(docs, n_merges=12).orderBy("merge_idx").collect()
+    first = top_pair(words_as_symbols(docs))
+    first_ok = bool(
+        learned
+        and first is not None
+        and (learned[0].left, learned[0].right, learned[0].pair_count) == first
+    )
+    dense_ok = [r.merge_idx for r in learned] == list(range(len(learned))) and all(
+        r.pair_count > 0 for r in learned
+    )
+    enc = apply_bpe_merges(docs, [(r.left, r.right) for r in learned])
+    raw_symbols = docs.selectExpr(
+        "size(split(lower(trim(text)), '\\s+')) AS n_words",
+        "length(replace(lower(trim(text)), ' ', '')) AS n_chars",
+    ).agg(
+        F.sum(F.col("n_chars") + F.col("n_words")).cast("bigint").alias("raw")
+    ).collect()[0].raw
+    tot = enc.agg(
+        F.sum("n_subwords").cast("bigint").alias("sub"),
+        F.sum("n_words").cast("bigint").alias("words"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                first_ok,
+                bool(dense_ok),
+                bool(tot.sub < raw_symbols),
+                bool(tot.sub >= tot.words),
+            )
+        ],
+        "first_merge_ok boolean, table_dense_ok boolean, "
+        "compresses boolean, no_overmerge boolean",
+    )
+
+
+SQL_BPE_INVARIANTS_GATE = """
+SELECT CAST(1 AS BOOLEAN) AS first_merge_ok,
+       CAST(1 AS BOOLEAN) AS table_dense_ok,
+       CAST(1 AS BOOLEAN) AS compresses,
+       CAST(1 AS BOOLEAN) AS no_overmerge
+"""
+
+
 QUERIES = {
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
@@ -392,4 +464,6 @@ QUERIES = {
     "scd2_user_value": (q_scd2_user_value, SQL_SCD2_USER_VALUE),
     "cdc_user_state_diff": (q_cdc_user_state_diff, SQL_CDC_USER_STATE_DIFF),
     "text_chunks_udtf": (q_text_chunks_udtf, _SQL_TEXT_CHUNKS_UDTF),
+    "bpe_learn_merges": (q_bpe_learn_merges, None),
+    "bpe_invariants_gate": (q_bpe_invariants_gate, SQL_BPE_INVARIANTS_GATE),
 }

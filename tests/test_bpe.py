@@ -1,0 +1,89 @@
+"""BPE merge learning: the classic golden example + invariants."""
+
+from __future__ import annotations
+
+
+def _docs(spark, text: str):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_bpe_classic_golden(spark):
+    """Sennrich-style corpus (low x5, lower x2, newest x6, widest x3):
+    the merge sequence is the textbook one under the deterministic
+    tie-break (count desc, pair asc)."""
+    from movie_data_transformer_spark.operators.bpe import learn_bpe_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in learn_bpe_merges(_docs(spark, text), n_merges=5)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == [
+        ("e", "s", 9),  # newest + widest
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),  # low + lower
+        ("lo", "w", 7),
+    ]
+
+
+def test_bpe_apply_encodes_and_compresses(spark):
+    from movie_data_transformer_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = _docs(spark, text)
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, n_merges=5).orderBy("merge_idx").collect()
+    ]
+    row = apply_bpe_merges(docs, merges).collect()[0]
+    assert row.n_words == 16
+    # raw symbols: chars + one </w> per word = (5*3 + 2*5 + 6*6 + 3*6) + 16 = 95
+    # after (e,s)(es,t)(est,</w>)(l,o)(lo,w), applied in order:
+    #   low    -> 'low </w>'       2 tokens x5
+    #   lower  -> 'low e r </w>'   4 tokens x2
+    #   newest -> 'n e w est</w>'  4 tokens x6
+    #   widest -> 'w i d est</w>'  4 tokens x3
+    assert row.n_subwords == 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4  # == 54 < 95
+
+
+def test_bpe_merge_never_crosses_word_boundary(spark):
+    """Adjacent WORDS must contribute no pairs: in 'b a b a b a' the
+    only pairs are within-word (x, </w>) — (b, a) never exists despite
+    six cross-boundary adjacencies in the raw text."""
+    from movie_data_transformer_spark.operators.bpe import (
+        _pair_counts,
+        learn_bpe_merges,
+        words_as_symbols,
+    )
+
+    docs = _docs(spark, "b a b a b a")
+    pairs = {
+        (r.left, r.right): r.pair_count
+        for r in _pair_counts(words_as_symbols(docs)).collect()
+    }
+    assert pairs == {("a", "</w>"): 3, ("b", "</w>"): 3}
+    got = learn_bpe_merges(docs, n_merges=1).collect()
+    # tie on count 3 -> pair-ascending tie-break picks ('a', '</w>')
+    assert (got[0].left, got[0].right, got[0].pair_count) == ("a", "</w>", 3)
+
+
+def test_bpe_overlapping_run_merges_leftmost(spark):
+    """'aaa' with merge (a,a): leftmost-nonoverlapping -> 'aa a', never
+    'a aa' or a triple merge."""
+    from movie_data_transformer_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, "aaa aaa")
+    m = learn_bpe_merges(docs, n_merges=1).collect()
+    assert (m[0].left, m[0].right, m[0].pair_count) == ("a", "a", 4)
+    row = apply_bpe_merges(docs, [("a", "a")]).collect()[0]
+    # per word: 'aa a </w>' = 3 tokens
+    assert row.n_subwords == 6

@@ -41,6 +41,7 @@ ROWS_ONLY_FLOORS = {
     "semdedup_pairs": 25,  # observed 50 (planted near-dups)
     "agg_approx_sketches": 3,  # one row per region bucket
     "agg_hll_mergeable": 3,  # exactly one row per returnflag
+    "bpe_learn_merges": 6,  # exactly n_merges=12 on any non-trivial corpus
 }
 
 
