@@ -143,7 +143,42 @@ def q_source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(orc_fixture_dir(spark, sf_dir))
 
 
+def xml_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Spark 4's NATIVE XML source (spark-xml merged upstream): the
+    third text format in the matrix."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"mdt_xml_{tag}_{source_fingerprint(sf_dir)}"
+    )
+
+    def _build(out: str) -> None:
+        stage = out + "_stage"
+        (
+            _projected_customer(spark, sf_dir)
+            .repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "customer")
+            .save(stage)
+        )
+        for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*")))):
+            shutil.move(p, os.path.join(out, f"customer_{i}.xml"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return publish_fixture_dir(_build, d)
+
+
+def q_source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.schema(CSV_SCHEMA)  # same projection, declared types
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(xml_fixture_dir(spark, sf_dir))
+    )
+
+
 QUERIES = {
     "source_csv_scan": (q_source_csv_scan, _ORACLE),
     "source_orc_scan": (q_source_orc_scan, _ORACLE),
+    "source_xml_scan": (q_source_xml_scan, _ORACLE),
 }
