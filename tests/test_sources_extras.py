@@ -98,3 +98,41 @@ def test_kv_text_datasource_writer_abort_leaves_no_output(spark, tmp_path):
     (part,) = [p for p in os.listdir(out) if p.startswith("part-")]
     with open(os.path.join(out, part), encoding="utf-8") as fh:
         assert sorted(fh.read().splitlines()) == ["a\t1", "b\t2"]
+
+
+def test_corrupt_parquet_file_skipped_with_ignore_corrupt(spark, tmp_path):
+    """Object-store reality: one corrupted parquet object must not kill
+    the scan. ignoreCorruptFiles=true reads the surviving files; the
+    default (false) raises — both sides of the policy pinned."""
+    import os
+
+    import pytest
+
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    d = str(tmp_path / "pq")
+    df.repartition(4).write.parquet(d)
+    parts = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+    victim = os.path.join(d, parts[0])
+    keep = spark.read.parquet(d).count()
+    assert keep == 1000
+    with open(victim, "r+b") as fh:  # stomp the footer magic
+        fh.seek(-4, os.SEEK_END)
+        fh.write(b"XXXX")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with pytest.raises(Exception):
+            spark.read.parquet(d).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # schema inference itself reads every footer; declare the schema
+        # (production readers know it) and set the option on the reader
+        survivors = (
+            spark.read.schema("id bigint, v bigint")
+            .option("ignoreCorruptFiles", "true")
+            .parquet(d)
+        )
+        n = survivors.count()
+        assert 0 < n < 1000  # the corrupt file's rows are gone, rest intact
+        assert survivors.selectExpr("max(v - id * 2)").collect()[0][0] == 0
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
