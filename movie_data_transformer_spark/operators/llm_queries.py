@@ -421,9 +421,16 @@ def _minhash_state_index_dir(spark: SparkSession, sf_dir: str) -> str:
         source_fingerprint,
     )
 
+    # cache key includes an index-format version: unlike the raw-docs
+    # fixtures, this dir holds DERIVED state (shingle sets + band rows) —
+    # bump the version whenever shingling/signature/banding logic
+    # changes, or a stale cached index from a previous code revision
+    # would silently diverge from the recomputing oracle
+    _INDEX_FORMAT_VERSION = "v1_n3_mh32_b16x2"
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
-        tempfile.gettempdir(), f"mdt_mhidx_{tag}_{source_fingerprint(sf_dir)}"
+        tempfile.gettempdir(),
+        f"mdt_mhidx_{_INDEX_FORMAT_VERSION}_{tag}_{source_fingerprint(sf_dir)}",
     )
 
     def _build(out: str) -> None:
