@@ -97,7 +97,7 @@ def csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     stable names + the planted decoy/malformed rows."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
-        tempfile.gettempdir(), f"mdt_csv_{tag}_{source_fingerprint(sf_dir)}"
+        tempfile.gettempdir(), f"mdt_csv_v1_{tag}_{source_fingerprint(sf_dir)}"
     )
 
     def _build(out: str) -> None:
@@ -130,7 +130,7 @@ def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
-        tempfile.gettempdir(), f"mdt_orc_{tag}_{source_fingerprint(sf_dir)}"
+        tempfile.gettempdir(), f"mdt_orc_v1_{tag}_{source_fingerprint(sf_dir)}"
     )
 
     def _build(out: str) -> None:
@@ -148,7 +148,7 @@ def xml_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     third text format in the matrix."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(
-        tempfile.gettempdir(), f"mdt_xml_{tag}_{source_fingerprint(sf_dir)}"
+        tempfile.gettempdir(), f"mdt_xml_v1_{tag}_{source_fingerprint(sf_dir)}"
     )
 
     def _build(out: str) -> None:

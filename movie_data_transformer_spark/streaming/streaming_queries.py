@@ -105,8 +105,9 @@ def _ingest_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
+    # v1: bump when augmented_corpus/file-splitting changes (derived state)
     d = os.path.join(
-        tempfile.gettempdir(), f"mdt_ingest_{tag}_{source_fingerprint(sf_dir)}"
+        tempfile.gettempdir(), f"mdt_ingest_v1_{tag}_{source_fingerprint(sf_dir)}"
     )
 
     def _build(out: str) -> None:
