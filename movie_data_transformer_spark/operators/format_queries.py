@@ -177,8 +177,101 @@ def q_source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: every 7th doc gets a loose .wav on disk — bounds the fixture at
+#: ~700 files at sf0.1 while keeping a spread of _wav_params shapes
+WAV_SUBSET_MOD = 7
+
+
+def binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Loose-file multimodal landing zone: one REAL .wav per subset doc
+    (the blobs mm_wav_decode synthesizes), written EXECUTOR-side via
+    foreachPartition — the raw-object-store layout a media pipeline
+    ingests from, as opposed to blobs already inside parquet. Plus a
+    README.txt decoy for the suffix filter."""
+    from movie_data_transformer_spark.operators.multimodal import (
+        synthesize_wav_media,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"mdt_binwav_v1_{tag}_{source_fingerprint(sf_dir)}"
+    )
+
+    def _build(out: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            f"doc_id % {WAV_SUBSET_MOD} = 0"
+        )
+
+        def write_part(rows) -> None:
+            for r in rows:
+                with open(os.path.join(out, f"doc_{r.doc_id:08d}.wav"), "wb") as f:
+                    f.write(bytes(r.content))
+
+        synthesize_wav_media(docs).foreachPartition(write_part)
+        with open(os.path.join(out, "README.txt"), "w") as f:
+            f.write("decoy: listing must keep *.wav only\n")
+
+    return publish_fixture_dir(_build, d)
+
+
+def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's binaryFile source over the loose-wav landing zone: list +
+    suffix-filter + read (path, length, content), doc_id recovered from
+    the object name, RIFF container decoded to exact-integer features.
+    file_bytes comes from the SOURCE's length metadata column (not from
+    the blob), so the oracle's 44 + 2*n formula binds the listing
+    metadata, the wave-writer framing, and the decode at once.
+
+    Scale: binaryFile splits by file (maxPartitionBytes-aware listing);
+    the decode is the same Arrow mapInPandas as mm_wav_decode — no
+    driver-side file I/O anywhere.
+    """
+    from movie_data_transformer_spark.operators.multimodal import wav_features
+
+    d = binaryfile_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(d)
+        .selectExpr(
+            r"CAST(regexp_extract(path, 'doc_(\\d+)\\.wav$', 1) AS BIGINT) AS doc_id",
+            "CAST(length AS BIGINT) AS file_bytes",
+            "content",
+        )
+    )
+    return wav_features(bf.select("doc_id", "content")).join(
+        bf.select("doc_id", "file_bytes"), "doc_id"
+    )
+
+
+# the mm_wav_decode generative oracle, restricted to the on-disk subset,
+# plus the container-size formula for the listing's length column:
+# 44-byte canonical RIFF/fmt/data header + 2 bytes per 16-bit sample.
+SQL_SOURCE_BINARYFILE_SCAN = f"""
+WITH p AS (SELECT doc_id, 400 + doc_id % 400 AS n, 64 + doc_id % 1000 AS step
+           FROM documents WHERE doc_id % {WAV_SUBSET_MOD} = 0),
+s AS (SELECT doc_id, n, step, unnest(range(0, n)) AS i FROM p),
+v AS (SELECT doc_id, n, i, ((i * step) % 65536) - 32768 AS x FROM s),
+lagged AS (SELECT doc_id, n, x,
+                  lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM v)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(max(abs(x)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (x < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(44 + 2 * n AS BIGINT) AS file_bytes
+FROM lagged
+GROUP BY doc_id, n
+"""
+
+
 QUERIES = {
     "source_csv_scan": (q_source_csv_scan, _ORACLE),
     "source_orc_scan": (q_source_orc_scan, _ORACLE),
     "source_xml_scan": (q_source_xml_scan, _ORACLE),
+    "source_binaryfile_scan": (q_source_binaryfile_scan, SQL_SOURCE_BINARYFILE_SCAN),
 }

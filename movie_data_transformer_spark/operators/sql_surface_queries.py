@@ -1,0 +1,115 @@
+"""Spark 4 SQL-surface extensions: WITH RECURSIVE and the VARIANT type.
+
+The reference engine's query surface is a fixed Java pipeline
+(DataTransformationService.java) — no SQL at all. A user switching to
+this engine gets Spark's full SQL front end, and these entries put the
+two NEWEST surfaces (recursive CTEs landed in Spark 4.0, VARIANT in
+4.0) behind the same DuckDB oracle gate as every other operator, so the
+"it's standard SQL" claim is hash-checked, not asserted.
+
+- sql_recursive_cte: iterative graph traversal expressed DECLARATIVELY.
+  The engine package already runs its iterative algorithms as manual
+  fixpoint loops (dedup_clusters min-label propagation, graph_pagerank)
+  because they need checkpoint control; this entry pins the other path —
+  letting the engine's recursion execute a multi-level hierarchy walk in
+  ONE statement. DuckDB shares the WITH RECURSIVE dialect almost
+  verbatim (integer division spelled DIV vs //), so the oracle is the
+  same traversal on the other engine.
+
+- expr_variant: semi-structured payloads through the open VARIANT type
+  (parse_json -> variant_get typed paths -> try_variant_get miss
+  handling). The oracle recomputes every extracted value from the PLAIN
+  source columns, so a wrong path, a lost field (e.g. to_json null
+  handling), or a mis-typed get breaks the value hash.
+
+Scale: the recursive CTE's per-level step is one hash join per
+iteration — exactly the shuffle budget of the manual loop, with AQE
+sizing each level; depth is log10(|customer|) so the plan stays
+shallow. VARIANT columns are binary-encoded (no re-parse per access)
+and variant_get is a JVM expression — whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+# decimal-digit hierarchy over the dense customer keys: parent(node) =
+# node div 10, roots are the single-digit keys. Dense keys 0..N-1 make
+# every node reachable; depth is bounded by the key's digit count.
+_RECURSIVE_BODY = """
+WITH RECURSIVE h AS (
+    SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+    FROM {table} WHERE c_custkey <= 9
+    UNION ALL
+    SELECT c.c_custkey AS node, h.root AS root, h.depth + 1 AS depth
+    FROM {table} c JOIN h ON c.c_custkey {div} 10 = h.node
+    WHERE c.c_custkey > 9
+)
+SELECT CAST(root AS BIGINT) AS root,
+       CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_keys,
+       CAST(min(node) AS BIGINT) AS min_key,
+       CAST(max(node) AS BIGINT) AS max_key
+FROM h GROUP BY root, depth
+"""
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level hierarchy rollup in one declarative WITH RECURSIVE
+    statement (per (root, level): subtree size + key stats)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_rc_customer")
+    return spark.sql(_RECURSIVE_BODY.format(table="_rc_customer", div="DIV"))
+
+
+SQL_SQL_RECURSIVE_CTE = _RECURSIVE_BODY.format(table="customer", div="//")
+
+
+def q_expr_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round trip through VARIANT: build a nested JSON
+    payload from the event columns, parse_json it into a VARIANT, then
+    read it back with typed variant_get paths (struct field, array
+    element, json-string-embedded integer) and a try_variant_get miss.
+    Integer-only payload fields keep the loop bit-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.selectExpr(
+        "event_type",
+        "parse_json(to_json(named_struct("
+        "  'meta', named_struct('type', event_type,"
+        "                       'k', CAST(get_json_object(props, '$.k') AS BIGINT)),"
+        "  'ids', array(user_id, event_id)))) AS v",
+    )
+    extracted = payload.selectExpr(
+        "event_type",
+        "variant_get(v, '$.meta.k', 'bigint') AS k",
+        "variant_get(v, '$.ids[0]', 'bigint') AS uid",
+        "variant_get(v, '$.ids[1]', 'bigint') AS eid",
+        "try_variant_get(v, '$.meta.absent', 'bigint') AS missing",
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum("uid").cast("bigint").alias("sum_uid"),
+        F.sum("eid").cast("bigint").alias("sum_eid"),
+        F.count("missing").cast("bigint").alias("n_missing"),
+    )
+
+
+SQL_EXPR_VARIANT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid,
+       CAST(0 AS BIGINT) AS n_missing
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "sql_recursive_cte": (q_sql_recursive_cte, SQL_SQL_RECURSIVE_CTE),
+    "expr_variant": (q_expr_variant, SQL_EXPR_VARIANT),
+}

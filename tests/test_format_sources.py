@@ -72,3 +72,55 @@ def test_orc_roundtrip_values(spark, sf_dir):
         "CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) s"
     ).collect()[0].s
     assert got.selectExpr("CAST(sum(acctbal_cents) AS BIGINT) s").collect()[0].s == want
+
+
+def test_binaryfile_scan_lists_only_wavs_and_binds_length(spark, sf_dir):
+    from movie_data_transformer_spark.operators.format_queries import (
+        WAV_SUBSET_MOD,
+        binaryfile_fixture_dir,
+        q_source_binaryfile_scan,
+    )
+
+    d = binaryfile_fixture_dir(spark, sf_dir)
+    # decoy README.txt is on disk but excluded by the *.wav glob
+    all_files = spark.read.format("binaryFile").load(d)
+    wavs = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(d)
+    n_subset = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"doc_id % {WAV_SUBSET_MOD} = 0")
+        .count()
+    )
+    # README.txt rides alongside the wav objects (the _DONE cache marker
+    # is invisible even unglobbed: Hadoop's default PathFilter hides
+    # underscore-prefixed names, same as _SUCCESS)
+    assert all_files.count() == n_subset + 1
+    assert wavs.count() == n_subset
+
+    out = q_source_binaryfile_scan(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n_subset
+    # the length METADATA column equals the real blob size and the
+    # canonical 44-byte-header formula for every file
+    for r in rows:
+        assert r.file_bytes == 44 + 2 * r.n_samples
+
+
+def test_binaryfile_content_matches_ondisk_bytes(spark, sf_dir):
+    """The source's content column is the raw object: re-reading one file
+    from disk byte-equals what the scan handed the decoder."""
+    from movie_data_transformer_spark.operators.format_queries import (
+        binaryfile_fixture_dir,
+    )
+
+    d = binaryfile_fixture_dir(spark, sf_dir)
+    row = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(d)
+        .orderBy("path")
+        .limit(1)
+        .collect()[0]
+    )
+    local = row.path.removeprefix("file:")
+    with open(local, "rb") as f:
+        assert f.read() == bytes(row.content)

@@ -1,0 +1,44 @@
+"""Spark 4 SQL-surface extensions: WITH RECURSIVE + VARIANT semantics."""
+
+from __future__ import annotations
+
+from movie_data_transformer_spark.operators.sql_surface_queries import (
+    q_expr_variant,
+    q_sql_recursive_cte,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_recursive_cte_covers_every_customer_exactly_once(spark, sf_dir):
+    out = q_sql_recursive_cte(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_nodes for r in out) == n_customers
+    assert {r.root for r in out} == set(range(10))
+    # depth = digit count - 1 under the div-10 hierarchy (keys 0..N-1)
+    max_key = n_customers - 1
+    assert max(r.depth for r in out) == len(str(max_key)) - 1
+    # level sizes: root r at depth d spans keys [r*10^d, (r+1)*10^d)
+    for r in out:
+        lo = r.root * 10**r.depth
+        hi = min((r.root + 1) * 10 ** r.depth, n_customers)
+        assert r.n_nodes == hi - lo
+        assert (r.min_key, r.max_key) == (lo, hi - 1)
+
+
+def test_variant_extraction_binds_to_source_columns(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = q_expr_variant(spark, sf_dir).collect()
+    assert sum(r.n_missing for r in out) == 0  # miss path -> NULL, counted 0
+    assert sum(r.sum_eid for r in out) == ev.selectExpr("sum(event_id) s").first().s
+    assert sum(r.n_rows for r in out) == ev.count()
+
+
+def test_try_variant_get_null_on_type_mismatch(spark):
+    """try_variant_get: a non-numeric string under a bigint typed-get is
+    NULL (the strict variant_get form raises) — the miss-handling
+    distinction the entry's 'missing' column relies on."""
+    row = spark.sql(
+        "SELECT try_variant_get(parse_json('{\"t\": \"click\"}'), '$.t', 'bigint') AS x,"
+        "       try_variant_get(parse_json('{\"t\": \"click\"}'), '$.t', 'string') AS s"
+    ).first()
+    assert row.x is None and row.s == "click"
