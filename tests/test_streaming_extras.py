@@ -63,3 +63,53 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
     assert n_stream == n_batch  # every event matched exactly one customer
     segs = {r.c_mktsegment for r in spark.sql("select distinct c_mktsegment from enriched").collect()}
     assert len(segs) >= 2
+
+
+def test_late_file_rows_are_all_dropped_by_watermark(spark, sf_dir, tmp_path):
+    """The stale third file's rows are ALL dropped by the watermark
+    (numRowsDroppedByWatermark == |late file|) — the metric-level twin of
+    the stream_late_data_drop oracle. Also pins the one-batch watermark
+    lag: the drop happens in the late file's batch, not earlier."""
+    import json
+
+    from movie_data_transformer_spark.operators.streaming_extras_queries import (
+        _EVENTS_SCHEMA,
+        LATE_MOD,
+        late_fixture_dir,
+    )
+
+    d = late_fixture_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_metrics")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    dropped = {
+        p["batchId"]: p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in progress
+        if p["stateOperators"]
+    }
+    n_late = (
+        load_table(spark, sf_dir, "events")
+        .filter(f"event_id % {LATE_MOD} = 0")
+        .count()
+    )
+    # batches 0/1 (on-time files) drop nothing; the late batch drops all
+    assert dropped.get(0, 0) == 0 and dropped.get(1, 0) == 0
+    assert dropped.get(2) == n_late
