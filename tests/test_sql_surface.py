@@ -42,3 +42,30 @@ def test_try_variant_get_null_on_type_mismatch(spark):
         "       try_variant_get(parse_json('{\"t\": \"click\"}'), '$.t', 'string') AS s"
     ).first()
     assert row.x is None and row.s == "click"
+
+
+def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
+    """Morton tiles with span 4096 fix the top two bucket bits of BOTH
+    dimensions (64-wide ranges), so a selective probe on either dimension
+    skips most tiles; linear tiles bound only their own dimension."""
+    from movie_data_transformer_spark.operators.layout_queries import (
+        q_zorder_tile_stats,
+    )
+
+    rows = q_zorder_tile_stats(spark, sf_dir).collect()
+    zt = [r for r in rows if r.layout == "zorder"]
+    lin = [r for r in rows if r.layout == "linear"]
+    assert zt and lin
+    for r in zt:
+        assert r.max_b1 - r.min_b1 <= 63 and r.max_b2 - r.min_b2 <= 63
+    for r in lin:
+        assert r.max_b1 - r.min_b1 <= 15  # linear bounds its own dim tightly
+
+    # a point probe on the dim LINEAR DOESN'T CLUSTER (b2 = 128) touches
+    # at most the 4 zorder tiles of the b2 in [128, 192) band, but most
+    # linear tiles (each spans nearly the full b2 range it has data for)
+    z_touched = sum(1 for r in zt if r.min_b2 <= 128 <= r.max_b2)
+    lin_touched = sum(1 for r in lin if r.min_b2 <= 128 <= r.max_b2)
+    assert z_touched <= 4
+    assert lin_touched >= len(lin) // 2
+    assert 2 * z_touched < lin_touched
