@@ -69,3 +69,28 @@ def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
     assert z_touched <= 4
     assert lin_touched >= len(lin) // 2
     assert 2 * z_touched < lin_touched
+
+
+def test_arrow_udf_token_count_matches_jvm_expression(spark):
+    """The Arrow scalar UDF replicates tokens() = split(trim(s), '\\s+')
+    exactly, including the [''] -> 1 empty-input convention that
+    Python's str.split() would get wrong."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    ws = re.compile(r"\s+")
+
+    @F.udf("bigint", useArrow=True)
+    def py_token_count(s: str) -> int:
+        return len(ws.split(s.strip()))
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("a b",), ("a\n\n b\tc ",), ("one",)], "text string"
+    )
+    rows = df.select(
+        py_token_count("text").alias("py"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("jvm"),
+    ).collect()
+    assert all(r.py == r.jvm for r in rows)
+    assert [r.py for r in rows] == [1, 1, 2, 3, 1]
