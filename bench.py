@@ -58,6 +58,8 @@ HEADLINE = [
     "emb_int8_quantize",
     "agg_quantile_sketch",
     "agg_cms_heavy_hitters",
+    # late-r5 addition: data-layout planning (new operator family)
+    "zorder_tile_stats",
 ]
 
 
