@@ -236,13 +236,13 @@ def q_source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(d)
         .selectExpr(
             r"CAST(regexp_extract(path, 'doc_(\\d+)\\.wav$', 1) AS BIGINT) AS doc_id",
-            "CAST(length AS BIGINT) AS file_bytes",
             "content",
+            "CAST(length AS BIGINT) AS file_bytes",
         )
     )
-    return wav_features(bf.select("doc_id", "content")).join(
-        bf.select("doc_id", "file_bytes"), "doc_id"
-    )
+    # one scan: the length metadata rides through the decode as a
+    # passthrough column (no second listing, no self-join)
+    return wav_features(bf, passthrough=("file_bytes",))
 
 
 # the mm_wav_decode generative oracle, restricted to the on-disk subset,

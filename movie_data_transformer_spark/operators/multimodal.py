@@ -252,23 +252,29 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
-def wav_features(media: DataFrame) -> DataFrame:
+def wav_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Decode REAL WAV bytes by parsing the RIFF container (rate and
     sample count come from the HEADER, samples from the PCM payload) and
     emit exact-integer audio features: peak |amplitude|, strict
     sign-change zero crossings, total energy (sum of squares). All
     bigint — no FP anywhere — so the registry oracle recomputes them
     from the generative formula and any container/decode bug breaks the
-    value hash."""
+    value hash.
+
+    `passthrough` names extra BIGINT columns of `media` to carry through
+    unchanged (e.g. a source's file-size metadata) so callers don't need
+    a second scan + self-join just to keep sibling columns."""
     import io
     import wave as wave_mod
 
     import numpy as np
 
+    cols = ["doc_id", "n_samples", "sample_rate", "peak_abs", "zero_crossings", "energy"]
+
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+            for i, (doc_id, blob) in enumerate(zip(pdf["doc_id"], pdf["content"])):
                 with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
                     rate = w.getframerate()
                     n = w.getnframes()
@@ -284,20 +290,17 @@ def wav_features(media: DataFrame) -> DataFrame:
                         int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0,
                         int((s * s).sum()),
                     )
+                    + tuple(int(pdf[c].iloc[i]) for c in passthrough)
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "n_samples",
-                    "sample_rate",
-                    "peak_abs",
-                    "zero_crossings",
-                    "energy",
-                ],
-            )
+            yield pd.DataFrame(out, columns=cols + list(passthrough))
 
-    return media.mapInPandas(dec, WAV_FEATURES_SCHEMA)
+    schema = WAV_FEATURES_SCHEMA
+    if passthrough:
+        schema = StructType(
+            WAV_FEATURES_SCHEMA.fields
+            + [StructField(c, LongType()) for c in passthrough]
+        )
+    return media.mapInPandas(dec, schema)
 
 
 BMP_FEATURES_SCHEMA = StructType(

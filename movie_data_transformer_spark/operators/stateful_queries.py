@@ -22,52 +22,33 @@ finalization is one shuffle on user_id over the emissions log.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.tables import load_events_stream
+from movie_data_transformer_spark.streaming.harness import run_availablenow_to_df
 from movie_data_transformer_spark.streaming.stateful import running_user_totals_exact
 
 
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="mdt_stateful_")
-    out = os.path.join(work, "emissions")
-    ckpt = os.path.join(work, "ckpt")
     stream = load_events_stream(spark, sf_dir, raw_ns=True, maxFilesPerTrigger="1")
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
-
-    q = (
-        running_user_totals_exact(stream)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .foreachBatch(_sink)
-        .start()
-    )
-    q.awaitTermination()
-    # final state per key = the last (largest-n_events) emission; keep the
-    # result materialized past the work-dir cleanup
-    final = (
-        spark.read.parquet(out)
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("n_events", "sum_value_cents", "last_event_type"),
-                F.col("n_events"),
-            ).alias("s")
+    # final state per key = the last (largest-n_events) emission
+    def _finalize(emissions: DataFrame) -> DataFrame:
+        return (
+            emissions.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_events", "sum_value_cents", "last_event_type"),
+                    F.col("n_events"),
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
         )
-        .select("user_id", "s.*")
+
+    return run_availablenow_to_df(
+        running_user_totals_exact(stream), "update", "mdt_stateful_", _finalize
     )
-    stable = tempfile.mkdtemp(prefix="mdt_stateful_final_")
-    final.write.mode("overwrite").parquet(stable)
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.read.parquet(stable)
 
 
 SQL_STREAM_STATEFUL_TOTALS = """

@@ -31,6 +31,7 @@ from movie_data_transformer_spark.operators.temporal_queries import (
     SQL_RANGE_JOIN_CONVERSIONS,
 )
 from movie_data_transformer_spark.sources.tables import load_events_stream
+from movie_data_transformer_spark.streaming.harness import run_availablenow_to_df
 from movie_data_transformer_spark.streaming.joins import stream_conversions
 
 
@@ -39,25 +40,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = load_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    work = tempfile.mkdtemp(prefix="mdt_ssj_")
-    out = os.path.join(work, "emissions")
-
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
-
-    q = (
-        stream_conversions(views, purchases, 600)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .foreachBatch(_sink)
-        .start()
+    return run_availablenow_to_df(
+        stream_conversions(views, purchases, 600), "append", "mdt_ssj_"
     )
-    q.awaitTermination()
-    stable = tempfile.mkdtemp(prefix="mdt_ssj_final_")
-    spark.read.parquet(out).write.mode("overwrite").parquet(stable)
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.read.parquet(stable)
 
 
 #: every LATE_MOD-th event is replayed 48h stale in a second file
@@ -141,7 +126,6 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch == stream equivalence). This entry makes the DROP itself the
     checked semantic.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = late_fixture_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(_EVENTS_SCHEMA)
@@ -159,24 +143,7 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    work = tempfile.mkdtemp(prefix="mdt_late_")
-    out = os.path.join(work, "emissions")
-
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out)
-
-    q = (
-        agg.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .foreachBatch(_sink)
-        .start()
-    )
-    q.awaitTermination()
-    stable = tempfile.mkdtemp(prefix="mdt_late_final_")
-    spark.read.parquet(out).write.mode("overwrite").parquet(stable)
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.read.parquet(stable)
+    return run_availablenow_to_df(agg, "append", "mdt_late_")
 
 
 # append mode emits a window exactly once, when the watermark (max

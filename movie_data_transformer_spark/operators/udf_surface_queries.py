@@ -35,15 +35,21 @@ from movie_data_transformer_spark.sources.tables import load_table
 def q_udf_arrow_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang token totals where the per-doc count comes from an
     Arrow-optimized scalar Python UDF replicating the engine's
-    tokens() = split(trim(text), '\\s+') semantics exactly (re.split,
-    which like Spark/DuckDB yields [''] — count 1 — on empty input)."""
+    tokens() = split(trim(text), '\\s+') semantics exactly — including
+    the three places Python's defaults silently diverge: SQL trim()
+    strips only ASCII spaces (str.strip() eats all Unicode whitespace),
+    Java/DuckDB \\s is the ASCII class [ \\t\\n\\x0B\\f\\r] (Python re
+    \\s is Unicode-wide), and NULL text must yield NULL, not crash.
+    Like both engines, splitting '' yields [''] — count 1."""
     import re
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.udf("bigint", useArrow=True)
-    def py_token_count(s: str) -> int:
-        return len(ws.split(s.strip()))
+    def py_token_count(s: str | None) -> int | None:
+        if s is None:
+            return None
+        return len(ws.split(s.strip(" ")))
 
     docs = load_table(spark, sf_dir, "documents")
     return (

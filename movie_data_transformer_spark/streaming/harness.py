@@ -1,0 +1,70 @@
+"""Shared run-a-real-stream-and-return-a-DataFrame harness for registry
+entries: availableNow trigger, update/append emissions appended to
+parquet via foreachBatch (a distributed write — no memory-sink driver
+collect), optional finalize step over the emissions log, result staged
+to a stable dir that outlives the work-dir cleanup.
+
+Stable dirs are per-invocation (mkdtemp) so concurrent harness/pytest
+runs never collide; stale ones from previous runs are swept on the next
+invocation once they are old enough that no live session can still be
+lazily reading them.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import tempfile
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+#: a stable dir older than this is fair game for the sweeper — far past
+#: any realistic gap between `return spark.read.parquet(stable)` and the
+#: caller's collect
+_STALE_S = 6 * 3600
+
+
+def _sweep_stale(prefix: str) -> None:
+    cutoff = time.time() - _STALE_S
+    for d in globmod.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # concurrently removed
+
+
+def run_availablenow_to_df(
+    stream_df: DataFrame,
+    output_mode: str,
+    prefix: str,
+    finalize: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Run `stream_df` to completion under an availableNow trigger,
+    return (finalize of) the accumulated emissions as a batch DataFrame
+    backed by a stable parquet staging dir."""
+    spark = stream_df.sparkSession
+    _sweep_stale(prefix)
+    work = tempfile.mkdtemp(prefix=prefix)
+    out = os.path.join(work, "emissions")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.read.parquet(out)
+    result = finalize(emissions) if finalize is not None else emissions
+    stable = tempfile.mkdtemp(prefix=prefix + "final_")
+    result.write.mode("overwrite").parquet(stable)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(stable)
