@@ -124,3 +124,49 @@ def test_portable_hash_matches_duckdb_twin(spark, strings):
         ).fetchall()
     }
     assert got == want
+
+
+bucket_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(bucket_pairs)
+@settings(max_examples=20, deadline=None)
+def test_morton_sql_matches_python_bit_interleave(spark, pairs_in):
+    """The generated div/mod Morton SQL (layout_queries._morton_sql) is
+    the canonical bit interleave: for random 8-bit bucket pairs it equals
+    the reference Python implementation, and it round-trips (the
+    interleave is a bijection on [0,256)^2 -> [0,65536))."""
+    from movie_data_transformer_spark.operators.layout_queries import _morton_sql
+
+    def py_morton(b1: int, b2: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((b1 >> i) & 1) << (2 * i)
+            z |= ((b2 >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs_in, "b1 bigint, b2 bigint")
+    got = [
+        r.z for r in df.selectExpr(f"{_morton_sql('DIV')} AS z").collect()
+    ]
+    want = [py_morton(b1, b2) for b1, b2 in pairs_in]
+    assert got == want
+    # bijectivity spot check: de-interleave recovers the inputs
+    for z, (b1, b2) in zip(want, pairs_in):
+        r1 = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        r2 = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (r1, r2) == (b1, b2)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(pairs_in, columns=["b1", "b2"]))
+    duck = [r[0] for r in con.execute(
+        f"SELECT {_morton_sql('//')} FROM t"
+    ).fetchall()]
+    assert duck == want
