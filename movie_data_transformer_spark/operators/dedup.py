@@ -477,42 +477,51 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Singleton docs (no pairs) are not emitted — callers union them back
     as their own roots if needed. Raises if not converged in max_iter
     (never observed <6 rounds on the test corpora)."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .persist()
+    sess = pairs.sparkSession
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    # data-sized shuffle width for the whole fixpoint (the pagerank
+    # lesson: AQE coalesces reads but not the per-stage bookkeeping of an
+    # over-wide spec on a small graph); restored in finally
+    n_edges = pairs.count()
+    parallelism = sess.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, n_edges // 100_000 + 1))
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        # partition once on the per-round join key, iterate many
+        edges = sym.distinct().repartition(n_parts, F.col("dst")).localCheckpoint()
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                labels.doc_id.alias("doc_id"),
-                F.least(
-                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
-                ).alias("label"),
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels.select("doc_id", F.col("label").alias("cluster_root"))
-    edges.unpersist()
+            # carry the old label through the step so convergence is a
+            # filter over THIS frame — not a second labels join per round
+            stepped = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    labels.doc_id.alias("doc_id"),
+                    labels.label.alias("old_label"),
+                    F.least(
+                        labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            labels = stepped.select("doc_id", "label")
+            if changed == 0:
+                return labels.select("doc_id", F.col("label").alias("cluster_root"))
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
