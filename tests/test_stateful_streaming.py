@@ -209,3 +209,38 @@ def test_exact_totals_state_survives_restart(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == want and len(final) > 0
+
+
+def test_statestore_reader_over_rocksdb_state(spark, sf_dir, tmp_path):
+    """The offline state reader (format('statestore')) also decodes state
+    committed by the RocksDB provider — the at-scale configuration a
+    production debugger would actually hit."""
+    from movie_data_transformer_spark.streaming.stateful import (
+        running_user_totals_exact,
+        use_rocksdb_state_store,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state_store(spark)
+    try:
+        ckpt = str(tmp_path / "rdb_ckpt")
+        stream = load_events_stream(spark, sf_dir, raw_ns=True, maxFilesPerTrigger="1")
+        q = (
+            running_user_totals_exact(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda df, _i: df.count() and None)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ckpt)
+        ev = load_table(spark, sf_dir, "events")
+        assert state.count() == ev.select("user_id").distinct().count()
+        total = state.selectExpr("sum(value.groupState.n_events) s").first().s
+        assert total == ev.count()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
