@@ -372,3 +372,29 @@ def test_lzw_codec_fuzz_round_trip():
     assert _lzw_decode(_lzw_encode(rep)) == rep
     kwk = bytes([5]) * 64  # classic KwKwK (code == len(table)) case
     assert _lzw_decode(_lzw_encode(kwk)) == kwk
+
+
+def test_collapse_repeats_golden(spark):
+    """'a a a b b a' collapses to 'a b a' — runs shrink to one token,
+    non-adjacent repeats survive (it is run-collapse, not a set)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b a"), (2, "x"), (3, "y y")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_cr_docs")
+    from movie_data_transformer_spark.operators.text_cleaning_queries import (
+        q_text_collapse_repeats,
+    )
+    from unittest.mock import patch
+
+    with patch(
+        "movie_data_transformer_spark.operators.text_cleaning_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {r.doc_id: r for r in q_text_collapse_repeats(spark, "unused").collect()}
+    assert (got[1].n_tokens_before, got[1].n_tokens_after) == (6, 3)
+    assert got[1].clean_md5 == hashlib.md5(b"a b a").hexdigest()
+    assert (got[2].n_tokens_before, got[2].n_tokens_after) == (1, 1)
+    assert (got[3].n_tokens_before, got[3].n_tokens_after) == (2, 1)
+    assert got[3].clean_md5 == hashlib.md5(b"y").hexdigest()
