@@ -110,3 +110,24 @@ def test_arrow_udf_token_count_matches_jvm_expression(spark):
     # DuckDB oracle's len(NULL)) yields NULL — compare non-null rows only
     assert all(r.py == r.jvm for r in rows if r.py is not None)
     assert [r.py for r in rows] == [1, 1, 2, 3, 1, 3, 1, None]
+
+
+def test_theta_exact_below_capacity_approx_above(spark):
+    """The oracle strategy for agg_theta_setops rests on Theta sketches
+    being EXACT below nominal capacity (lgK=12 -> 4096 retained): pin
+    that, and pin the graceful ~2%-error regime above capacity."""
+    small = spark.sql(
+        "SELECT theta_sketch_estimate(theta_sketch_agg(id)) e FROM range(3000)"
+    ).first()
+    assert small.e == 3000  # exact mode
+    big = spark.sql(
+        "SELECT theta_sketch_estimate(theta_sketch_agg(id)) e FROM range(100000)"
+    ).first()
+    assert abs(big.e - 100000) / 100000 < 0.02  # estimation mode, bounded
+    # empty input -> empty sketch -> estimate 0 (not NULL): the behavior
+    # the per-day partials rely on for days with no purchases
+    empty = spark.sql(
+        "SELECT theta_sketch_estimate(theta_sketch_agg(CASE WHEN id < 0 THEN id END)) e"
+        " FROM range(10)"
+    ).first()
+    assert empty.e == 0
