@@ -151,8 +151,68 @@ SQL_KLL_RANK_GATE = (
 )
 
 
+BITMAP_SQL = """
+WITH partials AS (
+    SELECT weekofyear(ts) AS wk, day(ts) AS d,
+           bitmap_bucket_number(user_id) AS bkt,
+           bitmap_construct_agg(bitmap_bit_position(
+               CASE WHEN event_type = 'view' THEN user_id END)) AS bv,
+           bitmap_construct_agg(bitmap_bit_position(
+               CASE WHEN event_type = 'purchase' THEN user_id END)) AS bp,
+           bitmap_construct_agg(bitmap_bit_position(
+               CASE WHEN event_type IN ('view', 'purchase') THEN user_id END)) AS bu
+    FROM _bm_events GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT wk, bkt,
+           bitmap_count(bitmap_or_agg(bv)) AS nv,
+           bitmap_count(bitmap_or_agg(bp)) AS np,
+           bitmap_count(bitmap_or_agg(bu)) AS nu
+    FROM partials GROUP BY wk, bkt
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(sum(nv) AS BIGINT) AS n_viewers,
+       CAST(sum(np) AS BIGINT) AS n_purchasers,
+       CAST(sum(nv) + sum(np) - sum(nu) AS BIGINT) AS n_both,
+       CAST(sum(nu) - sum(np) AS BIGINT) AS n_view_only
+FROM merged GROUP BY wk
+"""
+
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT sibling of agg_theta_setops: weekly audience overlap
+    from Spark's integer-bitmap aggregates. Per-(week, day, 32k-bucket)
+    bitmaps (bitmap_construct_agg of bit positions) merge by bitwise OR
+    (bitmap_or_agg — associative, mergeable, EXACT at any scale), and
+    the intersection falls out of inclusion-exclusion (|V|+|P|-|V∪P|),
+    so no AND pass is needed. This is the store-exact-partials workflow
+    for dense integer key spaces at 100 TB: a bitmap segment covers 32k
+    ids in 4 KB regardless of row count, and re-asking any distinct
+    question is a bitmap OR + popcount, never a key-set shuffle. Theta
+    (above) is the sparse/huge-key-space fallback."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_bm_events")
+    return spark.sql(BITMAP_SQL)
+
+
+SQL_AGG_BITMAP_DISTINCT = """
+WITH flags AS (
+    SELECT week(ts) AS wk, user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(sum(v) AS BIGINT) AS n_viewers,
+       CAST(sum(p) AS BIGINT) AS n_purchasers,
+       CAST(sum(v * p) AS BIGINT) AS n_both,
+       CAST(sum(v * (1 - p)) AS BIGINT) AS n_view_only
+FROM flags GROUP BY wk
+"""
+
+
 QUERIES = {
     "agg_theta_setops": (q_agg_theta_setops, SQL_AGG_THETA_SETOPS),
     "agg_kll_quantiles": (q_agg_kll_quantiles, None),  # approximate -> rows-only
     "kll_rank_gate": (q_kll_rank_gate, SQL_KLL_RANK_GATE),
+    "agg_bitmap_distinct": (q_agg_bitmap_distinct, SQL_AGG_BITMAP_DISTINCT),
 }
