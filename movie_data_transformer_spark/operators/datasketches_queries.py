@@ -210,9 +210,41 @@ FROM flags GROUP BY wk
 """
 
 
+TOPK_SQL = """
+WITH states AS (
+    SELECT weekofyear(ts) AS wk,
+           approx_top_k_accumulate(event_type, 10) AS st
+    FROM _tk_events GROUP BY 1
+),
+comb AS (SELECT approx_top_k_combine(st) AS st FROM states)
+SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n_events
+FROM comb LATERAL VIEW inline(approx_top_k_estimate(st, 10)) t AS item, count
+"""
+
+
+def q_agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's mergeable top-k family as the store-partials workflow:
+    per-week approx_top_k_accumulate states, approx_top_k_combine to the
+    global state, approx_top_k_estimate to rows. With k (10) >= the
+    distinct event-type count the structure never evicts, so the counts
+    are EXACT and the entry carries a full oracle — the same
+    exact-below-capacity strategy as agg_theta_setops; beyond capacity
+    the identical plan degrades to approximate heavy hitters (the
+    regime agg_cms_heavy_hitters models with explicit md5 rows)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_tk_events")
+    return spark.sql(TOPK_SQL)
+
+
+SQL_AGG_APPROX_TOPK_MERGE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "agg_theta_setops": (q_agg_theta_setops, SQL_AGG_THETA_SETOPS),
     "agg_kll_quantiles": (q_agg_kll_quantiles, None),  # approximate -> rows-only
     "kll_rank_gate": (q_kll_rank_gate, SQL_KLL_RANK_GATE),
     "agg_bitmap_distinct": (q_agg_bitmap_distinct, SQL_AGG_BITMAP_DISTINCT),
+    "agg_approx_topk_merge": (q_agg_approx_topk_merge, SQL_AGG_APPROX_TOPK_MERGE),
 }
