@@ -69,6 +69,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.text_cleaning_queries",
     "movie_data_transformer_spark.operators.datasketches_queries",
     "movie_data_transformer_spark.operators.privacy_queries",
+    "movie_data_transformer_spark.operators.robustness_queries",
 ]
 
 
