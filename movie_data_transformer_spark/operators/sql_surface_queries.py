@@ -109,7 +109,85 @@ FROM events GROUP BY event_type
 """
 
 
+def q_variant_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT table-generator: variant_explode unpacks each event's
+    semi-structured object into (pos, key, value) rows — the schema-
+    on-read path for payloads whose keys aren't known at write time.
+    Per key: row count and the sum of values that cast to bigint
+    (try_variant_get absorbs the non-numeric 'type' field as NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_vx_events")
+    return spark.sql(
+        """
+        SELECT x.key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(try_variant_get(x.value, '$', 'bigint') AS BIGINT))
+                    AS BIGINT) AS sum_bigint
+        FROM (
+            SELECT parse_json(to_json(named_struct(
+                       'type', event_type,
+                       'k', CAST(get_json_object(props, '$.k') AS BIGINT)))) AS v
+            FROM _vx_events
+        ), LATERAL variant_explode(v) AS x
+        GROUP BY x.key
+        """
+    )
+
+
+SQL_VARIANT_EXPLODE_STATS = """
+SELECT 'k' AS key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_bigint
+FROM events
+UNION ALL
+SELECT 'type' AS key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS sum_bigint
+FROM events
+"""
+
+
+def q_expr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level XML through to_xml + the xpath extraction family (the
+    string-level complement of the file-level source_xml_scan): each
+    event serializes to an XML fragment and is read back with typed
+    xpath_long / xpath_string; the oracle recomputes from the plain
+    columns, so element naming, escaping, and path typing are all
+    hash-bound.
+
+    Perf note (deliberate): each xpath_* call re-parses the document,
+    so three extractions cost three DOM parses per row — this entry
+    exercises that surface; a hot path would from_xml ONCE into a
+    struct (the typed decode source_xml_scan uses) and project fields.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.selectExpr(
+        "to_xml(named_struct('etype', event_type, 'uid', user_id,"
+        "                    'eid', event_id)) AS x"
+    )
+    back = xml.selectExpr(
+        "xpath_string(x, '/ROW/etype') AS event_type",
+        "xpath_long(x, '/ROW/uid') AS uid",
+        "xpath_long(x, '/ROW/eid') AS eid",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("uid").cast("bigint").alias("sum_uid"),
+        F.sum("eid").cast("bigint").alias("sum_eid"),
+    )
+
+
+SQL_EXPR_XML_ROUNDTRIP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "sql_recursive_cte": (q_sql_recursive_cte, SQL_SQL_RECURSIVE_CTE),
     "expr_variant": (q_expr_variant, SQL_EXPR_VARIANT),
+    "variant_explode_stats": (q_variant_explode_stats, SQL_VARIANT_EXPLODE_STATS),
+    "expr_xml_roundtrip": (q_expr_xml_roundtrip, SQL_EXPR_XML_ROUNDTRIP),
 }
