@@ -42,6 +42,7 @@ ROWS_ONLY_FLOORS = {
     "agg_approx_sketches": 3,  # one row per region bucket
     "agg_hll_mergeable": 3,  # exactly one row per returnflag
     "bpe_learn_merges": 6,  # exactly n_merges=12 on any non-trivial corpus
+    "agg_kll_quantiles": 5,  # exactly one row per event_type
 }
 
 
