@@ -481,17 +481,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # materialize the (possibly expensive) pairs lineage exactly ONCE:
+    # the edge count that sizes the fixpoint's shuffle width is read off
+    # the checkpointed edges, not a separate pairs.count() job
+    edges0 = sym.distinct().localCheckpoint()
+    n_edges = edges0.count() // 2  # symmetrized
     # data-sized shuffle width for the whole fixpoint (the pagerank
     # lesson: AQE coalesces reads but not the per-stage bookkeeping of an
     # over-wide spec on a small graph); restored in finally
-    n_edges = pairs.count()
     parallelism = sess.sparkContext.defaultParallelism
     n_parts = max(1, min(parallelism, n_edges // 100_000 + 1))
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        # partition once on the per-round join key, iterate many
-        edges = sym.distinct().repartition(n_parts, F.col("dst")).localCheckpoint()
+        # partition once (from the materialized edges) on the per-round
+        # join key, iterate many
+        edges = edges0.repartition(n_parts, F.col("dst")).localCheckpoint()
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()

@@ -67,7 +67,7 @@ SQL_GEO_WKB_ROUNDTRIP = (
     """
 SELECT CAST(user_id % 4 AS BIGINT) AS point_class,
        """
-    + _CASE.replace("user_id % 4", "user_id % 4")
+    + _CASE
     + """ AS wkb_hex,
        CAST(0 AS BIGINT) AS srid_default,
        CAST(4326 AS BIGINT) AS srid_set,

@@ -134,8 +134,14 @@ def q_variant_explode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 'k' row counts only rows where props actually has a numeric k:
+# to_json omits null struct fields (ignoreNullFields default), so a
+# k-less event contributes no 'k' entry to the exploded variant — the
+# oracle must count the same way, not count(*) (review finding).
 SQL_VARIANT_EXPLODE_STATS = """
-SELECT 'k' AS key, CAST(count(*) AS BIGINT) AS n_rows,
+SELECT 'k' AS key,
+       CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_rows,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
            AS sum_bigint
 FROM events

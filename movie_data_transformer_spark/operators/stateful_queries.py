@@ -84,41 +84,26 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the reader scans the last committed snapshot per shuffle
     partition in parallel (one task per state partition) — state-sized
     I/O, no reprocessing of the event log."""
-    import os
-    import shutil
-    import tempfile
-
-    from movie_data_transformer_spark.streaming.harness import _sweep_stale
-
-    _sweep_stale("mdt_stinspect_")
-    work = tempfile.mkdtemp(prefix="mdt_stinspect_")
-    ckpt = os.path.join(work, "ckpt")
     stream = load_events_stream(spark, sf_dir, raw_ns=True, maxFilesPerTrigger="1")
-    q = (
-        running_user_totals_exact(stream)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        # the sink only needs to force each micro-batch; state commits
-        # happen in the stateful operator
-        .foreachBatch(lambda batch_df, _id: batch_df.count() and None)
-        .start()
-    )
-    q.awaitTermination()
-    state = (
-        spark.read.format("statestore")
-        .load(ckpt)
-        .select(
-            F.col("key.user_id").alias("user_id"),
-            F.col("value.groupState.n_events").alias("n_events"),
-            F.col("value.groupState.sum_cents").alias("sum_value_cents"),
-            F.col("value.groupState.last_event_type").alias("last_event_type"),
+
+    def _read_state(ckpt: str) -> DataFrame:
+        return (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.groupState.n_events").alias("n_events"),
+                F.col("value.groupState.sum_cents").alias("sum_value_cents"),
+                F.col("value.groupState.last_event_type").alias("last_event_type"),
+            )
         )
+
+    return run_availablenow_to_df(
+        running_user_totals_exact(stream),
+        "update",
+        "mdt_stinspect_",
+        result_from_ckpt=_read_state,
     )
-    stable = tempfile.mkdtemp(prefix="mdt_stinspect_final_")
-    state.write.mode("overwrite").parquet(stable)
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.read.parquet(stable)
 
 
 QUERIES = {

@@ -42,13 +42,23 @@ def run_availablenow_to_df(
     output_mode: str,
     prefix: str,
     finalize: Callable[[DataFrame], DataFrame] | None = None,
+    result_from_ckpt: Callable[[str], DataFrame] | None = None,
 ) -> DataFrame:
     """Run `stream_df` to completion under an availableNow trigger,
     return (finalize of) the accumulated emissions as a batch DataFrame
-    backed by a stable parquet staging dir."""
+    backed by a stable parquet staging dir.
+
+    `result_from_ckpt`, if given, derives the result from the query's
+    CHECKPOINT directory instead of the emissions log (e.g. the
+    statestore reader) — it runs before the work dir is removed.
+
+    Work dirs get a `run_` infix so the stale sweep can never prefix-
+    match a caller's persistent fixture cache (e.g. mdt_late_v2_*,
+    which shares the mdt_late_ stem with its entry's run dirs)."""
     spark = stream_df.sparkSession
-    _sweep_stale(prefix)
-    work = tempfile.mkdtemp(prefix=prefix)
+    run_prefix = prefix + "run_"
+    _sweep_stale(run_prefix)
+    work = tempfile.mkdtemp(prefix=run_prefix)
     out = os.path.join(work, "emissions")
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -62,9 +72,12 @@ def run_availablenow_to_df(
         .start()
     )
     q.awaitTermination()
-    emissions = spark.read.parquet(out)
-    result = finalize(emissions) if finalize is not None else emissions
-    stable = tempfile.mkdtemp(prefix=prefix + "final_")
+    if result_from_ckpt is not None:
+        result = result_from_ckpt(os.path.join(work, "ckpt"))
+    else:
+        emissions = spark.read.parquet(out)
+        result = finalize(emissions) if finalize is not None else emissions
+    stable = tempfile.mkdtemp(prefix=run_prefix + "final_")
     result.write.mode("overwrite").parquet(stable)
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(stable)
