@@ -83,17 +83,14 @@ GROUP BY f.wk
 
 
 KLL_SQL = """
-WITH halves AS (
-    SELECT event_type, day(ts) % 2 AS half,
+WITH partials AS (
+    SELECT event_type, day(ts) AS d,
            kll_sketch_agg_double(value) AS sk
     FROM _kll_events GROUP BY 1, 2
 ),
 merged AS (
-    SELECT event_type,
-           CASE WHEN count(*) = 1 THEN first(sk)
-                ELSE kll_sketch_merge_double(min_by(sk, half), max_by(sk, half))
-           END AS sk
-    FROM halves GROUP BY event_type
+    SELECT event_type, kll_merge_agg_double(sk) AS sk
+    FROM partials GROUP BY event_type
 )
 SELECT event_type,
        kll_sketch_get_quantile_double(sk, 0.5d) AS p50,
@@ -104,9 +101,10 @@ FROM merged
 
 
 def q_agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile sketches per event_type, built as TWO half-partials
-    (odd/even days) merged with the binary kll_sketch_merge_double —
-    the persist-partials-then-merge workflow. KLL compacts from the
+    """KLL quantile sketches per event_type from per-day partials merged
+    with the N-way kll_merge_agg_double aggregate — the real
+    persist-partials-then-merge workflow (one sketch per partition/day
+    in the lake, any subset merged on demand). KLL compacts from the
     first batch (k=200), so estimates are approximate -> rows-only;
     kll_rank_gate is the binding oracle evidence."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_kll_events")
