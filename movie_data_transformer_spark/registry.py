@@ -71,6 +71,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.privacy_queries",
     "movie_data_transformer_spark.operators.robustness_queries",
     "movie_data_transformer_spark.operators.geo_queries",
+    "movie_data_transformer_spark.operators.cogroup_queries",
 ]
 
 

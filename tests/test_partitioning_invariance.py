@@ -18,6 +18,8 @@ ENTRIES = [
     "events_value_mad_outliers",  # percentile interpolation
     "agg_quantile_sketch",  # grid partials merge
     "agg_cms_heavy_hitters",  # sketch partials merge
+    "cogroup_asof_match",  # per-key pandas merge_asof via cogroup
+    "text_line_dedup_boilerplate",  # line-df threshold + ordered reassembly
 ]
 
 

@@ -81,3 +81,26 @@ def test_sessionize_gap_boundary(spark):
         for r in sessionize(ev, gap_seconds=1800).select("event_id", "session_idx").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_cogroup_asof_matches_expression_form(spark, sf_dir):
+    """The cogrouped-applyInPandas as-of (pandas merge_asof per user)
+    returns EXACTLY the window-expression form's rows — tiebreaks,
+    no-prior-view NULLs, and view-less users included."""
+    from movie_data_transformer_spark.operators.cogroup_queries import (
+        q_cogroup_asof_match,
+    )
+    from movie_data_transformer_spark.operators.temporal_queries import (
+        q_asof_view_before_purchase,
+    )
+
+    key = lambda r: (r.event_id,)  # noqa: E731 — purchase id is unique
+    got = sorted(q_cogroup_asof_match(spark, sf_dir).collect(), key=key)
+    want = sorted(q_asof_view_before_purchase(spark, sf_dir).collect(), key=key)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g.event_id, g.user_id, g.ts_s) == (w.event_id, w.user_id, w.ts_s)
+        assert (g.view_ts_s, g.view_event_id) == (w.view_ts_s, w.view_event_id)
+        assert (g.view_value is None) == (w.view_value is None)
+        if g.view_value is not None:
+            assert g.view_value == w.view_value

@@ -398,3 +398,85 @@ def test_collapse_repeats_golden(spark):
     assert (got[2].n_tokens_before, got[2].n_tokens_after) == (1, 1)
     assert (got[3].n_tokens_before, got[3].n_tokens_after) == (2, 1)
     assert got[3].clean_md5 == hashlib.md5(b"y").hexdigest()
+
+
+def test_line_dedup_boilerplate_golden(spark):
+    """Five docs with ids divisible by 3 share the planted header (df=5
+    -> dropped everywhere); one normal doc keeps everything. Documents
+    shorter than one chunk still form a single (short) line."""
+    import hashlib
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.text_cleaning_queries import (
+        BOILERPLATE_LINE,
+        q_text_line_dedup_boilerplate,
+    )
+
+    texts = {i: f"tok{i}a tok{i}b tok{i}c" for i in (0, 3, 6, 9, 12)}
+    texts[1] = " ".join(f"w{k}" for k in range(25))  # 25 toks -> 3 chunks
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.text_cleaning_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {r.doc_id: r for r in q_text_line_dedup_boilerplate(spark, "x").collect()}
+    # header planted on the 5 ids % 3 == 0 -> df = 5 -> dropped; own line kept
+    for i in (0, 3, 6, 9, 12):
+        assert (got[i].n_lines_before, got[i].n_lines_after) == (2, 1)
+        assert got[i].clean_md5 == hashlib.md5(texts[i].encode()).hexdigest()
+    # doc 1: no header (1 % 3 != 0), 3 unique chunks, nothing dropped
+    assert (got[1].n_lines_before, got[1].n_lines_after) == (3, 3)
+    assert got[1].clean_md5 == hashlib.md5(texts[1].encode()).hexdigest()
+    assert BOILERPLATE_LINE.count(" ") == 11  # stays a 12-token line
+
+
+def test_c4_line_filters_golden(spark):
+    """Line ends at 'the'; <5-token and badword lines drop; docs need
+    >= 2 kept lines to survive."""
+    import hashlib
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.text_cleaning_queries import (
+        q_text_c4_line_filters,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 3 lines: kept, badword-dropped, kept -> doc survives
+            (1, "x1 x2 x3 x4 x5 the slow a b c d e the p q r s t"),
+            # 2 lines: kept, too-short -> only 1 kept -> doc dropped
+            (2, "y1 y2 y3 y4 y5 the a b"),
+            # leading/double 'the' make empty token-less lines -> no rows
+            (3, "the the z1 z2 z3 z4 z5 the q1 q2 q3 q4 q5 q6"),
+        ],
+        "doc_id long, text string",
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.text_cleaning_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {r.doc_id: r for r in q_text_c4_line_filters(spark, "x").collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_lines, got[1].n_lines_kept, got[1].n_tokens_kept) == (3, 2, 10)
+    assert got[1].clean_md5 == hashlib.md5(b"x1 x2 x3 x4 x5 | p q r s t").hexdigest()
+    # doc 3: empty lines produce no rows, so n_lines counts NONEMPTY lines
+    assert (got[3].n_lines, got[3].n_lines_kept, got[3].n_tokens_kept) == (2, 2, 11)
+    assert (
+        got[3].clean_md5
+        == hashlib.md5(b"z1 z2 z3 z4 z5 | q1 q2 q3 q4 q5 q6").hexdigest()
+    )
+
+
+def test_c4_line_filters_single_shuffle(spark, sf_dir):
+    """The doc_id window partitioning must be reused by BOTH downstream
+    groupBys ((doc_id, line_id) and doc_id) — exactly one hash exchange
+    in the plan, no cartesian."""
+    from movie_data_transformer_spark.operators.text_cleaning_queries import (
+        q_text_c4_line_filters,
+    )
+    from movie_data_transformer_spark.plans.audit import audit_plan
+
+    a = audit_plan(q_text_c4_line_filters(spark, sf_dir))
+    assert a.n_exchanges == 1 and not a.has_cartesian
