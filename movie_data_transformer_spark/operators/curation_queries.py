@@ -724,8 +724,66 @@ HAVING count(*) >= 5
 """
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu / fastText-style
+    classifier gate): score every document with a hashed bag-of-words
+    LINEAR model — per-token weight looked up by feature hash, document
+    logit = sum of token weights, keep iff logit >= 0.
+
+    The environment ships no trained model artifact, so the weight table
+    is a deterministic stand-in: w(tok) = portable_md5_hash(tok) % 2001
+    - 1000 (integers in [-1000, 1000]). Everything a real deployment
+    needs is exercised for real: feature hashing, weight lookup, the
+    per-document fold, and the threshold gate.
+
+    Scale: ZERO shuffles — one generated-SQL projection (the r5 py4j
+    lesson: a single selectExpr, no per-token Column loop) whose
+    aggregate() fold runs map-side inside the scan. At 100 TB this is
+    parquet-read speed, the cheapest possible classifier inference; a
+    real model swaps the hash expression for a broadcast weight-map
+    lookup without touching the plan shape. Integer weights keep the
+    logit exact (no FP summation-order hazard), so the oracle is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        r"split(trim(text), '\\s+') AS t",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        "aggregate(t, 0L, (acc, x) -> acc +"
+        " ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000))"
+        " AS logit_sum",
+        "IF(aggregate(t, 0L, (acc, x) -> acc +"
+        " ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000))"
+        " >= 0, 'keep', 'drop') AS label",
+    )
+
+
+SQL_QUALITY_CLASSIFIER_SCORES = r"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(t, x ->
+            (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001) - 1000))
+           AS BIGINT) AS logit_sum,
+       CASE WHEN list_sum(list_transform(t, x ->
+            (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001) - 1000)) >= 0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM toks
+"""
+
+
 QUERIES = {
     "sample_hash_20pct": (q_sample_hash_20pct, SQL_SAMPLE_HASH),
+    "quality_classifier_scores": (
+        q_quality_classifier_scores,
+        SQL_QUALITY_CLASSIFIER_SCORES,
+    ),
     "sample_weighted_systematic": (
         q_sample_weighted_systematic,
         SQL_SAMPLE_WEIGHTED_SYSTEMATIC,

@@ -131,8 +131,79 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each view event picks
+    the user's dimension version (built from purchases, lm_queries.py's
+    scd2_user_value shape) whose validity interval [valid_from, valid_to)
+    contains the view timestamp — the feature-store / training-data
+    correctness primitive (no leakage from future versions).
+
+    Spark side: NOT an inequality interval join (O(n*m) nested loop at
+    scale) — because SCD2 intervals TILE each user's timeline, the
+    version containing ts is exactly the latest version with
+    valid_from <= ts, so this is the as-of join (one shuffle,
+    union+window). Degenerate same-timestamp versions ([ts, ts) = empty)
+    are skipped by the right_seq tiebreak: the max event_id among
+    equal-ts versions is the one whose interval is non-empty.
+
+    The ORACLE is deliberately the OTHER formulation — a literal
+    LEFT JOIN on the interval-containment predicate — so the
+    rewrite's equivalence (as-of == interval containment, boundary and
+    degenerate-interval cases included) is what the hash check binds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    versions = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    out = asof_join(
+        views,
+        versions,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "value", "ts"],
+        prefix="dim_",
+        right_seq="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("dim_event_id"),
+        F.col("dim_value"),
+        F.unix_timestamp("dim_ts").alias("dim_valid_from_s"),
+        F.when(F.col("dim_event_id").isNull(), 0).otherwise(1).alias("is_covered"),
+    )
+
+
+SQL_SCD2_POINT_IN_TIME_JOIN = """
+WITH dim AS (
+    SELECT user_id, event_id AS dim_event_id, value AS dim_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS ts_s,
+       d.dim_event_id, d.dim_value,
+       CAST(floor(epoch(d.valid_from)) AS BIGINT) AS dim_valid_from_s,
+       CASE WHEN d.dim_event_id IS NULL THEN 0 ELSE 1 END AS is_covered
+FROM v LEFT JOIN dim d
+  ON v.user_id = d.user_id
+ AND v.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR v.ts < d.valid_to)
+"""
+
+
 QUERIES = {
     "asof_view_before_purchase": (q_asof_view_before_purchase, SQL_ASOF_VIEW_BEFORE_PURCHASE),
     "range_join_conversions": (q_range_join_conversions, SQL_RANGE_JOIN_CONVERSIONS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "scd2_point_in_time_join": (q_scd2_point_in_time_join, SQL_SCD2_POINT_IN_TIME_JOIN),
 }

@@ -154,3 +154,32 @@ def test_ngram_contamination_catches_planted_copies(spark, sf_dir):
             # all of the copy's windows are shared (minus any dropped as
             # promiscuous stop-grams, hence >=, and never more than exist)
             assert 5 <= got[key] <= n - 7
+
+
+def test_quality_classifier_scores_golden(spark):
+    """Per-token weight = md5-hash % 2001 - 1000; doc logit is the exact
+    integer sum; keep iff logit >= 0 (recomputed independently in
+    Python's hashlib)."""
+    import hashlib
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.curation_queries import (
+        q_quality_classifier_scores,
+    )
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma", "en")],
+        "doc_id long, text string, lang string",
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.curation_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {r.doc_id: r for r in q_quality_classifier_scores(spark, "x").collect()}
+    assert got[1].logit_sum == w("alpha") + w("beta")
+    assert got[2].logit_sum == w("gamma")
+    for r in got.values():
+        assert r.label == ("keep" if r.logit_sum >= 0 else "drop")

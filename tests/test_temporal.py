@@ -104,3 +104,41 @@ def test_cogroup_asof_matches_expression_form(spark, sf_dir):
         assert (g.view_value is None) == (w.view_value is None)
         if g.view_value is not None:
             assert g.view_value == w.view_value
+
+
+def test_scd2_point_in_time_boundaries(spark):
+    """Version opening AT the view ts wins (interval [from, to) is
+    closed-open); among equal-ts versions only the max event_id has a
+    non-empty interval; views before the first version are uncovered."""
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.temporal_queries import (
+        q_scd2_point_in_time_join,
+    )
+
+    rows = [
+        # purchases = dimension versions (two share ts -> degenerate first)
+        (10, 1, "2024-01-01 00:01:40", "purchase", 1.0),
+        (11, 1, "2024-01-01 00:01:40", "purchase", 2.0),
+        (12, 1, "2024-01-01 00:03:20", "purchase", 3.0),
+        # views = fact probes
+        (20, 1, "2024-01-01 00:01:39", "view", 0.0),  # before any version
+        (21, 1, "2024-01-01 00:01:40", "view", 0.0),  # at open boundary
+        (22, 1, "2024-01-01 00:02:30", "view", 0.0),  # mid-interval
+        (23, 1, "2024-01-01 00:03:20", "view", 0.0),  # at second boundary
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, ty, v) for e, u, t, ty, v in rows],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+    with patch(
+        "movie_data_transformer_spark.operators.temporal_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {r.event_id: r for r in q_scd2_point_in_time_join(spark, "x").collect()}
+    assert (got[20].is_covered, got[20].dim_event_id) == (0, None)
+    # at the boundary the NEW version applies, and of the two equal-ts
+    # versions the max event_id (non-empty interval) is the one picked
+    assert (got[21].dim_event_id, got[21].dim_value) == (11, 2.0)
+    assert (got[22].dim_event_id, got[22].dim_value) == (11, 2.0)
+    assert (got[23].dim_event_id, got[23].dim_value) == (12, 3.0)
