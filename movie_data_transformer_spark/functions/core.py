@@ -63,6 +63,10 @@ def micro_ratio(num: Column, den: Column) -> Column:
 
     Oracle twin (DuckDB):  CAST(num * 1000000 // den AS DOUBLE) / 1000000
     (use CAST(... AS HUGEINT) around the product when it can pass 1e18).
+    The cross-engine bit-equality is ALSO scoped to micro-quotient < 2^53:
+    above it the cast must round, and DuckDB's HUGEINT->DOUBLE cast is not
+    correctly rounded (truncates low bits), so the engines can differ in
+    the last place (probed: 999999999999995/33).
     """
     m = num.cast("decimal(31,0)") * F.lit(1_000_000).cast("decimal(7,0)")
     d = F.nullif(den.cast("decimal(20,0)"), F.lit(0).cast("decimal(20,0)"))

@@ -72,6 +72,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.robustness_queries",
     "movie_data_transformer_spark.operators.geo_queries",
     "movie_data_transformer_spark.operators.cogroup_queries",
+    "movie_data_transformer_spark.operators.udtf_poly_queries",
+    "movie_data_transformer_spark.operators.ml_queries",
 ]
 
 

@@ -53,15 +53,16 @@ def test_micro_ratio_matches_duckdb_twin(spark, data):
         if d == 0:
             assert got[i] is None and want[i] is None
             continue
-        # the cross-engine property holds unconditionally: both engines
-        # compute the exact integer micro-quotient, cast to double, then
-        # divide by 1e6 — the same two IEEE roundings
-        assert got[i] == want[i], (n, d)
-        # the "equals the exact rational floored at 1e-6" claim only
-        # holds while the micro-quotient fits a double (the documented
-        # ratio < ~9e9 domain); beyond it the cast itself rounds
+        # Both halves of the property are scoped to the DOCUMENTED domain
+        # (micro-quotient < 2^53). Both engines compute the exact integer
+        # micro-quotient at any size, but above 2^53 the int->double cast
+        # must round and DuckDB's HUGEINT->DOUBLE cast is NOT correctly
+        # rounded (hypothesis found 999999999999995/33: duck truncates to
+        # ...015e19 where round-to-nearest gives ...0153e19), so even the
+        # cross-engine half only holds inside the domain.
         q = n * 1_000_000 // d
         if q < 2**53:
+            assert got[i] == want[i], (n, d)
             assert got[i] == q / 1_000_000, (n, d)
 
 

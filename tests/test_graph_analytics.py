@@ -79,3 +79,32 @@ def test_triangle_counts_no_cartesian_and_symmetric(spark, sf_dir):
     assert rows
     # every triangle contributes exactly 3 corner participations
     assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_lr_trainer_learns_the_label_bucket(spark):
+    """On a tiny synthetic corpus the trainer must (a) reduce loss,
+    (b) give the label bucket the strictly-largest positive weight, and
+    (c) classify the training docs correctly — with bit-identical
+    weights on a re-run (decimal gradient accumulation)."""
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators import ml_queries as m
+
+    texts = [
+        (1, "slow query table scan join merge"),
+        (2, "fast query table scan join merge"),
+        (3, "slow batch window stream group key"),
+        (4, "fast batch window stream group key"),
+        (5, "slow value column filter sort part"),
+        (6, "fast value column filter sort part"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    with patch.object(m, "load_table", lambda _s, _d, _t: df):
+        w1, b1, losses, acc = m.train_lr(spark, "synthetic-a", iters=10)
+        m._TRAIN_CACHE.clear()
+        w2, b2, _, _ = m.train_lr(spark, "synthetic-a", iters=10)
+    assert losses[-1] < losses[0]
+    assert acc == 1.0
+    others = max(x for i, x in enumerate(w1) if i != m.LABEL_BUCKET)
+    assert w1[m.LABEL_BUCKET] > 0 and w1[m.LABEL_BUCKET] > others
+    assert (w1, b1) == (w2, b2)  # deterministic under re-execution

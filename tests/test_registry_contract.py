@@ -19,7 +19,7 @@ def test_registry_consistent_without_session():
     # pq/semdedup), sketches, iterative fixpoints (pagerank), procedural
     # packing, pandas-UDF/UDAF paths, incremental streaming. Each one has
     # a recall/golden/invariant pytest instead.
-    assert len(rows_only) <= 12, rows_only
+    assert len(rows_only) <= 13, rows_only
     # and the oracle-checked majority keeps growing, never shrinks
     assert len(os_) >= 100
 
@@ -43,6 +43,7 @@ ROWS_ONLY_FLOORS = {
     "agg_hll_mergeable": 3,  # exactly one row per returnflag
     "bpe_learn_merges": 6,  # exactly n_merges=12 on any non-trivial corpus
     "agg_kll_quantiles": 5,  # exactly one row per event_type
+    "lr_train_quality": 33,  # exactly DIM=32 weights + the bias row
 }
 
 

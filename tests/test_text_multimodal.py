@@ -480,3 +480,28 @@ def test_c4_line_filters_single_shuffle(spark, sf_dir):
 
     a = audit_plan(q_text_c4_line_filters(spark, sf_dir))
     assert a.n_exchanges == 1 and not a.has_cartesian
+
+
+def test_udtf_polymorphic_columns_golden(spark):
+    """The analyze()-built schema yields exactly N_PARTS string columns;
+    uneven and shorter-than-N token lists pad with empty segments."""
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.udtf_poly_queries import (
+        q_udtf_polymorphic_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.udtf_poly_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        out = q_udtf_polymorphic_columns(spark, "x")
+        assert out.columns == ["doc_id", "part0", "part1", "part2"]
+        got = {r.doc_id: (r.part0, r.part1, r.part2) for r in out.collect()}
+    assert got[1] == ("a b", "c d", "e")  # per = ceil(5/3) = 2
+    assert got[2] == ("x", "", "")  # per = 1, tokens run out
+    assert got[3] == ("p", "q", "r")
