@@ -60,6 +60,10 @@ HEADLINE = [
     "agg_cms_heavy_hitters",
     # late-r5 addition: data-layout planning (new operator family)
     "zorder_tile_stats",
+    # late-r5 additions: cross-document boilerplate line dedup and
+    # classifier-based quality scoring (new cleaning/curation families)
+    "text_line_dedup_boilerplate",
+    "quality_classifier_scores",
 ]
 
 
