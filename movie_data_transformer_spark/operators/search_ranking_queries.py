@@ -1,0 +1,147 @@
+"""BM25 top-k retrieval — the search-ranking flagship, integer-exact.
+
+Okapi BM25 (Robertson/Sparck Jones) with k1 = 1.2, b = 0.75, scored for
+a fixed literal query set over the documents corpus, top 10 per query.
+Both constants are rationals (6/5, 3/4), so each term's contribution
+rationalizes to a pure integer ratio — no log() and no FP division in
+the score (the text_unigram_lm lesson: neither JVM nor libm log is
+correctly rounded, so scores that must rank identically cross-engine
+stay in exact integer micro-units):
+
+  idf        = (N - df + 1/2) / (df + 1/2)          -> (2N-2df+1)/(2df+1)
+  tf_norm    = tf(k1+1) / (tf + k1(1 - b + b dl/avgdl))
+             = 22 L tf / (10 L tf + 3 L + 9 dl N)   with avgdl = L/N
+  term score = floor(idf_micro * 22 L tf / (10 L tf + 3 L + 9 dl N))
+
+(The classic +1-inside-log idf is monotone in this rational idf, so
+rankings match the textbook formula; score VALUES are the micro-floored
+rational variant.) Document score = sum of integer term scores; ties
+broken by doc_id for a cross-engine total order.
+
+Scale shape: tokenize ONCE and carry dl alongside the exploded tokens,
+filter to the query vocabulary map-side (the early-pruning step that
+makes this viable at 100 TB: only matching postings shuffle), then one
+groupBy(doc, term) for tf; df and the final per-query ranking ride tiny
+broadcast joins. Corpus totals (N, L) come from a separate 1-row
+aggregate scan — at production scale those are precomputed stats, not a
+second pass. int64 bounds: idf_micro <= ~2N*1e6 and the score product
+stays < 2^63 for corpora up to ~1e5 docs x ~1e6 total tokens; beyond
+that, lift the products to DECIMAL (the DuckDB twin already uses
+HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+#: fixed literal query set (query_id, term) — shared with the oracle.
+QUERY_TERMS: list[tuple[int, str]] = [
+    (1, "slow"),
+    (1, "query"),
+    (2, "fast"),
+    (2, "merge"),
+    (3, "table"),
+    (3, "scan"),
+    (3, "join"),
+]
+TOP_K = 10
+
+
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", r"split(trim(text), '\\s+') AS t")
+    vocab = sorted({t for _, t in QUERY_TERMS})
+    # one scan: dl rides along the exploded tokens; prune to the query
+    # vocabulary BEFORE the shuffle
+    tf = (
+        toks.select(
+            "doc_id",
+            F.expr("CAST(size(t) AS BIGINT)").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(*vocab))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    corpus = toks.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("size(t)")).cast("bigint").alias("l"),
+    )
+    q = spark.createDataFrame(QUERY_TERMS, "query_id int, term string")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "((2 * n - 2 * df + 1) * 1000000L DIV (2 * df + 1))"
+            " * (22 * l * tf) DIV (10 * l * tf + 3 * l + 9 * dl * n)"
+            " AS term_score_micro",
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+_QUERY_VALUES = ",".join(f"({qid},'{t}')" for qid, t in QUERY_TERMS)
+
+SQL_SEARCH_BM25_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+q(query_id, term) AS (VALUES __QUERY_VALUES__),
+tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    WHERE tok IN (SELECT term FROM q)
+    GROUP BY doc_id, tok
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT qq.query_id, tf.doc_id,
+           CAST(
+             (CAST((2 * c.n - 2 * d.df + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+             * (22 * c.l * tf.tf)
+             // (10 * c.l * tf.tf + 3 * c.l + 9 * dl.dl * c.n)
+           AS BIGINT) AS term_score_micro
+    FROM q qq
+    JOIN tf ON tf.term = qq.term
+    JOIN dfreq d ON d.term = qq.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN corpus c
+),
+agg AS (
+    SELECT query_id, doc_id, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, doc_id ASC) AS rank
+    FROM agg
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+FROM ranked WHERE rank <= __TOP_K__
+""".replace("__QUERY_VALUES__", _QUERY_VALUES).replace("__TOP_K__", str(TOP_K))
+
+
+QUERIES = {
+    "search_bm25_topk": (q_search_bm25_topk, SQL_SEARCH_BM25_TOPK),
+}

@@ -74,6 +74,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.cogroup_queries",
     "movie_data_transformer_spark.operators.udtf_poly_queries",
     "movie_data_transformer_spark.operators.ml_queries",
+    "movie_data_transformer_spark.operators.search_ranking_queries",
 ]
 
 

@@ -88,3 +88,38 @@ def test_chi2_cells_marginal_invariants(spark, sf_dir):
         exp_by_row[r.event_type] += r.expected
     for et, tot in exp_by_row.items():
         assert abs(tot - row_sums[et]) < 1e-3
+
+
+def test_bm25_ranking_golden(spark):
+    """Hand-checkable BM25 behavior: higher tf wins at equal length,
+    shorter documents win at equal tf (length normalization), docs
+    without any query term never appear, and matching both query terms
+    beats matching one."""
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.search_ranking_queries import (
+        q_search_bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "slow slow query pad1 pad2 pad3"),  # both terms, tf(slow)=2
+            (2, "slow other pad1 pad2 pad3 pad4"),  # one term, same length
+            (3, "slow pad1"),  # one term, much shorter
+            (4, "nothing here at all pad pad"),  # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.search_ranking_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        rows = q_search_bm25_topk(spark, "x").collect()
+    q1 = {r.doc_id: r for r in rows if r.query_id == 1}
+    assert set(q1) == {1, 2, 3}  # doc 4 never scored
+    # both-terms + higher tf beats everything
+    assert q1[1].rank == 1
+    # equal tf: the shorter doc outranks the longer one
+    assert q1[3].score_micro > q1[2].score_micro
+    # score is a positive integer micro value
+    assert all(r.score_micro > 0 for r in rows)
