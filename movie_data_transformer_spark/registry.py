@@ -75,6 +75,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.udtf_poly_queries",
     "movie_data_transformer_spark.operators.ml_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
+    "movie_data_transformer_spark.operators.snapshot_queries",
 ]
 
 
