@@ -87,6 +87,121 @@ SELECT * FROM v1 UNION ALL SELECT * FROM v2
 """
 
 
+def _purchase_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Publish (once per sf + source fingerprint) the purchase events as
+    4 JSONL files so availableNow slices them into micro-batches."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"mdt_snapstream_v1_{tag}_{source_fingerprint(sf_dir)}",
+    )
+
+    def _build(out: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        rows = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+            "event_id",
+        )
+        stage = out + "_stage"
+        (
+            rows.repartition(4)
+            .select(F.to_json(F.struct(*rows.columns)).alias("value"))
+            .write.mode("overwrite")
+            .text(stage)
+        )
+        for i, p in enumerate(sorted(globmod.glob(os.path.join(stage, "part-*")))):
+            shutil.move(p, os.path.join(out, f"purchases_{i}.json"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return publish_fixture_dir(_build, d)
+
+
+def run_stream_snapshot_merge(
+    spark: SparkSession, input_dir: str, root: str
+) -> "SnapshotTable":
+    """availableNow stream -> one COW snapshot version per micro-batch.
+    version = batch_id + 1 (batch 0 seeds via commit_full), so a
+    foreachBatch REPLAY rewrites its own version deterministically
+    (mode=overwrite data, atomically re-published manifest derived from
+    manifest(batch_id)) instead of double-counting — the idempotency
+    contract AppendOnlyStore gets from ingest ids, expressed in
+    manifest arithmetic."""
+    import os
+
+    st = SnapshotTable(spark, root, n_buckets=8)
+    stream = (
+        spark.readStream.schema("user_id long, cents long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.json")
+        .json(input_dir)
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.sum("cents").alias("total_cents"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        if batch_id == 0:
+            st.commit_full(agg, "user_id", version=1)
+        else:
+            st.merge_additive(
+                agg,
+                "user_id",
+                ["total_cents", "n"],
+                from_version=batch_id,
+                new_version=batch_id + 1,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return st
+
+
+def q_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CDC into the snapshot store: purchases stream in 4
+    micro-batches, each committing one COW version; the entry emits the
+    FINAL version's state, which is slicing-invariant (additive merge is
+    associative), so the oracle is the plain batch aggregate — the same
+    stream==batch contract as stream_incremental_dedup. Intermediate
+    versions (time travel across batch history) are pinned in
+    tests/test_snapshot_store.py."""
+    input_dir = _purchase_jsonl_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mdt_snapstream_")
+    st = run_stream_snapshot_merge(spark, input_dir, root)
+    final = st.versions()[-1]
+    return st.read(final).select(
+        "user_id",
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+SQL_STREAM_SNAPSHOT_MERGE = """
+SELECT user_id,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "table_time_travel": (q_table_time_travel, SQL_TABLE_TIME_TRAVEL),
+    "stream_snapshot_merge": (q_stream_snapshot_merge, SQL_STREAM_SNAPSHOT_MERGE),
 }

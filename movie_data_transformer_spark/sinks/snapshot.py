@@ -122,3 +122,28 @@ class SnapshotTable:
         entries = dict(prev)
         entries.update(written)
         self._write_manifest(new_version, entries)
+
+    def vacuum(self, keep_versions: list[int]) -> list[str]:
+        """Retention: delete every data directory not referenced by any
+        kept version's manifest, and drop the other manifests. Returns
+        the deleted directories. (The Delta VACUUM analogue — after it,
+        time travel only reaches the kept versions.)"""
+        import shutil
+
+        keep = set(keep_versions)
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.manifest(v).values())
+        deleted: list[str] = []
+        files_root = os.path.join(self.root, "files")
+        for commit in sorted(os.listdir(files_root)):
+            cdir = os.path.join(files_root, commit)
+            for name in sorted(os.listdir(cdir)):
+                rel = f"files/{commit}/{name}"
+                if name.startswith("pb=") and rel not in live:
+                    shutil.rmtree(os.path.join(cdir, name))
+                    deleted.append(rel)
+        for v in self.versions():
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+        return deleted

@@ -62,3 +62,49 @@ def test_versions_listing_and_read_paths(spark):
     # the bucket column is stored in the data so leaf dirs read standalone
     assert "bucket" in st.read(2).columns
     assert st.read(2).filter(F.col("user_id") == 0).collect()[0].total == 1
+
+
+def test_vacuum_retention(spark):
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="snapstore_vac_")
+    st = SnapshotTable(spark, root, n_buckets=4)
+    st.commit_full(_state(spark, [(u, u, 1) for u in range(8)]), "user_id", 1)
+    st.merge_additive(_state(spark, [(0, 1, 1)]), "user_id", ["total", "n"], 1, 2)
+    st.merge_additive(_state(spark, [(1, 1, 1)]), "user_id", ["total", "n"], 2, 3)
+    v3 = {(r.user_id, r.total) for r in st.read(3).collect()}
+    deleted = st.vacuum(keep_versions=[3])
+    # v1's bucket 0 was superseded by the v2 commit and its bucket 1 by
+    # the v3 commit -> both deleted; c2/pb=0 and c3/pb=1 are what v3
+    # references (with v1's untouched buckets 2,3) -> kept
+    assert deleted == ["files/c1/pb=0", "files/c1/pb=1"]
+    assert st.versions() == [3]
+    assert {(r.user_id, r.total) for r in st.read(3).collect()} == v3
+    # the deleted directories are really gone from disk
+    assert not os.path.exists(os.path.join(root, "files/c1/pb=0"))
+    assert os.path.exists(os.path.join(root, "files/c1/pb=2"))
+
+
+def test_stream_snapshot_versions_accumulate(spark, sf_dir):
+    """The streaming form commits one version per micro-batch (4 input
+    files -> 4 versions) and every intermediate version stays readable
+    with internally-consistent totals (time travel across the batch
+    history: row mass is non-decreasing in version)."""
+    import tempfile
+
+    from movie_data_transformer_spark.operators.snapshot_queries import (
+        _purchase_jsonl_dir,
+        run_stream_snapshot_merge,
+    )
+
+    input_dir = _purchase_jsonl_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="snapstream_test_")
+    st = run_stream_snapshot_merge(spark, input_dir, root)
+    assert st.versions() == [1, 2, 3, 4]
+    masses = []
+    for v in st.versions():
+        rows = st.read(v).collect()
+        assert all(r.n >= 1 for r in rows)
+        masses.append(sum(r.n for r in rows))
+    assert masses == sorted(masses) and masses[-1] > masses[0]
