@@ -142,6 +142,90 @@ FROM ranked WHERE rank <= __TOP_K__
 """.replace("__QUERY_VALUES__", _QUERY_VALUES).replace("__TOP_K__", str(TOP_K))
 
 
+#: fixed literal phrase set (phrase_id, term, offset) — consecutive-token
+#: phrases, shared with the oracle.
+PHRASES: list[tuple[int, str, int]] = [
+    (1, "slow", 0),
+    (1, "query", 1),
+    (2, "table", 0),
+    (2, "scan", 1),
+    (2, "join", 2),
+]
+_PHRASE_LEN = {1: 2, 2: 3}
+
+
+def q_search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over POSITIONAL postings — the operator a
+    bag-of-words index cannot answer. One elegant relational shape that
+    generalizes to any phrase length k without k-way self-joins:
+
+      postings(doc, term, pos)  JOIN  phrase(phrase_id, term, offset)
+      -> candidate (phrase_id, doc, start = pos - offset)
+      -> an occurrence iff the group matched ALL k offsets
+
+    (each offset can only be matched by the one posting at exactly
+    start+offset with the right term, so count(*) == k identifies a
+    true consecutive occurrence, repeated phrase terms included).
+
+    Scale: postings are pruned to the phrase vocabulary map-side, the
+    phrase table is a broadcast literal, and the occurrence test is one
+    groupBy on (phrase, doc, start) followed by a per-doc count — the
+    same single-shuffle shape as the BM25 tf aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = sorted({t for _, t, _ in PHRASES})
+    postings = (
+        docs.selectExpr(
+            "doc_id", r"posexplode(split(trim(text), '\\s+')) AS (pos, term)"
+        )
+        .filter(F.col("term").isin(*vocab))
+    )
+    phrase = spark.createDataFrame(PHRASES, "phrase_id int, term string, offset int")
+    plen = spark.createDataFrame(
+        list(_PHRASE_LEN.items()), "phrase_id int, phrase_len int"
+    )
+    occurrences = (
+        postings.join(F.broadcast(phrase), "term")
+        .select(
+            "phrase_id", "doc_id", (F.col("pos") - F.col("offset")).alias("start")
+        )
+        .groupBy("phrase_id", "doc_id", "start")
+        .agg(F.count("*").alias("n_offsets"))
+        .join(F.broadcast(plen), "phrase_id")
+        .filter(F.col("n_offsets") == F.col("phrase_len"))
+    )
+    return occurrences.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+
+
+_PHRASE_VALUES = ",".join(f"({p},'{t}',{o})" for p, t, o in PHRASES)
+_PLEN_VALUES = ",".join(f"({p},{n})" for p, n in _PHRASE_LEN.items())
+
+SQL_SEARCH_PHRASE_MATCH = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+postings AS (
+    SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks
+),
+phrase(phrase_id, term, "offset") AS (VALUES __PHRASE_VALUES__),
+plen(phrase_id, phrase_len) AS (VALUES __PLEN_VALUES__),
+cand AS (
+    SELECT ph.phrase_id, po.doc_id, po.pos - ph."offset" AS start
+    FROM postings po JOIN phrase ph USING (term)
+),
+occ AS (
+    SELECT c.phrase_id, c.doc_id, c.start, count(*) AS n_offsets
+    FROM cand c GROUP BY 1, 2, 3
+)
+SELECT o.phrase_id, o.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM occ o JOIN plen p USING (phrase_id)
+WHERE o.n_offsets = p.phrase_len
+GROUP BY 1, 2
+""".replace("__PHRASE_VALUES__", _PHRASE_VALUES).replace("__PLEN_VALUES__", _PLEN_VALUES)
+
+
 QUERIES = {
     "search_bm25_topk": (q_search_bm25_topk, SQL_SEARCH_BM25_TOPK),
+    "search_phrase_match": (q_search_phrase_match, SQL_SEARCH_PHRASE_MATCH),
 }

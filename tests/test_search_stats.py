@@ -123,3 +123,34 @@ def test_bm25_ranking_golden(spark):
     assert q1[3].score_micro > q1[2].score_micro
     # score is a positive integer micro value
     assert all(r.score_micro > 0 for r in rows)
+
+
+def test_phrase_match_golden(spark):
+    """Adjacency is exact: 'slow query' twice in doc 1, a gap in doc 2
+    breaks the phrase, reversed order in doc 3 doesn't match, and the
+    3-term phrase needs all three tokens consecutive."""
+    from unittest.mock import patch
+
+    from movie_data_transformer_spark.operators.search_ranking_queries import (
+        q_search_phrase_match,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "slow query a slow query"),
+            (2, "slow b query"),
+            (3, "query slow"),
+            (4, "x table scan join y"),
+            (5, "table scan x join"),
+        ],
+        "doc_id long, text string",
+    )
+    with patch(
+        "movie_data_transformer_spark.operators.search_ranking_queries.load_table",
+        lambda _s, _d, _t: df,
+    ):
+        got = {
+            (r.phrase_id, r.doc_id): r.n_matches
+            for r in q_search_phrase_match(spark, "x").collect()
+        }
+    assert got == {(1, 1): 2, (2, 4): 1}
