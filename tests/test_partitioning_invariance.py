@@ -20,6 +20,8 @@ ENTRIES = [
     "agg_cms_heavy_hitters",  # sketch partials merge
     "cogroup_asof_match",  # per-key pandas merge_asof via cogroup
     "text_line_dedup_boilerplate",  # line-df threshold + ordered reassembly
+    "search_bm25_topk",  # integer micro scores + rank tiebreak
+    "search_phrase_match",  # group-by-start adjacency counting
 ]
 
 
