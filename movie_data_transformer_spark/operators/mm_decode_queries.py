@@ -1,14 +1,16 @@
 """REAL multimodal container decode entries (no codec libraries): WAV
 PCM audio via the stdlib wave module, 24-bit BMP images via struct +
 numpy, COMPRESSED 8-bit truecolor PNG via stdlib zlib (all five
-scanline filters), and GIF87a via a hand-rolled variable-width LZW —
-see operators/multimodal.py. Each entry runs the full
-encode -> container-parse -> exact-integer-features loop distributed
-(mapInPandas both ways) and is held to a DuckDB oracle that recomputes
-the features from the integer generative formulas alone, so a header
-mis-parse, a padding bug, an endianness slip, or a channel-order swap
-breaks the driver value hash. Lossy codecs (jpeg/mp4) remain the
-documented stub in multimodal.decode_media.
+scanline filters), GIF87a via a hand-rolled variable-width LZW, and
+baseline JFIF JPEG via a hand-rolled T.81 decoder (canonical Huffman,
+entropy decode, dequant, de-zigzag, IDCT) — see operators/multimodal.py.
+Each entry runs the full encode -> container-parse ->
+exact-integer-features loop distributed (mapInPandas both ways) and is
+held to a DuckDB oracle that recomputes the features from the integer
+generative formulas alone, so a header mis-parse, a padding bug, an
+endianness slip, a channel-order swap, or an entropy-decode slip breaks
+the driver value hash. Only VIDEO (mp4) remains the documented stub in
+multimodal.decode_media.
 """
 
 from __future__ import annotations
@@ -18,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from movie_data_transformer_spark.operators.multimodal import (
     bmp_features,
     gif_features,
+    jpeg_features,
     png_features,
     synthesize_bmp_media,
     synthesize_gif_media,
+    synthesize_jpeg_media,
     synthesize_png_media,
     synthesize_wav_media,
     wav_features,
@@ -142,9 +146,40 @@ GROUP BY doc_id, w, h
 """
 
 
+def q_mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images, LOSSY-codec tier: real baseline JFIF files decoded by the
+    hand-rolled T.81 decoder (canonical DHT, entropy decode with
+    EXTEND/ZRL/EOB, dequant, de-zigzag, float IDCT). Fixture images are
+    piecewise-constant on the 8x8 grid with an all-ones quant table, so
+    decode is bit-exact and the oracle recomputes sum/max/min pixel
+    features from the block-value formula alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_features(synthesize_jpeg_media(docs))
+
+
+SQL_MM_JPEG_DECODE = """
+WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+           FROM documents),
+xs AS (SELECT doc_id, bw, bh, unnest(range(0, bw)) AS bx FROM p),
+cell AS (SELECT doc_id, bw, bh, bx, unnest(range(0, bh)) AS by FROM xs),
+blk AS (SELECT doc_id, bw, bh,
+               (doc_id * 7 + bx * 13 + by * 31) % 256 AS v
+        FROM cell)
+SELECT doc_id,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       CAST(64 * sum(v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS BIGINT) AS max_px,
+       CAST(min(v) AS BIGINT) AS min_px
+FROM blk
+GROUP BY doc_id, bw, bh
+"""
+
+
 QUERIES = {
     "mm_wav_decode": (q_mm_wav_decode, SQL_MM_WAV_DECODE),
     "mm_bmp_decode": (q_mm_bmp_decode, SQL_MM_BMP_DECODE),
     "mm_png_decode": (q_mm_png_decode, SQL_MM_PNG_DECODE),
     "mm_gif_decode": (q_mm_gif_decode, SQL_MM_GIF_DECODE),
+    "mm_jpeg_decode": (q_mm_jpeg_decode, SQL_MM_JPEG_DECODE),
 }

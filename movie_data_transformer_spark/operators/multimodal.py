@@ -2,16 +2,19 @@
 opaque `binary` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs.
 
-The container has no image/audio CODEC libraries, so decode of
-COMPRESSED formats (jpeg/mp4) is stubbed (raises NotImplementedError
-unless `fake=True` uses the deterministic fake decoder) — but
-everything Spark-side is real and tested: the schema contract, the
-mapInPandas batch shape, partition sizing, and the feature pipeline.
-Swapping the stub for PIL/ffmpeg changes one function. Uncompressed
-CONTAINERS need no codec and are decoded for REAL at the bottom of this
-module: 16-bit PCM WAV via the stdlib wave module and 24-bit BMP via
-struct + numpy, both held to full DuckDB oracles
-(operators/mm_decode_queries.py).
+The container has no image/audio CODEC libraries, so VIDEO (mp4)
+decode is stubbed (raises NotImplementedError unless `fake=True` uses
+the deterministic fake decoder) — but everything Spark-side is real and
+tested: the schema contract, the mapInPandas batch shape, partition
+sizing, and the feature pipeline. Swapping the stub for ffmpeg changes
+one function. Every IMAGE/AUDIO format is decoded for REAL at the
+bottom of this module, each held to a full DuckDB oracle
+(operators/mm_decode_queries.py): 16-bit PCM WAV (stdlib wave), 24-bit
+BMP (struct + numpy), compressed PNG (stdlib zlib, all five scanline
+filters), GIF87a (hand-rolled variable-width LZW), and baseline JFIF
+JPEG (hand-rolled T.81: canonical DHT, entropy decode, dequant,
+de-zigzag, float IDCT — the lossy-codec tier, made oracle-exact by
+piecewise-flat fixtures with an all-ones quant table).
 
 Scale notes: binary payloads ride in parquet binary columns; decode/
 feature-extract run as mapInPandas over Arrow record batches, so Python
@@ -761,3 +764,354 @@ def gif_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, BMP_FEATURES_SCHEMA)
+
+
+# ---- JPEG (baseline JFIF, grayscale) — the LOSSY-codec tier -------------
+#
+# A real ITU T.81 baseline decoder (marker parse, DQT, canonical DHT code
+# assignment per spec C.2, entropy decode with EXTEND/ZRL/EOB, dequant,
+# de-zigzag, float IDCT) and the matching encoder. Exactness strategy for
+# the oracle: the fixture images are PIECEWISE-CONSTANT on the 8x8 block
+# grid and the quant table is all ones, so every block is DC-only and the
+# decoded pixels are bit-exact (the DC-only IDCT is a single float product
+# with error ~1e-14, far inside the rounding radius). The ENTROPY layer is
+# general (arbitrary sparse coefficients incl. >15 zero runs) and is
+# fuzz-tested at the coefficient level in tests/test_text_multimodal.py.
+# Only VIDEO (mp4) remains the documented decode_media stub.
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag order -> raster index, generated (not typed) from the
+    diagonal rule: odd anti-diagonals start at the top, even at the
+    bottom. First entries pinned by test: 0,1,8,16,9,2,..."""
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rs if s % 2 else reversed(list(rs))):
+            out.append(r * 8 + (s - r))
+    return out
+
+
+_ZZ = _jpeg_zigzag()
+
+#: custom (spec-legal) Huffman tables, canonical per T.81 C.2 — shared by
+#: encoder and decoder through the same DHT segment bytes.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12  # categories 0..11, all length 4
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_VALS)] + [0] * 8  # all length 8
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C.2: value -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        # un-stuff FF00 -> FF
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            out.append(data[i])
+            if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0x00:
+                i += 1
+            i += 1
+        self.data = bytes(out)
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) per F.1.2.1 (two's-complement-ish)."""
+    cat = abs(v).bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v + (-1 << t) + 1
+
+
+def jpeg_encode_blocks(blocks: list[list[int]]) -> bytes:
+    """Entropy-encode zigzag-order coefficient blocks (general baseline:
+    DC differences, AC run-length with ZRL for >15 zero runs, EOB)."""
+    dc = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for zz in blocks:
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat, bits = _magnitude(diff)
+        c, ln = dc[cat]
+        w.write(c, ln)
+        if cat:
+            w.write(bits, cat)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                w.write(c, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            c, ln = ac[(run << 4) | s]
+            w.write(c, ln)
+            w.write(bits, s)
+            run = 0
+        if run:
+            c, ln = ac[0x00]
+            w.write(c, ln)
+    return w.flush()
+
+
+def jpeg_decode_blocks(
+    data: bytes,
+    n_blocks: int,
+    dc_table: dict[tuple[int, int], int],
+    ac_table: dict[tuple[int, int], int],
+) -> list[list[int]]:
+    """Entropy-decode n_blocks zigzag-order coefficient blocks."""
+    r = _JpegBitReader(data)
+    out = []
+    pred = 0
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        cat = _huff_decode(r, dc_table)
+        pred += _extend(r.bits(cat), cat) if cat else 0
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, ac_table)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0x0F
+            zz[k] = _extend(r.bits(s), s)
+            k += 1
+        out.append(zz)
+    return out
+
+
+def _jpeg_params(doc_id: int) -> tuple[int, int]:
+    """(block columns, block rows) — images are 8x8-aligned."""
+    return 2 + doc_id % 3, 1 + doc_id % 2
+
+
+def _jpeg_block_value(doc_id: int, bx, by):
+    """Constant gray value of block (bx, by) — numpy-broadcastable."""
+    return (doc_id * 7 + bx * 13 + by * 31) % 256
+
+
+def _dht_segment(class_id: int, bits: list[int], values: list[int]) -> bytes:
+    import struct as struct_mod
+
+    payload = bytes([class_id]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct_mod.pack(">H", 2 + len(payload)) + payload
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """A complete baseline JFIF file: flat 8x8 blocks, all-ones quant."""
+    import struct as struct_mod
+
+    bw, bh = _jpeg_params(doc_id)
+    w, h = 8 * bw, 8 * bh
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            v = int(_jpeg_block_value(doc_id, bx, by))
+            zz = [8 * (v - 128)] + [0] * 63
+            blocks.append(zz)
+    scan = jpeg_encode_blocks(blocks)
+    segs = [
+        b"\xff\xd8",  # SOI
+        b"\xff\xe0" + struct_mod.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct_mod.pack(">HH", 1, 1) + b"\x00\x00",  # APP0
+        b"\xff\xdb" + struct_mod.pack(">H", 67) + b"\x00" + bytes([1] * 64),  # DQT
+        b"\xff\xc0" + struct_mod.pack(">H", 11) + b"\x08"
+        + struct_mod.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]),  # SOF0
+        _dht_segment(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        _dht_segment(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        b"\xff\xda" + struct_mod.pack(">H", 8) + b"\x01" + bytes([1, 0x00])
+        + bytes([0, 63, 0]),  # SOS
+        scan,
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(segs)
+
+
+def jpeg_decode_gray(blob: bytes):
+    """Parse a baseline grayscale JFIF file and return the decoded pixel
+    array (h, w) uint8 — real marker walk, DHT/DQT from the FILE, entropy
+    decode, dequant, de-zigzag, float IDCT, level shift."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qt = None
+    dc_table = ac_table = None
+    w = h = None
+    scan = None
+    while i < len(blob):
+        assert blob[i] == 0xFF, "marker expected"
+        marker = blob[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct_mod.unpack(">H", blob[i + 2 : i + 4])[0]
+        seg = blob[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            assert seg[0] == 0x00, "only 8-bit quant table 0 supported"
+            qt = list(seg[1:65])
+        elif marker == 0xC0:
+            h, w = struct_mod.unpack(">HH", seg[1:5])
+            assert seg[5] == 1, "grayscale only"
+        elif marker == 0xC4:
+            cls = seg[0]
+            bits = list(seg[1:17])
+            values = list(seg[17 : 17 + sum(bits)])
+            dec = {
+                (ln_, code): val
+                for val, (code, ln_) in _canonical_codes(bits, values).items()
+            }
+            if cls & 0x10:
+                ac_table = dec
+            else:
+                dc_table = dec
+        elif marker == 0xDA:
+            # entropy data runs to the next real marker (EOI here)
+            j = i + 2 + ln
+            k = j
+            while not (blob[k] == 0xFF and blob[k + 1] not in (0x00,)):
+                k += 1
+            scan = blob[j:k]
+            i = k
+            continue
+        i += 2 + ln
+    if None in (qt, dc_table, ac_table, w, h, scan):
+        raise ValueError("incomplete JPEG")
+    bw, bh = w // 8, h // 8
+    blocks = jpeg_decode_blocks(scan, bw * bh, dc_table, ac_table)
+    u = np.arange(8)
+    a = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    img = np.zeros((h, w), dtype=np.int64)
+    for idx, zz in enumerate(blocks):
+        fmat = np.zeros((8, 8))
+        for z, raster in enumerate(_ZZ):
+            fmat[raster // 8, raster % 8] = zz[z] * qt[z]
+        px = np.rint(a.T @ fmat @ a + 128.0).clip(0, 255).astype(np.int64)
+        by, bx = divmod(idx, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return img
+
+
+JPEG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("max_px", LongType()),
+        StructField("min_px", LongType()),
+    ]
+)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL baseline JFIF blobs, one per doc, executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [(int(d), _jpeg_bytes(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Full-decode features from the pixel array (never the header
+    alone): exact integer sum/max/min over decoded pixels."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = jpeg_decode_gray(bytes(blob))
+                out.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.sum()),
+                        int(img.max()),
+                        int(img.min()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_px", "max_px", "min_px"],
+            )
+
+    return media.mapInPandas(dec, JPEG_FEATURES_SCHEMA)

