@@ -76,6 +76,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.ml_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
     "movie_data_transformer_spark.operators.snapshot_queries",
+    "movie_data_transformer_spark.operators.mm_video_queries",
 ]
 
 

@@ -566,3 +566,31 @@ def test_jpeg_full_file_pixel_exact_and_tamper():
         assert (tampered != m.jpeg_decode_gray(m._jpeg_bytes(3))).any()
     except (ValueError, IndexError, AssertionError):
         pass  # refusing to decode the corrupt scan is equally acceptable
+
+
+def test_avi_container_roundtrip_and_tamper():
+    """RIFF walk correctness: dims from strf, frame count and order from
+    the movi '00db' chunks, bottom-up BGR un-flip; truncating a frame
+    chunk or corrupting the RIFF tag fails decode."""
+    import numpy as np
+    import pytest
+
+    from movie_data_transformer_spark.operators import multimodal as m
+
+    for d in (0, 3, 7, 11):
+        w, h, frames = m.avi_decode_frames(m._avi_bytes(d))
+        ew, eh, en = m._avi_params(d)
+        assert (w, h, len(frames)) == (ew, eh, en)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        for f, fr in enumerate(frames):
+            r, g, b = m._avi_pixel(d, f, x, y)
+            assert (fr[:, :, 0] == r).all()
+            assert (fr[:, :, 1] == g).all()
+            assert (fr[:, :, 2] == b).all()
+    blob = bytearray(m._avi_bytes(3))
+    blob[0:4] = b"XIFF"
+    with pytest.raises(ValueError):
+        m.avi_decode_frames(bytes(blob))
+    with pytest.raises(Exception):
+        m.avi_decode_frames(m._avi_bytes(3)[:-20])  # truncated last frame
