@@ -57,6 +57,71 @@ GROUP BY doc_id, w, h, nf
 """
 
 
+def q_mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling (the operator llm_queries' mm_frame_sample
+    plans with the fake decoder): decode the AVI, keep every 2nd frame,
+    and emit ONE ROW PER SAMPLED FRAME with exact per-frame channel
+    sums — the mapInPandas fan-out (rows out > rows in) over decoded
+    video that a caption/embedding pipeline feeds from."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from movie_data_transformer_spark.operators.multimodal import (
+        FRAME_SAMPLE_SCHEMA,
+        avi_decode_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_avi_media(docs)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                _w, _h, frames = avi_decode_frames(bytes(blob))
+                for f in range(0, len(frames), 2):
+                    fr = frames[f]
+                    out.append(
+                        (
+                            int(doc_id),
+                            f,
+                            int(fr[:, :, 0].sum()),
+                            int(fr[:, :, 1].sum()),
+                            int(fr[:, :, 2].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+SQL_MM_AVI_FRAME_SAMPLE = """
+WITH p AS (SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 6 AS h,
+                  2 + doc_id % 4 AS nf
+           FROM documents),
+fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM sampled),
+cell AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, f,
+              (doc_id * 5 + f * 19 + x * 7 + y * 3) % 256 AS r,
+              (doc_id * 13 + f * 23 + x * 3 + y * 11) % 256 AS g,
+              (doc_id * 17 + f * 29 + x * 19 + y * 7) % 256 AS b
+       FROM cell)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, f
+"""
+
+
 QUERIES = {
     "mm_avi_decode": (q_mm_avi_decode, SQL_MM_AVI_DECODE),
+    "mm_avi_frame_sample": (q_mm_avi_frame_sample, SQL_MM_AVI_FRAME_SAMPLE),
 }

@@ -170,10 +170,11 @@ def resize_media(media: DataFrame, target_w: int, target_h: int, fake_decode: bo
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB of video frame sampling: the real implementation would emit
-    one row per sampled frame (mapInPandas fan-out). Here: videos only,
-    with the frame plan computed from metadata — the Spark-side row
-    explosion is real, the pixel decode is not."""
+    """Metadata-planned frame sampling for formats behind the codec stub
+    (the frame plan is real Spark arithmetic; pixels are not decoded).
+    The REAL pixel-decoding form — one row per sampled frame with exact
+    per-frame features — is mm_video_queries.q_mm_avi_frame_sample,
+    built on avi_decode_frames below."""
     videos = media.filter(F.col("media_type") == "video")
     n_frames = (F.col("n_bytes") / 100 + 1).cast("int")  # fake duration model
     return videos.select(
@@ -1297,3 +1298,14 @@ def avi_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, AVI_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
