@@ -594,3 +594,51 @@ def test_avi_container_roundtrip_and_tamper():
         m.avi_decode_frames(bytes(blob))
     with pytest.raises(Exception):
         m.avi_decode_frames(m._avi_bytes(3)[:-20])  # truncated last frame
+
+
+def _bmp_blob(m, doc_id):
+    """Rebuild one BMP blob with the same layout the fixture writer
+    uses (bottom-up padded BGR rows, 54-byte header)."""
+    import struct as struct_mod
+
+    import numpy as np
+
+    w, h = m._bmp_params(doc_id)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r, g, b = m._bmp_pixel(doc_id, x, y)
+    pad = (-(w * 3)) % 4
+    rows = []
+    for yy in range(h - 1, -1, -1):
+        px = np.empty((w, 3), dtype=np.uint8)
+        px[:, 0] = b[yy]
+        px[:, 1] = g[yy]
+        px[:, 2] = r[yy]
+        rows.append(px.tobytes() + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    dib = struct_mod.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    hdr = b"BM" + struct_mod.pack("<IHHI", 14 + 40 + len(pixel_data), 0, 0, 54)
+    return hdr + dib + pixel_data
+
+
+def test_resize_nearest_golden():
+    """bmp_decode_pixels inverts the BMP layout exactly, and the 8 -> 4
+    nearest-neighbor index map picks columns 0,2,4,6."""
+    import numpy as np
+
+    from movie_data_transformer_spark.operators import multimodal as m
+    from movie_data_transformer_spark.operators.mm_transform_queries import (
+        bmp_decode_pixels,
+    )
+
+    d = next(d for d in range(30) if m._bmp_params(d)[0] == 8)
+    img = bmp_decode_pixels(_bmp_blob(m, d))
+    w = img.shape[1]
+    assert w == 8
+    assert list((np.arange(4) * w) // 4) == [0, 2, 4, 6]
+    x = np.arange(w)[None, :]
+    y = np.arange(img.shape[0])[:, None]
+    r, g, b = m._bmp_pixel(d, x, y)
+    assert (img[:, :, 0] == r).all()
+    assert (img[:, :, 1] == g).all()
+    assert (img[:, :, 2] == b).all()
