@@ -745,36 +745,47 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit exact (no FP summation-order hazard), so the oracle is exact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "doc_id",
-        "lang",
-        r"split(trim(text), '\\s+') AS t",
-    ).selectExpr(
-        "doc_id",
-        "lang",
-        "CAST(size(t) AS BIGINT) AS n_tokens",
-        "aggregate(t, 0L, (acc, x) -> acc +"
-        " ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000))"
-        " AS logit_sum",
-        "IF(aggregate(t, 0L, (acc, x) -> acc +"
-        " ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000))"
-        " >= 0, 'keep', 'drop') AS label",
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            r"split(trim(text), '\\s+') AS t",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(size(t) AS BIGINT) AS n_tokens",
+            # single source for the weight fold; the label derives from
+            # the projected column, never a second copy of the expression
+            "aggregate(t, 0L, (acc, x) -> acc +"
+            " ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001) - 1000))"
+            " AS logit_sum",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "logit_sum",
+            "IF(logit_sum >= 0, 'keep', 'drop') AS label",
+        )
     )
 
 
 SQL_QUALITY_CLASSIFIER_SCORES = r"""
 WITH toks AS (
     SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(t, x ->
+                (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001) - 1000))
+               AS BIGINT) AS logit_sum
+    FROM toks
 )
-SELECT doc_id, lang,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(list_sum(list_transform(t, x ->
-            (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001) - 1000))
-           AS BIGINT) AS logit_sum,
-       CASE WHEN list_sum(list_transform(t, x ->
-            (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001) - 1000)) >= 0
-            THEN 'keep' ELSE 'drop' END AS label
-FROM toks
+SELECT doc_id, lang, n_tokens, logit_sum,
+       CASE WHEN logit_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
 """
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
 from movie_data_transformer_spark.operators.multimodal import (
+    bmp_decode_pixels,
     synthesize_bmp_media,
 )
 from movie_data_transformer_spark.sources.tables import load_table
@@ -40,25 +41,6 @@ RESIZE_SCHEMA = StructType(
         StructField("sum_b", LongType()),
     ]
 )
-
-
-def bmp_decode_pixels(blob: bytes):
-    """Decode a 24-bit BMP into (h, w, 3) RGB int64 — header dims from
-    BITMAPINFOHEADER, bottom-up padded BGR rows un-flipped."""
-    import struct as struct_mod
-
-    import numpy as np
-
-    if blob[:2] != b"BM":
-        raise ValueError("not a BMP")
-    off = struct_mod.unpack("<I", blob[10:14])[0]
-    w, h = struct_mod.unpack("<ii", blob[18:26])
-    stride = w * 3 + ((-(w * 3)) % 4)
-    rows = np.frombuffer(blob[off : off + stride * h], dtype=np.uint8).reshape(
-        h, stride
-    )
-    bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]
-    return bgr[:, :, ::-1].astype(np.int64)
 
 
 def q_mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,8 +13,9 @@ bug, or a channel swap breaks the driver hash. After this, the
 decode_media stub covers only COMPRESSED video codecs (H.264/mp4).
 
 Scale: one mapInPandas pass; frames decode executor-side from Arrow
-binary columns. This module sits at the tail of registry._MODULES so
-the import-verified r06 window front stays at exactly 50.
+binary columns. This module registers BEHIND the import-verified r06
+window front (everything after the first 50 entries) so the planned
+evidence rotation stays intact.
 """
 
 from __future__ import annotations

@@ -376,35 +376,25 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
 
 
 def bmp_features(media: DataFrame) -> DataFrame:
-    """Decode REAL BMP bytes by parsing the headers (width/height/offset
-    from the DIB header, rows read bottom-up with mod-4 padding) and emit
-    exact-integer channel sums — oracle-recomputable from _bmp_pixel."""
-    import struct as struct_mod
-
-    import numpy as np
+    """Decode REAL BMP bytes (bmp_decode_pixels: header parse + the
+    shared DIB row unpack) and emit exact-integer channel sums —
+    oracle-recomputable from _bmp_pixel."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                data = bytes(blob)
-                assert data[:2] == b"BM"
-                (offset,) = struct_mod.unpack_from("<I", data, 10)
-                w, h = struct_mod.unpack_from("<ii", data, 18)
-                (bpp,) = struct_mod.unpack_from("<H", data, 28)
-                assert bpp == 24
-                row_len = w * 3
-                stride = row_len + ((-row_len) % 4)
-                sr = sg = sb = 0
-                for row in range(abs(h)):
-                    start = offset + row * stride
-                    px = np.frombuffer(data, dtype=np.uint8, count=row_len, offset=start).reshape(
-                        w, 3
-                    ).astype(np.int64)
-                    sb += int(px[:, 0].sum())
-                    sg += int(px[:, 1].sum())
-                    sr += int(px[:, 2].sum())
-                out.append((int(doc_id), int(w), int(abs(h)), sr, sg, sb))
+                img = bmp_decode_pixels(bytes(blob))
+                out.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                    )
+                )
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
             )
@@ -1237,12 +1227,10 @@ def avi_decode_frames(blob: bytes):
     if w is None or not frames:
         raise ValueError("incomplete AVI")
     stride = w * 3 + ((-(w * 3)) % 4)
-    out = []
     for payload in frames:
-        rows = np.frombuffer(payload, dtype=np.uint8).reshape(h, stride)
-        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # un-flip bottom-up
-        out.append(bgr[:, :, ::-1].astype(np.int64))  # BGR -> RGB
-    return w, h, out
+        if len(payload) != stride * h:
+            raise ValueError("frame payload size mismatch")
+    return w, h, [_unpack_dib_rows(p, w, h) for p in frames]
 
 
 AVI_FEATURES_SCHEMA = StructType(
@@ -1309,3 +1297,32 @@ FRAME_SAMPLE_SCHEMA = StructType(
         StructField("sum_b", LongType()),
     ]
 )
+
+
+def _unpack_dib_rows(payload: bytes, w: int, h: int):
+    """Bottom-up padded BGR rows -> (h, w, 3) RGB int64 — the DIB pixel
+    array layout shared by BMP files and AVI '00db' frames (single
+    source: bmp_features, bmp_decode_pixels, and avi_decode_frames all
+    decode through here)."""
+    import numpy as np
+
+    stride = w * 3 + ((-(w * 3)) % 4)
+    rows = np.frombuffer(payload[: stride * h], dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]
+    return bgr[:, :, ::-1].astype(np.int64)
+
+
+def bmp_decode_pixels(blob: bytes):
+    """Decode a 24-bit BMP into (h, w, 3) RGB int64 — header dims and
+    pixel-array offset from the BITMAPINFOHEADER, rows via
+    _unpack_dib_rows."""
+    import struct as struct_mod
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct_mod.unpack_from("<I", blob, 10)
+    w, h = struct_mod.unpack_from("<ii", blob, 18)
+    (bpp,) = struct_mod.unpack_from("<H", blob, 28)
+    if bpp != 24:
+        raise ValueError("only 24-bit BMPs supported")
+    return _unpack_dib_rows(blob[off:], w, abs(h))

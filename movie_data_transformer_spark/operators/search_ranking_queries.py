@@ -24,10 +24,11 @@ makes this viable at 100 TB: only matching postings shuffle), then one
 groupBy(doc, term) for tf; df and the final per-query ranking ride tiny
 broadcast joins. Corpus totals (N, L) come from a separate 1-row
 aggregate scan — at production scale those are precomputed stats, not a
-second pass. int64 bounds: idf_micro <= ~2N*1e6 and the score product
-stays < 2^63 for corpora up to ~1e5 docs x ~1e6 total tokens; beyond
-that, lift the products to DECIMAL (the DuckDB twin already uses
-HUGEINT).
+second pass. Overflow safety: the idf_micro x (22 L tf) product passes
+int64 around ~5e4 docs x ~1e6 tokens, so it is taken in DECIMAL(38,0)
+with a remainder-subtract floor (exact, same trunc semantics as the
+DuckDB twin's HUGEINT //) — good to ~1e12-doc corpora; the inner
+idf_micro DIV itself stays int64-safe below ~4e12 docs.
 """
 
 from __future__ import annotations
@@ -81,9 +82,18 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "query_id",
             "doc_id",
-            "((2 * n - 2 * df + 1) * 1000000L DIV (2 * df + 1))"
-            " * (22 * l * tf) DIV (10 * l * tf + 3 * l + 9 * dl * n)"
-            " AS term_score_micro",
+            # the idf_micro x (22 L tf) product overflows int64 around
+            # ~5e4 docs x ~1e6 tokens, so it is taken in DECIMAL(38,0)
+            # and floored with the remainder-subtract trick (exact; same
+            # trunc semantics as the oracle's HUGEINT //)
+            "CAST((2 * n - 2 * df + 1) * 1000000L DIV (2 * df + 1)"
+            " AS DECIMAL(19,0)) * CAST(22 * l * tf AS DECIMAL(19,0)) AS m",
+            "CAST(10 * l * tf + 3 * l + 9 * dl * n AS DECIMAL(19,0)) AS d",
+        )
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "CAST((m - (m % d)) / d AS BIGINT) AS term_score_micro",
         )
     )
     agg = scored.groupBy("query_id", "doc_id").agg(

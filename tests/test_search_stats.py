@@ -154,3 +154,26 @@ def test_phrase_match_golden(spark):
             for r in q_search_phrase_match(spark, "x").collect()
         }
     assert got == {(1, 1): 2, (2, 4): 1}
+
+
+def test_bm25_score_survives_int64_overflow_domain(spark):
+    """The decimal-lifted score matches Python big-int math at corpus
+    magnitudes where the plain BIGINT product would exceed 2^63 (found
+    by review: the old form overflowed around 5e4 docs x 1e6 tokens)."""
+    n, l, df, tf, dl = 100_000, 1_000_000, 1, 10, 50
+    idf = (2 * n - 2 * df + 1) * 1_000_000 // (2 * df + 1)
+    assert idf * (22 * l * tf) > 2**63  # the probe is in the danger zone
+    expect = idf * (22 * l * tf) // (10 * l * tf + 3 * l + 9 * dl * n)
+    row = (
+        spark.createDataFrame(
+            [(n, l, df, tf, dl)], "n long, l long, df long, tf long, dl long"
+        )
+        .selectExpr(
+            "CAST((2*n - 2*df + 1) * 1000000L DIV (2*df + 1) AS DECIMAL(19,0))"
+            " * CAST(22 * l * tf AS DECIMAL(19,0)) AS m",
+            "CAST(10*l*tf + 3*l + 9*dl*n AS DECIMAL(19,0)) AS d",
+        )
+        .selectExpr("CAST((m - (m % d)) / d AS BIGINT) AS s")
+        .collect()[0]
+    )
+    assert row.s == expect

@@ -108,3 +108,33 @@ def test_stream_snapshot_versions_accumulate(spark, sf_dir):
         assert all(r.n >= 1 for r in rows)
         masses.append(sum(r.n for r in rows))
     assert masses == sorted(masses) and masses[-1] > masses[0]
+
+
+def test_partial_bucket_merge_keeps_stored_decimal_schema(spark):
+    """Regression (found by review): sum() widens decimal types, so a
+    merge touching only SOME buckets used to give rewritten buckets a
+    parquet schema the carried-forward buckets don't share — read() of
+    the merged version crashed with a column-type mismatch. The merged
+    values must be cast back to the stored types."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="snapstore_dec_")
+    st = SnapshotTable(spark, root, n_buckets=8)
+    state = spark.createDataFrame(
+        [(u, float(u)) for u in range(16)], "user_id long, v double"
+    ).select(
+        "user_id",
+        F.sum(F.col("v").cast("decimal(18,4)"))
+        .over(Window.partitionBy("user_id"))
+        .alias("total"),
+    )
+    st.commit_full(state, "user_id", 1)
+    batch = spark.createDataFrame([(3, 1.5)], "user_id long, v double").select(
+        "user_id", F.col("v").cast("decimal(28,4)").alias("total")
+    )
+    st.merge_additive(batch, "user_id", ["total"], 1, 2)
+    got = {r.user_id: float(r.total) for r in st.read(2).collect()}
+    assert got[3] == 4.5 and got[0] == 0.0 and len(got) == 16

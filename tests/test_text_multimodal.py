@@ -627,12 +627,9 @@ def test_resize_nearest_golden():
     import numpy as np
 
     from movie_data_transformer_spark.operators import multimodal as m
-    from movie_data_transformer_spark.operators.mm_transform_queries import (
-        bmp_decode_pixels,
-    )
 
     d = next(d for d in range(30) if m._bmp_params(d)[0] == 8)
-    img = bmp_decode_pixels(_bmp_blob(m, d))
+    img = m.bmp_decode_pixels(_bmp_blob(m, d))
     w = img.shape[1]
     assert w == 8
     assert list((np.arange(4) * w) // 4) == [0, 2, 4, 6]
