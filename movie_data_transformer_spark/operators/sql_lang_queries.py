@@ -1,0 +1,90 @@
+"""Spark 4 SQL LANGUAGE surfaces: pipe syntax and SQL scripting.
+
+Two query-authoring surfaces added in Spark 4.0, each held to the
+oracle of its classic-SQL twin so the new front-ends are hash-checked
+against the engine's standard semantics:
+
+- `sql_pipe_syntax`: the |> operator chain (FROM ... |> WHERE
+  |> EXTEND |> AGGREGATE ... GROUP BY |> WHERE) — each stage consumes
+  the previous stage's output top-down, compiling to the same logical
+  plan as the nested classic form.
+- `sql_scripting_rollup`: a BEGIN/DECLARE/WHILE script (compound
+  statements, session variables, scalar-subquery SET) that accumulates
+  per-bucket purchase totals across loop iterations — the procedural
+  control-flow surface; the oracle is the single closed-form aggregate
+  the loop must equal.
+
+Scale: pipe syntax is pure syntax (identical Catalyst plan — zero
+cost). Scripting runs one driver-compiled statement per iteration; the
+loop here is 5 tiny aggregates (the pagerank-style bounded driver
+probe), and anything data-sized inside a script body is still ordinary
+distributed SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_pipe_events")
+    return spark.sql(
+        """
+        FROM _pipe_events
+        |> WHERE event_type = 'purchase'
+        |> EXTEND CAST(value AS DECIMAL(18,4)) AS v
+        |> AGGREGATE CAST(sum(v) AS DOUBLE) AS total,
+                     CAST(count(*) AS BIGINT) AS n
+           GROUP BY user_id
+        |> WHERE n >= 2
+        """
+    )
+
+
+SQL_SQL_PIPE_SYNTAX = """
+SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+def q_sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_script_events")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 5 DO
+            SET total = total + (
+              SELECT coalesce(
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS BIGINT), 0)
+              FROM _script_events
+              WHERE event_type = 'purchase' AND user_id % 5 = i);
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS total_cents, CAST(i AS INT) AS n_buckets;
+        END
+        """
+    )
+
+
+SQL_SQL_SCRIPTING_ROLLUP = """
+SELECT CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       5 AS n_buckets
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "sql_pipe_syntax": (q_sql_pipe_syntax, SQL_SQL_PIPE_SYNTAX),
+    "sql_scripting_rollup": (q_sql_scripting_rollup, SQL_SQL_SCRIPTING_ROLLUP),
+}
