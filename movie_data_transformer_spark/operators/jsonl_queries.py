@@ -33,6 +33,20 @@ def source_fingerprint(sf_dir: str) -> str:
     return f"{st.st_size}_{int(st.st_mtime)}"
 
 
+def fixture_cache_dir(prefix: str, sf_dir: str) -> str:
+    """The canonical cache-dir name for a derived fixture:
+    /tmp/<prefix>_<sf tag>_<source fingerprint>. One place for the
+    naming scheme (prefix carries its own version tag, e.g.
+    'mdt_snapstore_v2') instead of re-assembling the tag/tempdir/
+    fingerprint triple at every call site."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{source_fingerprint(sf_dir)}"
+    )
+
+
 def publish_fixture_dir(build_fn, d: str) -> str:
     """Build a cached fixture directory ATOMICALLY: build_fn(tmp) fills a
     unique sibling dir, which is then rename()d into place. Concurrent

@@ -1325,4 +1325,9 @@ def bmp_decode_pixels(blob: bytes):
     (bpp,) = struct_mod.unpack_from("<H", blob, 28)
     if bpp != 24:
         raise ValueError("only 24-bit BMPs supported")
-    return _unpack_dib_rows(blob[off:], w, abs(h))
+    if h < 0:
+        # negative biHeight = top-down row order; _unpack_dib_rows
+        # assumes bottom-up, so refuse loudly rather than silently
+        # returning a vertically mirrored image
+        raise ValueError("top-down (negative-height) BMPs not supported")
+    return _unpack_dib_rows(blob[off:], w, h)

@@ -50,6 +50,19 @@ QUERY_TERMS: list[tuple[int, str]] = [
 ]
 TOP_K = 10
 
+# The term-score expressions, shared with the overflow regression test
+# (tests/test_search_stats.py) so a future edit cannot drift from what
+# the test pins. The idf_micro x (22 L tf) product overflows int64
+# around ~5e4 docs x ~1e6 tokens, so it is taken in DECIMAL and floored
+# with the remainder-subtract trick (exact; same trunc semantics as the
+# oracle's HUGEINT //).
+SCORE_M_EXPR = (
+    "CAST((2 * n - 2 * df + 1) * 1000000L DIV (2 * df + 1)"
+    " AS DECIMAL(19,0)) * CAST(22 * l * tf AS DECIMAL(19,0)) AS m"
+)
+SCORE_D_EXPR = "CAST(10 * l * tf + 3 * l + 9 * dl * n AS DECIMAL(19,0)) AS d"
+SCORE_FLOOR_EXPR = "CAST((m - (m % d)) / d AS BIGINT) AS term_score_micro"
+
 
 def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -79,22 +92,8 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(q), "term")
         .crossJoin(F.broadcast(corpus))
-        .selectExpr(
-            "query_id",
-            "doc_id",
-            # the idf_micro x (22 L tf) product overflows int64 around
-            # ~5e4 docs x ~1e6 tokens, so it is taken in DECIMAL(38,0)
-            # and floored with the remainder-subtract trick (exact; same
-            # trunc semantics as the oracle's HUGEINT //)
-            "CAST((2 * n - 2 * df + 1) * 1000000L DIV (2 * df + 1)"
-            " AS DECIMAL(19,0)) * CAST(22 * l * tf AS DECIMAL(19,0)) AS m",
-            "CAST(10 * l * tf + 3 * l + 9 * dl * n AS DECIMAL(19,0)) AS d",
-        )
-        .selectExpr(
-            "query_id",
-            "doc_id",
-            "CAST((m - (m % d)) / d AS BIGINT) AS term_score_micro",
-        )
+        .selectExpr("query_id", "doc_id", SCORE_M_EXPR, SCORE_D_EXPR)
+        .selectExpr("query_id", "doc_id", SCORE_FLOOR_EXPR)
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score_micro").cast("bigint").alias("score_micro")

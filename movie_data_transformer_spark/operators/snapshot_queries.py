@@ -49,17 +49,12 @@ def _snapshot_store_dir(spark: SparkSession, sf_dir: str) -> str:
     later invocations measure the time-travel READ path, which is what
     production does (the dedup_incremental_minhash precedent). Manifest
     paths are root-relative, so the publish-then-rename is safe."""
-    import os
-
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_snapstore_v2_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_snapstore_v3", sf_dir)
 
     def _build(out: str) -> None:
         ev = load_table(spark, sf_dir, "events")
@@ -203,18 +198,12 @@ def q_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream==batch contract as stream_incremental_dedup. Intermediate
     versions (time travel across batch history) are pinned in
     tests/test_snapshot_store.py."""
-    import os
-
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"mdt_snapstream_store_v2_{tag}_{source_fingerprint(sf_dir)}",
-    )
+    d = fixture_cache_dir("mdt_snapstream_store_v3", sf_dir)
 
     def _build(out: str) -> None:
         run_stream_snapshot_merge(spark, _purchase_jsonl_dir(spark, sf_dir), out)

@@ -77,7 +77,8 @@ def q_sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SQL_SCRIPTING_ROLLUP = """
-SELECT CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+SELECT CAST(coalesce(
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT)
            AS total_cents,
        5 AS n_buckets
 FROM events WHERE event_type = 'purchase'

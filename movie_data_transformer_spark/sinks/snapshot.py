@@ -119,10 +119,21 @@ class SnapshotTable:
         # schema the carried-forward buckets don't share — read() of the
         # merged version would fail with a column-type mismatch (the cast
         # throws under ANSI if a value ever outgrows the stored type,
-        # which is the loud failure we want).
-        stored_types = {
-            f.name: f.dataType for f in state.schema.fields if f.name in value_cols
-        }
+        # which is the loud failure we want). The reference schema comes
+        # from ANY stored directory (footer-only read), not just the
+        # touched buckets: a batch introducing a brand-new bucket must
+        # still write the STORE's types, not its own.
+        if prev:
+            sample = self.spark.read.parquet(
+                os.path.join(self.root, next(iter(sorted(prev.values()))))
+            )
+            stored_types = {
+                f.name: f.dataType for f in sample.schema.fields if f.name in value_cols
+            }
+        else:
+            stored_types = {
+                f.name: f.dataType for f in b.schema.fields if f.name in value_cols
+            }
         merged = (
             state.unionByName(b.select(*base_cols))
             .groupBy(key, "bucket")

@@ -160,6 +160,12 @@ def test_bm25_score_survives_int64_overflow_domain(spark):
     """The decimal-lifted score matches Python big-int math at corpus
     magnitudes where the plain BIGINT product would exceed 2^63 (found
     by review: the old form overflowed around 5e4 docs x 1e6 tokens)."""
+    from movie_data_transformer_spark.operators.search_ranking_queries import (
+        SCORE_D_EXPR,
+        SCORE_FLOOR_EXPR,
+        SCORE_M_EXPR,
+    )
+
     n, l, df, tf, dl = 100_000, 1_000_000, 1, 10, 50
     idf = (2 * n - 2 * df + 1) * 1_000_000 // (2 * df + 1)
     assert idf * (22 * l * tf) > 2**63  # the probe is in the danger zone
@@ -168,12 +174,9 @@ def test_bm25_score_survives_int64_overflow_domain(spark):
         spark.createDataFrame(
             [(n, l, df, tf, dl)], "n long, l long, df long, tf long, dl long"
         )
-        .selectExpr(
-            "CAST((2*n - 2*df + 1) * 1000000L DIV (2*df + 1) AS DECIMAL(19,0))"
-            " * CAST(22 * l * tf AS DECIMAL(19,0)) AS m",
-            "CAST(10*l*tf + 3*l + 9*dl*n AS DECIMAL(19,0)) AS d",
-        )
-        .selectExpr("CAST((m - (m % d)) / d AS BIGINT) AS s")
+        # the PRODUCTION expressions, imported — not a re-typed copy
+        .selectExpr(SCORE_M_EXPR, SCORE_D_EXPR)
+        .selectExpr(SCORE_FLOOR_EXPR)
         .collect()[0]
     )
-    assert row.s == expect
+    assert row.term_score_micro == expect

@@ -138,3 +138,31 @@ def test_partial_bucket_merge_keeps_stored_decimal_schema(spark):
     st.merge_additive(batch, "user_id", ["total"], 1, 2)
     got = {r.user_id: float(r.total) for r in st.read(2).collect()}
     assert got[3] == 4.5 and got[0] == 0.0 and len(got) == 16
+
+
+def test_new_bucket_merge_adopts_stored_types(spark):
+    """Review follow-up: a batch introducing a bucket ABSENT from the
+    prior manifest must still write the STORE's value types (taken from
+    any stored directory), not its own wider ones — otherwise the mixed
+    parquet-schema crash returns through the new-bucket path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="snapstore_newb_")
+    st = SnapshotTable(spark, root, n_buckets=8)
+    # v1 only has buckets 0..3 (users 0..3), values decimal(18,4)
+    v1 = spark.createDataFrame(
+        [(u, float(u)) for u in range(4)], "user_id long, v double"
+    ).select("user_id", F.col("v").cast("decimal(18,4)").alias("total"))
+    st.commit_full(v1, "user_id", 1)
+    # batch touches ONLY bucket 7 (absent from v1), with a WIDER decimal
+    batch = spark.createDataFrame([(7, 2.5)], "user_id long, v double").select(
+        "user_id", F.col("v").cast("decimal(28,4)").alias("total")
+    )
+    st.merge_additive(batch, "user_id", ["total"], 1, 2)
+    got = {r.user_id: float(r.total) for r in st.read(2).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 7: 2.5}
+    # and the written type really is the stored (18,4), not the batch's
+    types = {f.name: f.dataType.simpleString() for f in st.read(2).schema.fields}
+    assert types["total"] == "decimal(18,4)"
