@@ -40,13 +40,12 @@ from __future__ import annotations
 import glob as globmod
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from movie_data_transformer_spark.operators.jsonl_queries import (
+    fixture_cache_dir,
     publish_fixture_dir,
-    source_fingerprint,
 )
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -95,10 +94,7 @@ def _staged_format_write(df: DataFrame, out: str, fmt: str, ext: str) -> None:
 def csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Cached-per-(sf, source-fingerprint) CSV fixture: 4 part files with
     stable names + the planted decoy/malformed rows."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_csv_v1_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_csv_v1", sf_dir)
 
     def _build(out: str) -> None:
         _staged_format_write(_projected_customer(spark, sf_dir), out, "csv", "csv")
@@ -128,10 +124,7 @@ def q_source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_orc_v1_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_orc_v1", sf_dir)
 
     def _build(out: str) -> None:
         _staged_format_write(_projected_customer(spark, sf_dir), out, "orc", "orc")
@@ -146,10 +139,7 @@ def q_source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xml_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Spark 4's NATIVE XML source (spark-xml merged upstream): the
     third text format in the matrix."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_xml_v1_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_xml_v1", sf_dir)
 
     def _build(out: str) -> None:
         stage = out + "_stage"
@@ -193,10 +183,7 @@ def binaryfile_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     from movie_data_transformer_spark.sources.tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_binwav_v1_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_binwav_v1", sf_dir)
 
     def _build(out: str) -> None:
         docs = load_table(spark, sf_dir, "documents").filter(

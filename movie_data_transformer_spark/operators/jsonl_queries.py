@@ -90,9 +90,8 @@ def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     (round-3 VERDICT item 7): at real scale the corpus never lands on the
     driver; the corruption is planted afterwards by appending one line to
     one part file — exactly how a bad S3 object would appear."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
     # v1: bump when derive_movies/corruption-planting changes (derived state)
-    d = os.path.join(tempfile.gettempdir(), f"mdt_jsonl_v1_{tag}_{source_fingerprint(sf_dir)}")
+    d = fixture_cache_dir("mdt_jsonl_v1", sf_dir)
 
     def _build(out: str) -> None:
         nested = derive_movies(spark, sf_dir)

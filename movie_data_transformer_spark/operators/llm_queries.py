@@ -409,7 +409,6 @@ def _minhash_state_index_dir(spark: SparkSession, sf_dir: str) -> str:
     index build is amortized over every ingest in deployment; before
     this the entry rebuilt the state index inline on every invocation)."""
     import os
-    import tempfile
 
     from movie_data_transformer_spark.operators.dedup import (
         band_table,
@@ -417,8 +416,8 @@ def _minhash_state_index_dir(spark: SparkSession, sf_dir: str) -> str:
         minhash_signatures_from_arrays,
     )
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
     # cache key includes an index-format version: unlike the raw-docs
@@ -427,11 +426,7 @@ def _minhash_state_index_dir(spark: SparkSession, sf_dir: str) -> str:
     # changes, or a stale cached index from a previous code revision
     # would silently diverge from the recomputing oracle
     _INDEX_FORMAT_VERSION = "v1_n3_mh32_b16x2"
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"mdt_mhidx_{_INDEX_FORMAT_VERSION}_{tag}_{source_fingerprint(sf_dir)}",
-    )
+    d = fixture_cache_dir(f"mdt_mhidx_{_INDEX_FORMAT_VERSION}", sf_dir)
 
     def _build(out: str) -> None:
         state = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(

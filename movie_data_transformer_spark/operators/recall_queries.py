@@ -149,21 +149,17 @@ def _ingest_embeddings_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     import glob as globmod
     import os
     import shutil
-    import tempfile
 
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
     from movie_data_transformer_spark.operators.similarity import (
         augmented_embeddings,
     )
     from movie_data_transformer_spark.sources.tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_emb_ingest_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_emb_ingest", sf_dir)
 
     def _build(out: str) -> None:
         batch = (

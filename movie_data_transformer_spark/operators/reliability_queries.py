@@ -20,7 +20,6 @@ movie does NOT hash to the skipped file.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,15 +57,11 @@ def _skip_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"mdt_jsonl_skip_{tag}_b{BAD_FILE}_n{N_FILES}_{source_fingerprint(sf_dir)}",
-    )
+    d = fixture_cache_dir(f"mdt_jsonl_skip_b{BAD_FILE}_n{N_FILES}", sf_dir)
 
     def _build(out: str) -> None:
         nested = derive_movies(spark, sf_dir)

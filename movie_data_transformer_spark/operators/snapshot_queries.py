@@ -19,7 +19,6 @@ pinned at file level in tests/test_snapshot_store.py.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,15 +112,11 @@ def _purchase_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"mdt_snapstream_v1_{tag}_{source_fingerprint(sf_dir)}",
-    )
+    d = fixture_cache_dir("mdt_snapstream_v1", sf_dir)
 
     def _build(out: str) -> None:
         ev = load_table(spark, sf_dir, "events")

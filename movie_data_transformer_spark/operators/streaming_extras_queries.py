@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,15 +66,12 @@ def late_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import time
 
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
     from movie_data_transformer_spark.sources.tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_late_v2_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_late_v2", sf_dir)
 
     def _build(out: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(

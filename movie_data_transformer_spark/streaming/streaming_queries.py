@@ -100,15 +100,12 @@ def _ingest_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     multiple micro-batches."""
     from movie_data_transformer_spark.operators.dedup import augmented_corpus
     from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
         publish_fixture_dir,
-        source_fingerprint,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
     # v1: bump when augmented_corpus/file-splitting changes (derived state)
-    d = os.path.join(
-        tempfile.gettempdir(), f"mdt_ingest_v1_{tag}_{source_fingerprint(sf_dir)}"
-    )
+    d = fixture_cache_dir("mdt_ingest_v1", sf_dir)
 
     def _build(out: str) -> None:
         batch = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(
