@@ -107,10 +107,14 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
     )
 
 
-def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def apply_bpe_merges(
+    docs: DataFrame, merges: list[tuple[str, str]], with_encoding: bool = False
+) -> DataFrame:
     """Encode the corpus with a FIXED learned merge list: (doc_id,
-    n_subwords, n_words). Merges apply in learned order — one string
-    replace each, all row-local."""
+    n_words, n_subwords[, encoded]). Merges apply in learned order — one
+    string replace each, all row-local. `with_encoding` adds the
+    whitespace-normalized subword string itself (single spaces between
+    subwords, word boundaries visible as the '</w>' sentinel)."""
     enc = docs.selectExpr(
         "doc_id",
         "concat(' ', concat_ws(' </w>  ', transform(split(lower(trim(text)), '\\\\s+'), "
@@ -122,8 +126,11 @@ def apply_bpe_merges(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
         col = F.replace(col, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
     # split on ' +': the inter-word double space (which deliberately
     # blocks cross-word merges) must not produce empty tokens
-    return enc.select(
-        "doc_id",
-        "n_words",
+    out = [
+        F.col("doc_id"),
+        F.col("n_words"),
         F.size(F.split(F.trim(col), " +")).alias("n_subwords"),
-    )
+    ]
+    if with_encoding:
+        out.append(F.regexp_replace(F.trim(col), " +", " ").alias("encoded"))
+    return enc.select(*out)

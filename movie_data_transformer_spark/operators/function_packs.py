@@ -340,6 +340,61 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DataFrame.transpose() reshape surface: per-region
+    nation/customer counts flipped so regions become columns and each
+    metric becomes a row — the dashboard/report orientation. transpose()
+    reads the index column's values on the driver to name the output
+    columns, so it is inherently an aggregate-sized reshape (bounded
+    column count); at 100 TB you transpose the final rollup, never a
+    fact table. The oracle rebuilds the same pivoted shape from the
+    five fixed TPC-H region names with conditional aggregation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    per = (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(
+            customer,
+            nation.n_nationkey == customer.c_nationkey,
+            "left",
+        )
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").cast("bigint").alias("n_nations"),
+            F.count("c_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+    # row order of the index column becomes transposed column order:
+    # pin it (the driver's compare sorts columns by name anyway)
+    return per.orderBy("r_name").transpose()
+
+
+def _transpose_metric_row_sql(metric: str) -> str:
+    cols = ", ".join(
+        f"""CAST(max(CASE WHEN r_name = '{name}' THEN {metric} END) AS BIGINT)
+            AS "{name}\""""
+        for name in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    )
+    return f"SELECT '{metric}' AS key, {cols} FROM per"
+
+
+SQL_DF_TRANSPOSE = f"""
+WITH per AS (
+    SELECT r_name,
+           count(DISTINCT n.n_nationkey) AS n_nations,
+           count(c.c_custkey) AS n_customers
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY r_name
+)
+{_transpose_metric_row_sql('n_nations')}
+UNION ALL
+{_transpose_metric_row_sql('n_customers')}
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "agg_ordered_concat": (q_agg_ordered_concat, SQL_AGG_ORDERED_CONCAT),
@@ -353,4 +408,5 @@ QUERIES = {
     "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
 }

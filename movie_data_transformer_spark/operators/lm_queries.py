@@ -456,6 +456,156 @@ SELECT CAST(1 AS BOOLEAN) AS first_merge_ok,
 """
 
 
+#: fixed merge list for the oracle-checked encode entry: common English
+#: bigrams + two end-of-word merges, applied in this order. A production
+#: tokenizer would use the learned table from `bpe_learn_merges`; the
+#: FIXED list is what lets the replace chain be replayed verbatim inside
+#: a static DuckDB oracle (learned merges vary with the corpus/SF, and
+#: oracle_sql() strings are fixed per query).
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("s", "</w>"),
+]
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    the fixed BPE merge list (operators/bpe.apply_bpe_merges — the same
+    replace-chain the trainer uses), binding the full encoded subword
+    string into the driver hash via md5. Entirely map-side: zero
+    shuffles, one whole-stage-codegen'd projection per document — the
+    shape that lets a 100 TB corpus encode at scan speed. The oracle
+    replays the identical replace chain in DuckDB (both engines replace
+    leftmost non-overlapping occurrences scanning left-to-right —
+    probed, see bpe.py)."""
+    from movie_data_transformer_spark.operators.bpe import apply_bpe_merges
+
+    enc = apply_bpe_merges(
+        load_table(spark, sf_dir, "documents"), BPE_FIXED_MERGES, with_encoding=True
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        F.md5(F.col("encoded")).alias("enc_md5"),
+    )
+
+
+def _bpe_replace_chain_sql(expr: str) -> str:
+    for left, right in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    return expr
+
+
+SQL_BPE_ENCODE_FIXED = f"""
+WITH sym AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_words,
+           ' ' || array_to_string(
+                    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                                   w -> array_to_string(string_split(w, ''), ' ')),
+                    ' </w>  ') || ' </w> ' AS s
+    FROM documents
+),
+m AS (SELECT doc_id, n_words, {_bpe_replace_chain_sql('s')} AS s FROM sym)
+SELECT doc_id, n_words,
+       CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_subwords,
+       md5(regexp_replace(trim(s), ' +', ' ', 'g')) AS enc_md5
+FROM m
+"""
+
+
+def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus trichotomy (Wenzek et al. 2020 §4.3): rank
+    every document by its unigram-LM score against the corpus and split
+    into head/middle/tail terciles, reporting per-bucket volume and the
+    score range. The score is the per-doc mean corpus token frequency in
+    exact integer micro-units (floor) — monotone with the negated LM
+    perplexity's frequency term and, unlike a log-prob, bit-identical
+    across engines (lm_queries module docstring). Tercile assignment is
+    ntile over the TOTAL order (score desc, doc_id), so it is
+    deterministic and engine-portable.
+
+    Scale: the ranking window is a single global sort — exact terciles
+    at 100 TB would instead take two cutoff scores from a quantile
+    sketch (agg_kll_quantiles' pattern) and assign map-side; ntile is
+    kept here because positional terciles are exactly reproducible in
+    the oracle while sketch cutoffs are not."""
+    tfd = (
+        _doc_tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tfd.groupBy("token").agg(F.sum("tf").alias("freq"))
+    doc = (
+        tfd.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("freq")).cast("bigint").alias("sum_freq"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            # floor micro-units; DECIMAL product == the oracle's HUGEINT
+            # (bigint sum_freq * 1e6 would overflow first at scale)
+            "CAST(CAST(sum_freq AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"
+            " AS score_micro",
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        doc.withColumn("tile", F.ntile(3).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("score_micro").alias("min_score_micro"),
+            F.max("score_micro").alias("max_score_micro"),
+        )
+        .selectExpr(
+            "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+            " AS bucket",
+            "n_docs",
+            "n_tokens",
+            "min_score_micro",
+            "max_score_micro",
+        )
+    )
+
+
+SQL_CCNET_LM_BUCKETS = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS freq FROM tfd GROUP BY 1),
+doc AS (
+    SELECT d.doc_id,
+           CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(d.tf * f.freq) AS HUGEINT) * 1000000
+                // CAST(sum(d.tf) AS HUGEINT) AS BIGINT) AS score_micro
+    FROM tfd d JOIN tf f USING (token)
+    GROUP BY d.doc_id
+),
+b AS (
+    SELECT n_tokens, score_micro,
+           ntile(3) OVER (ORDER BY score_micro DESC, doc_id ASC) AS tile
+    FROM doc
+)
+SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(score_micro) AS min_score_micro,
+       max(score_micro) AS max_score_micro
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
@@ -466,4 +616,6 @@ QUERIES = {
     "text_chunks_udtf": (q_text_chunks_udtf, _SQL_TEXT_CHUNKS_UDTF),
     "bpe_learn_merges": (q_bpe_learn_merges, None),
     "bpe_invariants_gate": (q_bpe_invariants_gate, SQL_BPE_INVARIANTS_GATE),
+    "bpe_encode_fixed": (q_bpe_encode_fixed, SQL_BPE_ENCODE_FIXED),
+    "ccnet_lm_buckets": (q_ccnet_lm_buckets, SQL_CCNET_LM_BUCKETS),
 }

@@ -87,3 +87,46 @@ def test_bpe_overlapping_run_merges_leftmost(spark):
     row = apply_bpe_merges(docs, [("a", "a")]).collect()[0]
     # per word: 'aa a </w>' = 3 tokens
     assert row.n_subwords == 6
+
+
+def test_bpe_encode_fixed_golden(spark):
+    """The fixed-merge encode entry's replace chain on a known sentence,
+    with the encoded string surfaced (with_encoding=True)."""
+    from movie_data_transformer_spark.operators.bpe import apply_bpe_merges
+    from movie_data_transformer_spark.operators.lm_queries import BPE_FIXED_MERGES
+
+    row = apply_bpe_merges(
+        _docs(spark, "the thin anther"), BPE_FIXED_MERGES, with_encoding=True
+    ).collect()[0]
+    # the    -> th -> the -> the</w>                             1 token
+    # thin   -> th i n -> th in                                  2 tokens
+    # anther -> a n t h e r -> a n th e r -> a n the r -> an the r
+    #   ((th,e) fires before (e,r) can see a bare 'e')            3 tokens
+    assert row.encoded == "the</w> th in </w> an the r </w>"
+    assert row.n_words == 3
+    assert row.n_subwords == 8
+
+
+def test_ccnet_buckets_partition_corpus(spark, sf_dir):
+    """head/middle/tail tile the corpus: doc counts sum to |corpus| and
+    differ by at most 1 (ntile), token totals sum to the corpus total,
+    and score ranges are ordered head >= middle >= tail at the
+    boundaries (ties at a boundary make them equal, never inverted)."""
+    from movie_data_transformer_spark.operators.lm_queries import (
+        q_ccnet_lm_buckets,
+        q_text_unigram_lm,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = {r.bucket: r for r in q_ccnet_lm_buckets(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    sizes = sorted(r.n_docs for r in rows.values())
+    assert sizes[-1] - sizes[0] <= 1
+    lm = q_text_unigram_lm(spark, sf_dir).agg({"n_tokens": "sum"}).collect()[0][0]
+    assert sum(r.n_tokens for r in rows.values()) == lm
+    assert rows["head"].min_score_micro >= rows["middle"].max_score_micro
+    assert rows["middle"].min_score_micro >= rows["tail"].max_score_micro
+    for r in rows.values():
+        assert r.max_score_micro >= r.min_score_micro

@@ -131,3 +131,37 @@ def test_theta_exact_below_capacity_approx_above(spark):
         " FROM range(10)"
     ).first()
     assert empty.e == 0
+
+
+def test_df_transpose_matches_long_form(spark, sf_dir):
+    """DataFrame.transpose(): columns are the five region names + key,
+    rows are the two metrics, and every transposed cell equals the
+    long-form aggregate it came from."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.function_packs import q_df_transpose
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    t = q_df_transpose(spark, sf_dir)
+    assert t.columns == [
+        "key", "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST",
+    ]
+    rows = {r.key: r for r in t.collect()}
+    assert set(rows) == {"n_nations", "n_customers"}
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    long = {
+        r.r_name: r
+        for r in region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(customer, nation.n_nationkey == customer.c_nationkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+        .collect()
+    }
+    for name, agg in long.items():
+        assert rows["n_nations"][name] == agg.n_nations
+        assert rows["n_customers"][name] == agg.n_customers
