@@ -110,6 +110,105 @@ GROUP BY doc_id, w, h
 """.replace("__TW__", str(TARGET_W)).replace("__TH__", str(TARGET_H))
 
 
+AUDIO_WINDOW = 128
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def q_mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio ANALYSIS over decoded PCM (beyond the whole-file
+    features of mm_wav_decode): decode each 16-bit WAV, slice the
+    waveform into fixed 128-sample windows, and emit per-window
+    peak / strict sign-change zero crossings / energy — all exact
+    bigints, recomputed by the oracle from the sawtooth generative
+    formula so a windowing off-by-one or a crossing counted across a
+    window boundary breaks the driver hash. Zero crossings are counted
+    WITHIN a window only (the pair straddling a boundary belongs to
+    neither window) — the same convention as the oracle's
+    lag-over-(doc, window) partition.
+
+    Scale: one mapInPandas fan-out (decode + numpy reshape per blob,
+    ~n/128 rows out per clip), no shuffle — the VAD/segmentation
+    pre-processing shape for audio corpora at 100 TB."""
+    import pandas as pd
+
+    from movie_data_transformer_spark.operators.multimodal import (
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(docs)
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wi in range(0, (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW):
+                    seg = s[wi * AUDIO_WINDOW : (wi + 1) * AUDIO_WINDOW]
+                    neg = seg < 0
+                    out.append(
+                        (
+                            int(doc_id),
+                            wi,
+                            len(seg),
+                            int(np.abs(seg).max()) if len(seg) else 0,
+                            int((neg[1:] != neg[:-1]).sum()) if len(seg) > 1 else 0,
+                            int((seg * seg).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "window_idx", "n_samples",
+                    "peak_abs", "zero_crossings", "energy",
+                ],
+            )
+
+    return media.mapInPandas(windows, AUDIO_WINDOW_SCHEMA)
+
+
+SQL_MM_AUDIO_WINDOW_ENERGY = """
+WITH p AS (SELECT doc_id, 400 + doc_id % 400 AS n, 64 + doc_id % 1000 AS step
+           FROM documents),
+s AS (SELECT doc_id, n, step, unnest(range(0, n)) AS i FROM p),
+v AS (SELECT doc_id, i // __W__ AS window_idx, i,
+             ((i * step) % 65536) - 32768 AS x
+      FROM s),
+lagged AS (SELECT doc_id, window_idx, x,
+                  lag(x) OVER (PARTITION BY doc_id, window_idx ORDER BY i)
+                      AS prev
+           FROM v)
+SELECT doc_id,
+       CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(x)) AS BIGINT) AS peak_abs,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (x < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(x * x) AS BIGINT) AS energy
+FROM lagged
+GROUP BY doc_id, window_idx
+""".replace("__W__", str(AUDIO_WINDOW))
+
+
 QUERIES = {
     "mm_resize_nearest": (q_mm_resize_nearest, SQL_MM_RESIZE_NEAREST),
+    "mm_audio_window_energy": (q_mm_audio_window_energy, SQL_MM_AUDIO_WINDOW_ENERGY),
 }

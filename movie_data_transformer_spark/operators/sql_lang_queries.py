@@ -85,7 +85,60 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_sql_param_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's parameterized-SQL API surfaces in one dataflow: table
+    names injected with the IDENTIFIER(:name) clause, a literal filter
+    bound as a named parameter (spark.sql(..., args={...}) — no string
+    splicing), and a data-derived cutoff computed by EXECUTE IMMEDIATE
+    ... INTO a declared session variable. Money is exact integer cents
+    (DECIMAL(12,2) cast then *100 — the double has true width 2dp, so
+    neither engine rounds; NOTES.md pitfalls), and the cutoff is
+    max-cents DIV 2 so the variable's value is engine-reproducible.
+    The oracle is the classic literal form of the same query."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_param_cust")
+    spark.sql("DECLARE OR REPLACE VARIABLE _param_cutoff_cents BIGINT DEFAULT 0")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        " DIV 2 FROM _param_orders' INTO _param_cutoff_cents"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS sum_price_cents
+        FROM IDENTIFIER(:ord) o JOIN IDENTIFIER(:cust) c
+          ON o.o_custkey = c.c_custkey
+        WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  >= _param_cutoff_cents
+          AND c.c_mktsegment <> :excl
+        GROUP BY c.c_mktsegment
+        """,
+        args={"ord": "_param_orders", "cust": "_param_cust", "excl": "MACHINERY"},
+    )
+
+
+SQL_SQL_PARAM_EXEC = """
+WITH cut AS (
+    SELECT max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 2
+               AS cents
+    FROM orders
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey, cut
+WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) >= cut.cents
+  AND c.c_mktsegment <> 'MACHINERY'
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "sql_pipe_syntax": (q_sql_pipe_syntax, SQL_SQL_PIPE_SYNTAX),
     "sql_scripting_rollup": (q_sql_scripting_rollup, SQL_SQL_SCRIPTING_ROLLUP),
+    "sql_param_exec": (q_sql_param_exec, SQL_SQL_PARAM_EXEC),
 }

@@ -165,3 +165,35 @@ def test_df_transpose_matches_long_form(spark, sf_dir):
     for name, agg in long.items():
         assert rows["n_nations"][name] == agg.n_nations
         assert rows["n_customers"][name] == agg.n_customers
+
+
+def test_sql_param_exec_binds_not_splices(spark, sf_dir):
+    """The parameterized form must equal the literal classic form, and
+    a parameter value that LOOKS like SQL must bind as a plain string
+    (no injection through args)."""
+    from movie_data_transformer_spark.operators.sql_lang_queries import (
+        q_sql_param_exec,
+    )
+
+    got = {r.c_mktsegment: r for r in q_sql_param_exec(spark, sf_dir).collect()}
+    assert "MACHINERY" not in got and len(got) == 4
+    lit = spark.sql(
+        """
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+        FROM _param_orders o JOIN _param_cust c ON o.o_custkey = c.c_custkey
+        WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  >= _param_cutoff_cents
+          AND c.c_mktsegment <> 'MACHINERY'
+        GROUP BY 1
+        """
+    ).collect()
+    assert {r.c_mktsegment: r.n_orders for r in lit} == {
+        k: v.n_orders for k, v in got.items()
+    }
+    # a hostile parameter binds as a VALUE: filtering on a nonsense
+    # segment name drops nothing (it matches no rows), never parses
+    evil = spark.sql(
+        "SELECT count(*) AS c FROM _param_cust WHERE c_mktsegment = :seg",
+        args={"seg": "x' OR '1'='1"},
+    ).collect()[0].c
+    assert evil == 0

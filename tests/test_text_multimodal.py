@@ -639,3 +639,32 @@ def test_resize_nearest_golden():
     assert (img[:, :, 0] == r).all()
     assert (img[:, :, 1] == g).all()
     assert (img[:, :, 2] == b).all()
+
+
+def test_audio_windows_tile_the_clip(spark, sf_dir):
+    """Per-doc window invariants for mm_audio_window_energy: windows
+    tile the waveform exactly (counts sum to the clip length, window
+    count is ceil(n/128)), energies are additive, and zero crossings
+    sum to <= the whole-file count (boundary-straddling pairs belong to
+    neither window — the documented convention)."""
+    from movie_data_transformer_spark.operators.mm_decode_queries import (
+        q_mm_wav_decode,
+    )
+    from movie_data_transformer_spark.operators.mm_transform_queries import (
+        AUDIO_WINDOW,
+        q_mm_audio_window_energy,
+    )
+
+    whole = {r.doc_id: r for r in q_mm_wav_decode(spark, sf_dir).collect()}
+    per_doc = {}
+    for r in q_mm_audio_window_energy(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(whole)
+    for doc_id, wins in per_doc.items():
+        w = whole[doc_id]
+        n_win = (w.n_samples + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+        assert sorted(r.window_idx for r in wins) == list(range(n_win))
+        assert sum(r.n_samples for r in wins) == w.n_samples
+        assert sum(r.energy for r in wins) == w.energy
+        assert sum(r.zero_crossings for r in wins) <= w.zero_crossings
+        assert max(r.peak_abs for r in wins) == w.peak_abs
