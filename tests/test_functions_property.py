@@ -171,3 +171,53 @@ def test_morton_sql_matches_python_bit_interleave(spark, pairs_in):
         f"SELECT {_morton_sql('//')} FROM t"
     ).fetchall()]
     assert duck == want
+
+
+words = st.lists(
+    st.text(alphabet="abet h", min_size=1, max_size=8).map(str.strip).filter(bool),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(words, min_size=1, max_size=8))
+def test_bpe_replace_chain_cross_engine_and_python(spark, texts):
+    """The fixed-merge BPE encode is a chained string replace; all three
+    implementations of 'replace leftmost non-overlapping, scan resumes
+    after the match' must agree on the FULL encoded string: Spark
+    F.replace, DuckDB replace(), and Python str.replace. The alphabet is
+    skewed onto the merge letters (t/h/e + space) so merges actually
+    fire, including the adjacent-run cases where conventions diverge."""
+    import duckdb as _dd
+
+    from movie_data_transformer_spark.operators.bpe import apply_bpe_merges
+    from movie_data_transformer_spark.operators.lm_queries import (
+        BPE_FIXED_MERGES,
+        SQL_BPE_ENCODE_FIXED,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    def py_encode(text: str) -> str:
+        ws = [w for w in text.lower().strip().split() if w != ""] or [""]
+        s = " " + " </w>  ".join(" ".join(w) for w in ws) + " </w> "
+        for left, right in BPE_FIXED_MERGES:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        return " ".join(s.split())
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.encoded
+        for r in apply_bpe_merges(sdf, BPE_FIXED_MERGES, with_encoding=True).collect()
+    }
+    con = _dd.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    # reuse the registry oracle but surface the string instead of its md5
+    oracle = SQL_BPE_ENCODE_FIXED.replace(
+        "md5(regexp_replace(trim(s), ' +', ' ', 'g'))",
+        "regexp_replace(trim(s), ' +', ' ', 'g')",
+    )
+    dd = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
+    for doc_id, text in docs:
+        assert got[doc_id] == dd[doc_id] == py_encode(text), (doc_id, text)
