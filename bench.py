@@ -64,6 +64,10 @@ HEADLINE = [
     # classifier-based quality scoring (new cleaning/curation families)
     "text_line_dedup_boilerplate",
     "quality_classifier_scores",
+    # fifth-session additions: tokenizer application (map-side BPE
+    # encode) and windowed audio analysis (new operator families)
+    "bpe_encode_fixed",
+    "mm_audio_window_energy",
 ]
 
 
