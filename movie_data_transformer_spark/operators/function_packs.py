@@ -395,6 +395,51 @@ UNION ALL
 """
 
 
+def q_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an OLD snapshot (pre-1997 orders, written
+    before `o_orderpriority` existed) unioned with the NEW schema via
+    unionByName(allowMissingColumns=True) — positions differ and the
+    missing column back-fills NULL, the lakehouse append pattern when a
+    table gains a column mid-history. Aggregated per priority (the NULL
+    group = legacy rows) in exact integer cents. Oracle = DuckDB's
+    UNION ALL BY NAME, the same by-name resolution."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    old = orders.filter("o_orderdate < TIMESTAMP '1997-01-01'").selectExpr(
+        f"{cents} AS price_cents", "o_orderkey"  # old layout: no priority
+    )
+    new = orders.filter("o_orderdate >= TIMESTAMP '1997-01-01'").selectExpr(
+        "o_orderkey", "o_orderpriority", f"{cents} AS price_cents"
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_UNION_BY_NAME = """
+WITH u AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+           o_orderkey
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+FROM u GROUP BY 1
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "agg_ordered_concat": (q_agg_ordered_concat, SQL_AGG_ORDERED_CONCAT),
@@ -409,4 +454,5 @@ QUERIES = {
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
+    "union_by_name_evolution": (q_union_by_name_evolution, SQL_UNION_BY_NAME),
 }

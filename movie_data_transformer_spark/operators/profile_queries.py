@@ -121,7 +121,68 @@ FROM (
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics — the planning step BEFORE choosing
+    a salting factor or AQE skew threshold at 100 TB: the 5 heaviest
+    events.user_id keys with their corpus share and skew-vs-average
+    ratio, both in exact integer micro-units (floor — midpoint-proof).
+    skew_vs_avg_micro = freq / (n_rows / n_keys) computed as
+    freq * n_keys * 1e6 DIV n_rows in DECIMAL/HUGEINT so it never
+    rounds and never overflows.
+
+    Scale: one shuffle (the per-key count); the global scalars are a
+    map-side partial agg over the key table and the top-5 is a
+    TakeOrdered, so nothing data-sized crosses a single partition. The
+    key-count subtree appears under both consumers — the EXECUTED plan
+    reuses the exchange (ReusedExchange at runtime; the static AQE plan
+    shows two subtrees, probed)."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    glob = counts.agg(
+        F.sum("freq").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top5 = counts.orderBy(F.col("freq").desc(), F.col("user_id").asc()).limit(5)
+    return (
+        top5.crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "user_id",
+            "freq",
+            "n_rows",
+            "n_keys",
+            "CAST(CAST(freq AS DECIMAL(38,0)) * 1000000 DIV n_rows AS BIGINT)"
+            " AS share_micro",
+            "CAST(CAST(freq AS DECIMAL(38,0)) * n_keys * 1000000 DIV n_rows"
+            " AS BIGINT) AS skew_vs_avg_micro",
+        )
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS freq FROM events GROUP BY 1
+),
+g AS (
+    SELECT CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM counts
+),
+top5 AS (
+    SELECT user_id, freq FROM counts ORDER BY freq DESC, user_id ASC LIMIT 5
+)
+SELECT user_id, freq, n_rows, n_keys,
+       CAST(CAST(freq AS HUGEINT) * 1000000 // n_rows AS BIGINT) AS share_micro,
+       CAST(CAST(freq AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT)
+           AS skew_vs_avg_micro
+FROM top5, g
+"""
+
+
 QUERIES = {
     "profile_orders": (q_profile_orders, _profile_orders_sql()),
     "dq_constraint_report": (q_dq_constraint_report, SQL_DQ_CONSTRAINT_REPORT),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
 }

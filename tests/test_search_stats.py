@@ -180,3 +180,26 @@ def test_bm25_score_survives_int64_overflow_domain(spark):
         .collect()[0]
     )
     assert row.term_score_micro == expect
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    """The top-5 skew rows agree with a direct recount: freq matches the
+    per-key count, share/skew micro values match Python floor math, and
+    rows come out heaviest-first under the (freq desc, user_id) order."""
+    from movie_data_transformer_spark.operators.profile_queries import (
+        q_key_skew_profile,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_key_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == 5
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    counts = {r.user_id: r["count"] for r in ev.collect()}
+    n_rows, n_keys = sum(counts.values()), len(counts)
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r.user_id, r.freq) for r in sorted(rows, key=lambda r: (-r.freq, r.user_id))]
+    assert got == expect
+    for r in rows:
+        assert (r.n_rows, r.n_keys) == (n_rows, n_keys)
+        assert r.share_micro == r.freq * 1_000_000 // n_rows
+        assert r.skew_vs_avg_micro == r.freq * n_keys * 1_000_000 // n_rows
