@@ -65,9 +65,11 @@ HEADLINE = [
     "text_line_dedup_boilerplate",
     "quality_classifier_scores",
     # fifth-session additions: tokenizer application (map-side BPE
-    # encode) and windowed audio analysis (new operator families)
+    # encode), windowed audio analysis, and the composed end-to-end
+    # curation pipeline (new operator families)
     "bpe_encode_fixed",
     "mm_audio_window_energy",
+    "corpus_pipeline_e2e",
 ]
 
 

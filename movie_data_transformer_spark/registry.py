@@ -79,6 +79,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.mm_video_queries",
     "movie_data_transformer_spark.operators.mm_transform_queries",
     "movie_data_transformer_spark.operators.sql_lang_queries",
+    "movie_data_transformer_spark.operators.pipeline_queries",
 ]
 
 

@@ -183,3 +183,45 @@ def test_quality_classifier_scores_golden(spark):
     assert got[2].logit_sum == w("gamma")
     for r in got.values():
         assert r.label == ("keep" if r.logit_sum >= 0 else "drop")
+
+
+def test_pipeline_e2e_composes_its_stages(spark, sf_dir):
+    """The composed pipeline must agree with its standalone stages run
+    in sequence: kept-doc count equals the number of distinct digests
+    among quality survivors of the kept languages, token totals match,
+    zh never appears, and every shard is within [0, 8)."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.pipeline_queries import (
+        PIPELINE_LANGS,
+        q_corpus_pipeline_e2e,
+    )
+    from movie_data_transformer_spark.operators.text import quality_scores, text_stats
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_corpus_pipeline_e2e(spark, sf_dir).collect()
+    assert {r.lang for r in rows} <= set(PIPELINE_LANGS)
+    assert all(0 <= r.shard < 8 for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*PIPELINE_LANGS)
+    )
+    surv = (
+        docs.join(text_stats(docs).select("doc_id", "n_tokens", "ttr"), "doc_id")
+        .join(quality_scores(docs).select("doc_id", "stopword_ratio"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("ttr") >= 0.2)
+            & (F.col("stopword_ratio") >= 0.01)
+        )
+        .withColumn("dg", F.md5(F.lower(F.trim("text"))))
+    )
+    canon = surv.groupBy("dg").agg(
+        F.min("doc_id").alias("doc_id"), F.first("lang").alias("lang")
+    )
+    kept = surv.join(canon.select("dg", "doc_id"), ["dg", "doc_id"])
+    assert sum(r.n_docs for r in rows) == kept.count()
+    assert (
+        sum(r.n_tokens for r in rows)
+        == kept.agg(F.sum("n_tokens")).collect()[0][0]
+    )
