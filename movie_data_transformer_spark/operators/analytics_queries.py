@@ -433,10 +433,83 @@ SELECT node AS customerId, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
 
+def q_stats_spearman_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (quantity, price) and (discount,
+    price) per ship-year — the monotone-association complement to
+    stats_corr_by_year's Pearson. Ranks are row_number over the TOTAL
+    order (value, l_orderkey, l_linenumber, l_partkey, l_suppkey — the
+    testdata's (orderkey, linenumber) alone is NOT unique), a
+    deterministic permutation
+    of 1..n, so the tie-free identity rho = 1 - 6*sum(d^2)/(n(n^2-1))
+    holds EXACTLY for these ranks and every intermediate stays an exact
+    bigint: sum(d^2) <= n^3 (~6e14 at sf0.1) and n(n^2-1) both sit under
+    2^53, so the cast to double is value-preserving on both engines
+    (the HUGEINT->DOUBLE truncation pitfall never triggers) and the one
+    IEEE division makes rho bit-identical. Domain: exact for
+    n < ~2M rows per group; beyond that, rescale d^2 partials to
+    DECIMAL and accept reduced output precision.
+
+    One exchange: all four rank windows and the final aggregate share
+    the year partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    over = ("OVER (PARTITION BY y ORDER BY {v}, l_orderkey, l_linenumber,"
+        " l_partkey, l_suppkey)")
+    ranked = li.selectExpr(
+        "year(l_shipdate) AS y",
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    ).selectExpr(
+        "y",
+        f"row_number() {over.format(v='l_quantity')} AS rq",
+        f"row_number() {over.format(v='l_extendedprice')} AS rp",
+        f"row_number() {over.format(v='l_discount')} AS rd",
+    )
+    return ranked.groupBy("y").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "1.0 - CAST(6 * sum(CAST((rq - rp) AS BIGINT) * (rq - rp)) AS DOUBLE)"
+            " / CAST(nullif(CAST(count(*) AS BIGINT)"
+            " * (CAST(count(*) AS BIGINT) * count(*) - 1), 0) AS DOUBLE)"
+        ).alias("rho_qty_price"),
+        F.expr(
+            "1.0 - CAST(6 * sum(CAST((rd - rp) AS BIGINT) * (rd - rp)) AS DOUBLE)"
+            " / CAST(nullif(CAST(count(*) AS BIGINT)"
+            " * (CAST(count(*) AS BIGINT) * count(*) - 1), 0) AS DOUBLE)"
+        ).alias("rho_disc_price"),
+    )
+
+
+SQL_STATS_SPEARMAN_BY_YEAR = """
+WITH ranked AS (
+    SELECT year(l_shipdate) AS y,
+           row_number() OVER (PARTITION BY year(l_shipdate)
+               ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rq,
+           row_number() OVER (PARTITION BY year(l_shipdate)
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rp,
+           row_number() OVER (PARTITION BY year(l_shipdate)
+               ORDER BY l_discount, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rd
+    FROM lineitem
+)
+SELECT y,
+       CAST(count(*) AS BIGINT) AS n,
+       1.0 - CAST(6 * sum(CAST((rq - rp) AS BIGINT) * (rq - rp)) AS DOUBLE)
+           / CAST(nullif(CAST(count(*) AS BIGINT)
+             * (CAST(count(*) AS BIGINT) * count(*) - 1), 0) AS DOUBLE)
+           AS rho_qty_price,
+       1.0 - CAST(6 * sum(CAST((rd - rp) AS BIGINT) * (rd - rp)) AS DOUBLE)
+           / CAST(nullif(CAST(count(*) AS BIGINT)
+             * (CAST(count(*) AS BIGINT) * count(*) - 1), 0) AS DOUBLE)
+           AS rho_disc_price
+FROM ranked
+GROUP BY y
+"""
+
+
 QUERIES = {
     "events_value_outliers": (q_events_value_outliers, SQL_EVENTS_VALUE_OUTLIERS),
     "graph_triangle_counts": (q_graph_triangle_counts, SQL_GRAPH_TRIANGLE_COUNTS),
     "stats_corr_by_year": (q_stats_corr_by_year, SQL_STATS_CORR_BY_YEAR),
+    "stats_spearman_by_year": (q_stats_spearman_by_year, SQL_STATS_SPEARMAN_BY_YEAR),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }

@@ -108,3 +108,41 @@ def test_lr_trainer_learns_the_label_bucket(spark):
     others = max(x for i, x in enumerate(w1) if i != m.LABEL_BUCKET)
     assert w1[m.LABEL_BUCKET] > 0 and w1[m.LABEL_BUCKET] > others
     assert (w1, b1) == (w2, b2)  # deterministic under re-execution
+
+
+def test_spearman_matches_python_recomputation(spark, sf_dir):
+    """rho per year equals an independent Python recomputation with the
+    same total-order ranks, and sits in [-1, 1]. (In this synthetic
+    testdata extendedprice is independent of quantity — rho ~ 0 — so
+    the binding check is the exact recomputation, not a sign.)"""
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_stats_spearman_by_year,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.y: r for r in q_stats_spearman_by_year(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "year(l_shipdate) AS y", "l_quantity AS q", "l_extendedprice AS p",
+            "l_discount AS d", "l_orderkey AS ok", "l_linenumber AS ln",
+            "l_partkey AS pk", "l_suppkey AS sk",
+        )
+        .collect()
+    )
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r.y, []).append(r)
+    for y, grp in by_year.items():
+        n = len(grp)
+        tie = lambda r: (r.ok, r.ln, r.pk, r.sk)
+        def ranks(key):
+            order = sorted(grp, key=lambda r: (key(r),) + tie(r))
+            return {tie(r): i + 1 for i, r in enumerate(order)}
+        rq, rp, rd = ranks(lambda r: r.q), ranks(lambda r: r.p), ranks(lambda r: r.d)
+        def rho(ra, rb):
+            sd2 = sum((ra[tie(r)] - rb[tie(r)]) ** 2 for r in grp)
+            return 1.0 - (6 * sd2) / (n * (n * n - 1)) if n > 1 else None
+        assert abs(got[y].rho_qty_price - rho(rq, rp)) < 1e-12
+        assert abs(got[y].rho_disc_price - rho(rd, rp)) < 1e-12
+        assert -1.0 <= got[y].rho_qty_price <= 1.0
