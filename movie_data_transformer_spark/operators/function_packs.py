@@ -440,6 +440,92 @@ FROM u GROUP BY 1
 """
 
 
+def q_url_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url / url_encode / url_decode over a synthesized per-doc
+    URL (https://<source>.example.com/docs/<id>?lang=<lang>&q=<text>):
+    the extraction binds because the oracle recomputes every component
+    from the BASE columns, so parse_url must exactly invert the
+    construction. The corpus text is [a-z0-9 ] (verified), where
+    x-www-form-urlencoded is exactly space->'+' — the one encoding rule
+    DuckDB (no url_encode builtin) can replay with replace(). The
+    decode roundtrip is asserted IN the query (url_decode(url_encode(q))
+    vs q) and surfaced as a hashed column. All map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "concat('https://', source, '.example.com/docs/', CAST(doc_id AS STRING),"
+        " '?lang=', lang, '&q=', url_encode(text)) AS url",
+        "text",
+    ).selectExpr(
+        "doc_id",
+        "parse_url(url, 'PROTOCOL') AS proto",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY', 'lang') AS qlang",
+        "parse_url(url, 'QUERY', 'q') AS q_enc",
+        "CAST(url_decode(parse_url(url, 'QUERY', 'q')) = text AS INT)"
+        " AS roundtrip_ok",
+    )
+
+
+SQL_URL_FUNCTIONS_PACK = """
+SELECT doc_id,
+       'https' AS proto,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       lang AS qlang,
+       replace(text, ' ', '+') AS q_enc,
+       1 AS roundtrip_ok
+FROM documents
+"""
+
+
+def q_agg_ansi_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newer ANSI aggregate family in one oracle-checked sweep:
+    count_if, bool_and/bool_or, interpolated median (== DuckDB median,
+    the percentile() bit-exactness probed in r5), and DETERMINISTIC
+    mode — Spark's mode(expr, true) picks the smallest value among
+    tied-frequency candidates, which the oracle reproduces with an
+    explicit (count desc, value asc) arg-min (DuckDB's mode() breaks
+    ties arbitrarily, so the built-in is only usable on the Spark
+    side). One hash aggregation; the mode recompute in the oracle is a
+    windowed subquery over the (type, hour) counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("count_if(value > 50)").cast("bigint").alias("n_high"),
+        F.expr("bool_and(value > 0)").alias("all_positive"),
+        F.expr("bool_or(value > 300)").alias("any_extreme"),
+        F.expr("median(value)").alias("med_value"),
+        F.expr("mode(hour(ts), true)").cast("bigint").alias("mode_hour"),
+    )
+
+
+SQL_AGG_ANSI_PACK = """
+WITH hc AS (
+    SELECT event_type, hour(ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+md AS (
+    SELECT event_type, h AS mode_hour
+    FROM (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c DESC, h ASC) AS rn
+          FROM hc)
+    WHERE rn = 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count_if(e.value > 50) AS BIGINT) AS n_high,
+       bool_and(e.value > 0) AS all_positive,
+       bool_or(e.value > 300) AS any_extreme,
+       median(e.value) AS med_value,
+       CAST(any_value(m.mode_hour) AS BIGINT) AS mode_hour
+FROM events e JOIN md m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "agg_ordered_concat": (q_agg_ordered_concat, SQL_AGG_ORDERED_CONCAT),
@@ -455,4 +541,6 @@ QUERIES = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
     "union_by_name_evolution": (q_union_by_name_evolution, SQL_UNION_BY_NAME),
+    "agg_ansi_pack": (q_agg_ansi_pack, SQL_AGG_ANSI_PACK),
+    "url_functions_pack": (q_url_functions_pack, SQL_URL_FUNCTIONS_PACK),
 }
