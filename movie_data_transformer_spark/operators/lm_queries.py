@@ -606,6 +606,85 @@ FROM b GROUP BY 1
 """
 
 
+def q_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 within-document bigrams by PMI
+    with min support 5. PMI's log is monotone in the exact rational
+    P(w1,w2)/(P(w1)P(w2)) = c12*N^2/(Nb*c1*c2), so the score is that
+    ratio in floor micro-units — DECIMAL(38)/HUGEINT intermediates (the
+    numerator reaches ~1e23 at sf0.1), quotient provably < 2^53 (it is
+    bounded by N^2*1e6/(Nb*min_support)), one exact integer division,
+    no log() anywhere (lm_queries module docstring). Ties broken by
+    (w1, w2) so the top-k set is deterministic.
+
+    Scale: bigrams explode map-side from shifted-slice zips (the
+    word_shingles trick — the tokenizer runs once per row); two key
+    joins hang per-token counts on the bigram table; N and Nb are
+    scalars from the already-aggregated count tables, broadcast back."""
+    toks = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    ug = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(r"split(lower(trim(text)), '\\s+') AS t")
+        .selectExpr(
+            "explode(transform(slice(t, 1, size(t) - 1),"
+            " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))) AS p"
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    n_tok = ug.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    n_big = bg.agg(F.sum("c12").cast("bigint").alias("n_big"))
+    scored = (
+        bg.filter(F.col("c12") >= 5)
+        .join(ug.selectExpr("token AS w1", "c AS c1"), "w1")
+        .join(ug.selectExpr("token AS w2", "c AS c2"), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .selectExpr(
+            "w1", "w2", "c12",
+            "CAST(CAST(c12 AS DECIMAL(38,0)) * n_tok * n_tok * 1000000"
+            " DIV (CAST(n_big AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)"
+            " AS pmi_ratio_micro",
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+SQL_BIGRAM_PMI_TOPK = r"""
+WITH tl AS (
+    SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+prs AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tl)
+    WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+ug AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY 1
+),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM prs GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM ug),
+totb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM bg)
+SELECT b.w1, b.w2, b.c12,
+       CAST(CAST(b.c12 AS HUGEINT) * n_tok * n_tok * 1000000
+            // (CAST(n_big AS HUGEINT) * u1.c * u2.c) AS BIGINT)
+           AS pmi_ratio_micro
+FROM bg b
+JOIN ug u1 ON b.w1 = u1.token
+JOIN ug u2 ON b.w2 = u2.token, tot, totb
+WHERE b.c12 >= 5
+ORDER BY pmi_ratio_micro DESC, b.w1 ASC, b.w2 ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_unigram_lm": (q_text_unigram_lm, SQL_TEXT_UNIGRAM_LM),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
@@ -618,4 +697,5 @@ QUERIES = {
     "bpe_invariants_gate": (q_bpe_invariants_gate, SQL_BPE_INVARIANTS_GATE),
     "bpe_encode_fixed": (q_bpe_encode_fixed, SQL_BPE_ENCODE_FIXED),
     "ccnet_lm_buckets": (q_ccnet_lm_buckets, SQL_CCNET_LM_BUCKETS),
+    "bigram_pmi_topk": (q_bigram_pmi_topk, SQL_BIGRAM_PMI_TOPK),
 }
