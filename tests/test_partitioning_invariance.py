@@ -22,6 +22,12 @@ ENTRIES = [
     "text_line_dedup_boilerplate",  # line-df threshold + ordered reassembly
     "search_bm25_topk",  # integer micro scores + rank tiebreak
     "search_phrase_match",  # group-by-start adjacency counting
+    # fifth-session additions
+    "ccnet_lm_buckets",  # global ntile terciles over micro scores
+    "stats_spearman_by_year",  # total-order ranks -> sum(d^2)
+    "corpus_pipeline_e2e",  # digest min-id canonical + hash shards
+    "bigram_pmi_topk",  # micro-PMI top-k tiebreak
+    "key_skew_profile",  # TakeOrdered top-5 + reused count exchange
 ]
 
 
