@@ -80,6 +80,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.mm_transform_queries",
     "movie_data_transformer_spark.operators.sql_lang_queries",
     "movie_data_transformer_spark.operators.pipeline_queries",
+    "movie_data_transformer_spark.operators.embedding_extras_queries",
 ]
 
 
