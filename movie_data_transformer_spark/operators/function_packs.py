@@ -440,6 +440,44 @@ FROM u GROUP BY 1
 """
 
 
+def q_expr_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety valves in one sweep: this engine runs Spark 4
+    ANSI (errors on bad casts/overflow), so try_cast / try_divide /
+    try_add / try_element_at are THE production pattern for dirty data —
+    each returns NULL where the strict form throws. The oracle
+    reproduces each NULL site explicitly (DuckDB also errors on bigint
+    overflow, so the add is computed in HUGEINT and NULLed past
+    int64 max rather than guarded by branch order)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        # '1-URGENT' etc. -> NULL (non-numeric)
+        "try_cast(o_orderpriority AS INT) AS pri_int",
+        # custkey % 3 == 0 -> division by zero -> NULL
+        "try_divide(o_totalprice, o_custkey % 3) AS div_val",
+        # overflows int64 for orderkey > 7 -> NULL
+        "try_add(o_orderkey, 9223372036854775800L) AS add_guard",
+        # split gives 2 parts; index 5 is out of bounds -> NULL
+        "try_element_at(split(o_orderpriority, '-'), 5) AS elem5",
+        "try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit",
+    )
+
+
+SQL_EXPR_TRY_PACK = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INT) AS pri_int,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS div_val,
+       CAST(CASE WHEN CAST(o_orderkey AS HUGEINT) + 9223372036854775800
+                      > 9223372036854775807 THEN NULL
+                 ELSE CAST(o_orderkey AS HUGEINT) + 9223372036854775800 END
+            AS BIGINT) AS add_guard,
+       string_split(o_orderpriority, '-')[5] AS elem5,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit
+FROM orders
+"""
+
+
 def q_url_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_url / url_encode / url_decode over a synthesized per-doc
     URL (https://<source>.example.com/docs/<id>?lang=<lang>&q=<text>):
@@ -543,4 +581,5 @@ QUERIES = {
     "union_by_name_evolution": (q_union_by_name_evolution, SQL_UNION_BY_NAME),
     "agg_ansi_pack": (q_agg_ansi_pack, SQL_AGG_ANSI_PACK),
     "url_functions_pack": (q_url_functions_pack, SQL_URL_FUNCTIONS_PACK),
+    "expr_try_pack": (q_expr_try_pack, SQL_EXPR_TRY_PACK),
 }

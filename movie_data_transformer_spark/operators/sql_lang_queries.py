@@ -137,8 +137,40 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's GROUP BY ALL / ORDER BY ALL sugar: every non-aggregate
+    select item becomes a grouping key. The oracle spells the expansion
+    out (explicit GROUP BY 1, 2), binding that ALL resolves to exactly
+    the non-aggregate columns. Money in exact integer cents."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS y,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS sum_price_cents
+        FROM _gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+SQL_SQL_GROUP_BY_ALL = """
+SELECT year(o_orderdate) AS y,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_price_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "sql_pipe_syntax": (q_sql_pipe_syntax, SQL_SQL_PIPE_SYNTAX),
     "sql_scripting_rollup": (q_sql_scripting_rollup, SQL_SQL_SCRIPTING_ROLLUP),
     "sql_param_exec": (q_sql_param_exec, SQL_SQL_PARAM_EXEC),
+    "sql_group_by_all": (q_sql_group_by_all, SQL_SQL_GROUP_BY_ALL),
 }
