@@ -202,3 +202,32 @@ def test_cms_one_sided_guarantee_for_every_user(spark, sf_dir):
     # the assertion gates collapse (e.g. a broken hash sending everything
     # to one bucket), not statistical noise
     assert all(r.overcount <= max(20 * n // 1024, 50) for r in top)
+
+
+def test_join_strategy_hints_steer_the_planner(spark, sf_dir):
+    """Join-strategy hints are the user's scale lever when the optimizer
+    guesses wrong (a 'small' dim that is actually huge, or vice versa):
+    the SAME logical join must compile to a broadcast hash join under
+    .hint('broadcast'), a sort-merge join under .hint('merge'), and a
+    shuffle hash join under .hint('shuffle_hash') — with identical
+    results in all three."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def plan(hinted):
+        df = o.join(hinted, o.o_custkey == c.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        df.collect()
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    res = {}
+    for hint, marker in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        df, p = plan(c.hint(hint))
+        assert marker in p, (hint, p[:400])
+        res[hint] = sorted((r.c_mktsegment, r["count"]) for r in df.collect())
+    assert res["broadcast"] == res["merge"] == res["shuffle_hash"]
