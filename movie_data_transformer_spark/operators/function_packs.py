@@ -440,6 +440,41 @@ FROM u GROUP BY 1
 """
 
 
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an event-time window — an operator
+    Spark's window functions don't offer directly (count(DISTINCT ...)
+    OVER is rejected); expressed as the standard composition
+    size(collect_set(x) OVER w). The oracle uses DuckDB's native
+    count(DISTINCT) OVER, so the composition is held to the real
+    operator's semantics. Set state is bounded by |distinct types| per
+    user (5 here) — at 100 TB running-distinct over a high-cardinality
+    column would swap collect_set for an HLL sketch column
+    (agg_hll_mergeable's pattern) with approximate semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint")
+        .alias("n_distinct_types"),
+    )
+
+
+SQL_WINDOW_RUNNING_DISTINCT = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_distinct_types
+FROM events
+"""
+
+
 def q_expr_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANSI-mode safety valves in one sweep: this engine runs Spark 4
     ANSI (errors on bad casts/overflow), so try_cast / try_divide /
@@ -582,4 +617,5 @@ QUERIES = {
     "agg_ansi_pack": (q_agg_ansi_pack, SQL_AGG_ANSI_PACK),
     "url_functions_pack": (q_url_functions_pack, SQL_URL_FUNCTIONS_PACK),
     "expr_try_pack": (q_expr_try_pack, SQL_EXPR_TRY_PACK),
+    "window_running_distinct": (q_window_running_distinct, SQL_WINDOW_RUNNING_DISTINCT),
 }

@@ -24,6 +24,7 @@ once for both SQL dialects (DIV vs //).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -82,6 +83,52 @@ def q_zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZORDER_TILE_STATS = _layout_sql("events", "//")
 
 
+def q_small_files_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-health inventory over a loose-object landing zone — the
+    operational report that decides WHERE to run compaction at 100 TB:
+    file counts and byte totals per 256-byte size band, from the
+    binaryFile source's LISTING metadata (never reading content). The
+    oracle recomputes every file's size from the wav container formula
+    44 + 2*(400 + doc_id % 400) over the fixture's doc subset, so a
+    wrong listing, a lost file, or a framing change breaks the hash —
+    the same data-derived-bytes binding as source_binaryfile_scan, here
+    aggregated to the report grain."""
+    from movie_data_transformer_spark.operators.format_queries import (
+        binaryfile_fixture_dir,
+    )
+
+    d = binaryfile_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(d)
+        .selectExpr("length AS file_bytes")
+    )
+    return files.selectExpr("file_bytes DIV 256 AS size_band", "file_bytes").groupBy(
+        "size_band"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("file_bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_bytes").alias("min_bytes"),
+        F.max("file_bytes").alias("max_bytes"),
+    )
+
+
+SQL_SMALL_FILES_REPORT = """
+WITH f AS (
+    SELECT CAST(44 + 2 * (400 + doc_id % 400) AS BIGINT) AS file_bytes
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT file_bytes // 256 AS size_band,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(file_bytes) AS BIGINT) AS total_bytes,
+       min(file_bytes) AS min_bytes,
+       max(file_bytes) AS max_bytes
+FROM f GROUP BY 1
+"""
+
+
 QUERIES = {
     "zorder_tile_stats": (q_zorder_tile_stats, SQL_ZORDER_TILE_STATS),
+    "small_files_report": (q_small_files_report, SQL_SMALL_FILES_REPORT),
 }
