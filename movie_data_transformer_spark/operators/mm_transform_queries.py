@@ -110,6 +110,82 @@ GROUP BY doc_id, w, h
 """.replace("__TW__", str(TARGET_W)).replace("__TH__", str(TARGET_H))
 
 
+NORM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("max_r", LongType()),
+        StructField("max_g", LongType()),
+        StructField("max_b", LongType()),
+        StructField("norm_sum_r", LongType()),
+        StructField("norm_sum_g", LongType()),
+        StructField("norm_sum_b", LongType()),
+    ]
+)
+
+
+def q_mm_brightness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real pixel transform: per-channel max normalization
+    (v * 255 DIV channel_max — integer floor, the classic brightness
+    stretch) over decoded 24-bit BMPs, reported as the normalized
+    per-channel pixel sums plus the maxima the stretch divided by.
+    Pure integer arithmetic end-to-end, so the oracle recomputes the
+    normalized sums from the generative pixel formula exactly; a wrong
+    per-channel max (e.g. computed over the whole image instead of the
+    channel) or a round-instead-of-floor breaks the hash. One
+    mapInPandas projection, no shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = bmp_decode_pixels(bytes(blob)).astype(np.int64)
+                maxes = img.reshape(-1, 3).max(axis=0)
+                row = [int(doc_id)]
+                row += [int(m) for m in maxes]
+                for ch in range(3):
+                    row.append(int((img[:, :, ch] * 255 // maxes[ch]).sum()))
+                out.append(tuple(row))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "max_r", "max_g", "max_b",
+                    "norm_sum_r", "norm_sum_g", "norm_sum_b",
+                ],
+            )
+
+    return media.mapInPandas(norm, NORM_SCHEMA)
+
+
+SQL_MM_BRIGHTNESS_NORMALIZE = """
+WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h
+           FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+cell AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id,
+              (doc_id * 7 + x * 13 + y * 31) % 256 AS r,
+              (doc_id * 11 + x * 17 + y * 5) % 256 AS g,
+              (doc_id * 3 + x * 29 + y * 23) % 256 AS b
+       FROM cell),
+m AS (SELECT doc_id, max(r) AS max_r, max(g) AS max_g, max(b) AS max_b
+      FROM px GROUP BY 1)
+SELECT p.doc_id,
+       CAST(m.max_r AS BIGINT) AS max_r,
+       CAST(m.max_g AS BIGINT) AS max_g,
+       CAST(m.max_b AS BIGINT) AS max_b,
+       CAST(sum(p.r * 255 // m.max_r) AS BIGINT) AS norm_sum_r,
+       CAST(sum(p.g * 255 // m.max_g) AS BIGINT) AS norm_sum_g,
+       CAST(sum(p.b * 255 // m.max_b) AS BIGINT) AS norm_sum_b
+FROM px p JOIN m USING (doc_id)
+GROUP BY p.doc_id, m.max_r, m.max_g, m.max_b
+"""
+
+
 AUDIO_WINDOW = 128
 
 AUDIO_WINDOW_SCHEMA = StructType(
@@ -211,4 +287,5 @@ GROUP BY doc_id, window_idx
 QUERIES = {
     "mm_resize_nearest": (q_mm_resize_nearest, SQL_MM_RESIZE_NEAREST),
     "mm_audio_window_energy": (q_mm_audio_window_energy, SQL_MM_AUDIO_WINDOW_ENERGY),
+    "mm_brightness_normalize": (q_mm_brightness_normalize, SQL_MM_BRIGHTNESS_NORMALIZE),
 }
