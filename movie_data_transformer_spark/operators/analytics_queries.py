@@ -433,6 +433,80 @@ SELECT node AS customerId, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
 
+def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (items =
+    distinct parts per order): top-20 part pairs by LIFT with min
+    support 3, plus both directed confidences — all in exact floor
+    micro-units (lift = c12*N*1e6 DIV (c1*c2), confidence =
+    c12*1e6 DIV c1), so no FP enters the ranking. Ties broken by the
+    pair so the top-k set is deterministic.
+
+    Scale: the pair generation is the classic within-basket self-join
+    on the basket key — bounded by basket size squared (TPC-H baskets
+    hold ~4 items), never |items|^2; item counts and the basket total
+    hang off the aggregated tables and broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.selectExpr("l_orderkey", "l_partkey AS p1")
+    b = baskets.selectExpr("l_orderkey", "l_partkey AS p2")
+    c12 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n_baskets = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    return (
+        c12.join(item.selectExpr("l_partkey AS p1", "c AS c1"), "p1")
+        .join(item.selectExpr("l_partkey AS p2", "c AS c2"), "p2")
+        .crossJoin(F.broadcast(n_baskets))
+        .selectExpr(
+            "p1", "p2", "c12",
+            "CAST(CAST(c12 AS DECIMAL(38,0)) * n_baskets * 1000000"
+            " DIV (CAST(c1 AS DECIMAL(20,0)) * c2) AS BIGINT) AS lift_micro",
+            "CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000 DIV c1 AS BIGINT)"
+            " AS conf_p1_p2_micro",
+            "CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000 DIV c2 AS BIGINT)"
+            " AS conf_p2_p1_micro",
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(20)
+    )
+
+
+SQL_ASSOC_RULES_TOPK = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+c12 AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS c12
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM baskets)
+SELECT p1, p2, c12,
+       CAST(CAST(c12 AS HUGEINT) * n_baskets * 1000000
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_micro,
+       CAST(CAST(c12 AS HUGEINT) * 1000000 // u1.c AS BIGINT)
+           AS conf_p1_p2_micro,
+       CAST(CAST(c12 AS HUGEINT) * 1000000 // u2.c AS BIGINT)
+           AS conf_p2_p1_micro
+FROM c12
+JOIN item u1 ON c12.p1 = u1.l_partkey
+JOIN item u2 ON c12.p2 = u2.l_partkey, nb
+ORDER BY lift_micro DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
 def q_stats_spearman_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of (quantity, price) and (discount,
     price) per ship-year — the monotone-association complement to
@@ -510,6 +584,7 @@ QUERIES = {
     "graph_triangle_counts": (q_graph_triangle_counts, SQL_GRAPH_TRIANGLE_COUNTS),
     "stats_corr_by_year": (q_stats_corr_by_year, SQL_STATS_CORR_BY_YEAR),
     "stats_spearman_by_year": (q_stats_spearman_by_year, SQL_STATS_SPEARMAN_BY_YEAR),
+    "assoc_rules_topk": (q_assoc_rules_topk, SQL_ASSOC_RULES_TOPK),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }
