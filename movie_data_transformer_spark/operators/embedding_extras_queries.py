@@ -88,7 +88,7 @@ WITH q AS (
 ),
 d AS (
     SELECT c.vec_id AS cid, q.qid, q.qe, c.embedding AS ce,
-           unnest(range(1, 65)) AS i
+           unnest(range(1, len(c.embedding) + 1)) AS i
     FROM embeddings c, q
     WHERE c.vec_id <> q.qid
 ),

@@ -114,10 +114,18 @@ def q_small_files_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SMALL_FILES_REPORT = """
+# the wav-subset predicate is interpolated from format_queries so the
+# fixture and this oracle can never drift apart; the 44 + 2n container
+# formula is the same one SQL_SOURCE_BINARYFILE_SCAN binds (n per
+# multimodal._wav_params)
+from movie_data_transformer_spark.operators.format_queries import (  # noqa: E402
+    WAV_SUBSET_MOD as _WAV_MOD,
+)
+
+SQL_SMALL_FILES_REPORT = f"""
 WITH f AS (
     SELECT CAST(44 + 2 * (400 + doc_id % 400) AS BIGINT) AS file_bytes
-    FROM documents WHERE doc_id % 7 = 0
+    FROM documents WHERE doc_id % {_WAV_MOD} = 0
 )
 SELECT file_bytes // 256 AS size_band,
        CAST(count(*) AS BIGINT) AS n_files,

@@ -218,8 +218,8 @@ def test_join_strategy_hints_steer_the_planner(spark, sf_dir):
         df = o.join(hinted, o.o_custkey == c.c_custkey).groupBy(
             "c_mktsegment"
         ).count()
-        df.collect()
-        return df, df._jdf.queryExecution().executedPlan().toString()
+        rows = df.collect()
+        return rows, df._jdf.queryExecution().executedPlan().toString()
 
     res = {}
     for hint, marker in [
@@ -227,7 +227,7 @@ def test_join_strategy_hints_steer_the_planner(spark, sf_dir):
         ("merge", "SortMergeJoin"),
         ("shuffle_hash", "ShuffledHashJoin"),
     ]:
-        df, p = plan(c.hint(hint))
+        rows, p = plan(c.hint(hint))
         assert marker in p, (hint, p[:400])
-        res[hint] = sorted((r.c_mktsegment, r["count"]) for r in df.collect())
+        res[hint] = sorted((r.c_mktsegment, r["count"]) for r in rows)
     assert res["broadcast"] == res["merge"] == res["shuffle_hash"]
