@@ -146,3 +146,39 @@ def test_spearman_matches_python_recomputation(spark, sf_dir):
         assert abs(got[y].rho_qty_price - rho(rq, rp)) < 1e-12
         assert abs(got[y].rho_disc_price - rho(rd, rp)) < 1e-12
         assert -1.0 <= got[y].rho_qty_price <= 1.0
+
+
+def test_assoc_rules_match_python_recount(spark, sf_dir):
+    """lift/confidence micro values equal a Python recount over the
+    basket table, and every returned pair meets the support floor."""
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_assoc_rules_topk,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_assoc_rules_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    baskets = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    item = Counter(p for s in baskets.values() for p in s)
+    pair = Counter()
+    for s in baskets.values():
+        ss = sorted(s)
+        for i, p1 in enumerate(ss):
+            for p2 in ss[i + 1 :]:
+                pair[(p1, p2)] += 1
+    n = len(baskets)
+    for r in rows:
+        c12 = pair[(r.p1, r.p2)]
+        assert c12 == r.c12 >= 3
+        assert r.lift_micro == c12 * n * 1_000_000 // (item[r.p1] * item[r.p2])
+        assert r.conf_p1_p2_micro == c12 * 1_000_000 // item[r.p1]
+        assert r.conf_p2_p1_micro == c12 * 1_000_000 // item[r.p2]

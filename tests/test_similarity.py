@@ -277,3 +277,45 @@ def test_streaming_ann_ingest_slicing_invariant_and_batch_sized(spark, sf_dir):
     ]
     assert sum(per_ingest) == len(want)  # every vector committed exactly once
     assert max(per_ingest) < len(want)  # batch-sized, never a full rewrite
+
+
+def test_matryoshka_full_ranking_matches_numpy(spark, sf_dir):
+    """The full-dot ranking equals a NumPy recomputation of the integer
+    micro dot products, and prefix ranks are a permutation of the same
+    candidates under the prefix score."""
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.embedding_extras_queries import (
+        N_QUERIES,
+        PREFIX_DIMS,
+        TOP_K,
+        q_emb_matryoshka_topk,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_emb_matryoshka_topk(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1_000_000
+                           ).astype(np.int64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, {})[r.rank] = (r.full_pick, r.prefix_pick)
+    assert set(got) == set(range(N_QUERIES))
+    for qid in got:
+        full_scores = sorted(
+            ((int(emb[qid] @ v), -cid) for cid, v in emb.items() if cid != qid),
+            reverse=True,
+        )[:TOP_K]
+        expect_full = [-c for _, c in full_scores]
+        assert [got[qid][k][0] for k in (1, 2, 3)] == expect_full
+        pre_scores = sorted(
+            (
+                (int(emb[qid][:PREFIX_DIMS] @ v[:PREFIX_DIMS]), -cid)
+                for cid, v in emb.items()
+                if cid != qid
+            ),
+            reverse=True,
+        )[:TOP_K]
+        assert [got[qid][k][1] for k in (1, 2, 3)] == [-c for _, c in pre_scores]
