@@ -28,6 +28,9 @@ ENTRIES = [
     "corpus_pipeline_e2e",  # digest min-id canonical + hash shards
     "bigram_pmi_topk",  # micro-PMI top-k tiebreak
     "key_skew_profile",  # TakeOrdered top-5 + reused count exchange
+    "assoc_rules_topk",  # micro-lift top-k tiebreak over basket joins
+    "emb_matryoshka_topk",  # integer dot ranking windows
+    "window_running_distinct",  # collect_set over an ordered frame
 ]
 
 
