@@ -25,7 +25,7 @@ supersteps (cache-worthy on a real cluster).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
@@ -433,6 +433,70 @@ SELECT node AS customerId, count(*) AS n_triangles FROM corners GROUP BY 1
 """
 
 
+def q_orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of total order revenue comes
+    from the top-20% of customers (by exact integer-cent spend,
+    deterministic (spend desc, custkey) ranking; top_n = ceil(0.2 * n)
+    via integer arithmetic). share_micro is the floor micro-unit ratio,
+    so the single output row is bit-exact. The rank is a global
+    row_number — fine for |customers|-sized data after the per-customer
+    aggregate; at extreme cardinality swap for a spend-quantile cutoff
+    (agg_quantile_sketch's pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    return (
+        ranked.groupBy()
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            # top_n = ceil(n / 5) in pure integers: (n + 4) div 5
+            F.expr(
+                "sum(CASE WHEN rn <= (n + 4) DIV 5 THEN cents ELSE 0 END)"
+            ).cast("bigint").alias("_top"),
+        )
+        .selectExpr(
+            "n_customers",
+            "CAST((n_customers + 4) DIV 5 AS BIGINT) AS top_n",
+            "_top AS top_cents",
+            "total_cents",
+            "CAST(CAST(_top AS DECIMAL(38,0)) * 1000000 DIV total_cents"
+            " AS BIGINT) AS share_micro",
+        )
+    )
+
+
+SQL_ORDERS_PARETO_SHARE = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+           count(*) OVER () AS n
+    FROM spend
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST((max(n) + 4) // 5 AS BIGINT) AS top_n,
+       CAST(sum(CASE WHEN rn <= (n + 4) // 5 THEN cents ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(CAST(sum(CASE WHEN rn <= (n + 4) // 5 THEN cents ELSE 0 END)
+                 AS HUGEINT) * 1000000 // sum(cents) AS BIGINT) AS share_micro
+FROM ranked
+"""
+
+
 def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets (items =
     distinct parts per order): top-20 part pairs by LIFT with min
@@ -585,6 +649,7 @@ QUERIES = {
     "stats_corr_by_year": (q_stats_corr_by_year, SQL_STATS_CORR_BY_YEAR),
     "stats_spearman_by_year": (q_stats_spearman_by_year, SQL_STATS_SPEARMAN_BY_YEAR),
     "assoc_rules_topk": (q_assoc_rules_topk, SQL_ASSOC_RULES_TOPK),
+    "orders_pareto_share": (q_orders_pareto_share, SQL_ORDERS_PARETO_SHARE),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }
