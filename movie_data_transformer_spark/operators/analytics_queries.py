@@ -497,6 +497,58 @@ FROM ranked
 """
 
 
+def q_orders_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the Lorenz-curve summary
+    that quantifies the concentration orders_pareto_share samples at
+    one point. Computed from the rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over spend
+    ranked ASCENDING with a (cents, custkey) total order: both quotient
+    terms are exact DECIMAL/HUGEINT integer ratios floored at micro
+    units and SUBTRACTED AS FLOORS (identical expression on both
+    engines; within 2e-6 of the real-valued G) — no FP anywhere. Same scale shape as Pareto: one per-customer agg +
+    one customer-level rank window."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(CAST(2 AS DECIMAL(38,0)) * sum(CAST(i AS DECIMAL(20,0)) * cents)"
+            " * 1000000 DIV (CAST(count(*) AS DECIMAL(20,0)) * sum(cents))"
+            " - CAST(count(*) + 1 AS DECIMAL(38,0)) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+SQL_ORDERS_GINI_SPEND = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+    FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * cents) * 1000000
+            // (CAST(count(*) AS HUGEINT) * sum(cents))
+            - CAST(count(*) + 1 AS HUGEINT) * 1000000 // count(*)
+            AS BIGINT) AS gini_micro
+FROM ranked
+"""
+
+
 def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets (items =
     distinct parts per order): top-20 part pairs by LIFT with min
@@ -650,6 +702,7 @@ QUERIES = {
     "stats_spearman_by_year": (q_stats_spearman_by_year, SQL_STATS_SPEARMAN_BY_YEAR),
     "assoc_rules_topk": (q_assoc_rules_topk, SQL_ASSOC_RULES_TOPK),
     "orders_pareto_share": (q_orders_pareto_share, SQL_ORDERS_PARETO_SHARE),
+    "orders_gini_spend": (q_orders_gini_spend, SQL_ORDERS_GINI_SPEND),
     "graph_pagerank": (q_graph_pagerank, None),  # iterative fixpoint -> rows-only
     "incremental_agg_rollup": (q_incremental_agg_rollup, SQL_INCREMENTAL_AGG_ROLLUP),
 }
