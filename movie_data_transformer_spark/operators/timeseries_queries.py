@@ -313,6 +313,139 @@ FROM folded
 """
 
 
+def q_survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase after
+    signup, with right-censoring at the corpus horizon — survival
+    analysis, the classic time-to-event operator. Durations are exact
+    integer days (floor(epoch) seconds DIV 86400, the unix_timestamp-
+    truncation pitfall convention); the at-risk counts are a reverse
+    cumulative integer sum; and the survival estimate is the cumulative
+    product of (1 - d/n) factors in ASCENDING event-time order, folded
+    LEFT-TO-RIGHT on both engines (Spark: one array aggregate over the
+    tiny per-curve step table, the events_ewma technique; DuckDB:
+    per-index list_reduce over the same ordered factor list) — so the
+    IEEE multiply order is identical and the doubles match bit-for-bit.
+
+    Scale: everything up to the step table is per-user aggregation
+    (one shuffle); the fold runs over |distinct event times| rows —
+    curve-sized, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_km_events")
+    return spark.sql(
+        """
+        WITH su AS (
+            SELECT user_id,
+                   min(CAST(floor(unix_timestamp(ts)) AS BIGINT)) AS su_s
+            FROM _km_events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT e.user_id, min(CAST(floor(unix_timestamp(e.ts)) AS BIGINT))
+                       AS fp_s
+            FROM _km_events e JOIN su ON e.user_id = su.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(unix_timestamp(e.ts)) AS BIGINT) > su.su_s
+            GROUP BY e.user_id
+        ),
+        horizon AS (
+            SELECT max(CAST(floor(unix_timestamp(ts)) AS BIGINT)) AS h_s
+            FROM _km_events
+        ),
+        times AS (
+            SELECT su.user_id,
+                   CASE WHEN fp.fp_s IS NOT NULL
+                        THEN (fp.fp_s - su.su_s) DIV 86400
+                        ELSE (horizon.h_s - su.su_s) DIV 86400 END AS t,
+                   CASE WHEN fp.fp_s IS NOT NULL THEN 1 ELSE 0 END AS is_event
+            FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+            CROSS JOIN horizon
+        ),
+        grp AS (
+            SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM times GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   sum(m) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n
+            FROM grp
+        ),
+        km AS (SELECT t, d, CAST(n AS BIGINT) AS n FROM risk WHERE d > 0),
+        one AS (
+            SELECT array_sort(collect_list(struct(t, d, n))) AS arr FROM km
+        ),
+        folded AS (
+            SELECT arr,
+                   slice(aggregate(arr, array(CAST(1.0 AS DOUBLE)),
+                         (acc, x) -> array_append(acc,
+                             element_at(acc, -1)
+                             * (CAST(1.0 AS DOUBLE)
+                                - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)))),
+                       2, size(arr)) AS surv
+            FROM one
+        )
+        SELECT z.s.t AS t, z.s.n AS n_at_risk, z.s.d AS d,
+               z.sv AS survival
+        FROM folded
+        LATERAL VIEW inline(arrays_zip(arr, surv)) z AS s, sv
+        """
+    )
+
+
+SQL_SURVIVAL_KM_PURCHASE = """
+WITH su AS (
+    SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS su_s
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+    SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS fp_s
+    FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(floor(epoch(e.ts)) AS BIGINT) > su.su_s
+    GROUP BY e.user_id
+),
+horizon AS (
+    SELECT CAST(max(floor(epoch(ts))) AS BIGINT) AS h_s FROM events
+),
+times AS (
+    SELECT su.user_id,
+           CASE WHEN fp.fp_s IS NOT NULL
+                THEN (fp.fp_s - su.su_s) // 86400
+                ELSE (horizon.h_s - su.su_s) // 86400 END AS t,
+           CASE WHEN fp.fp_s IS NOT NULL THEN 1 ELSE 0 END AS is_event
+    FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+    CROSS JOIN horizon
+),
+grp AS (
+    SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS m
+    FROM times GROUP BY t
+),
+risk AS (
+    SELECT t, d,
+           CAST(sum(m) OVER (ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n
+    FROM grp
+),
+km AS (SELECT t, d, n FROM risk WHERE d > 0),
+one AS (
+    SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS arr FROM km
+)
+SELECT arr[i].t AS t,
+       arr[i].n AS n_at_risk,
+       arr[i].d AS d,
+       list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(arr[1:i],
+                   x -> CAST(1.0 AS DOUBLE)
+                        - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+           (a, b) -> a * b) AS survival
+FROM one, unnest(generate_series(1, len(arr))) AS u(i)
+"""
+
+
 QUERIES = {
     "window_trailing_7d": (q_window_trailing_7d, SQL_WINDOW_TRAILING_7D),
     "events_holt_linear": (q_events_holt_linear, SQL_EVENTS_HOLT_LINEAR),
@@ -326,4 +459,5 @@ QUERIES = {
         SQL_EVENTS_VALUE_MAD_OUTLIERS,
     ),
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+    "survival_km_purchase": (q_survival_km_purchase, SQL_SURVIVAL_KM_PURCHASE),
 }

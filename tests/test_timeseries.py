@@ -197,3 +197,27 @@ def test_holt_linear_matches_numpy_reference(spark, sf_dir):
         assert n == len(xs)
         assert abs(g_l - lvl) < 1e-6 and abs(g_t - tr) < 1e-6
         assert abs(g_f - (lvl + tr)) < 2e-6
+
+
+def test_km_curve_invariants(spark, sf_dir):
+    """Kaplan-Meier sanity: survival is in [0, 1] (it reaches exactly 0
+    when the final at-risk user converts), non-increasing in event
+    time, matches a Python recomputation of the product, and the
+    at-risk counts are non-increasing with n >= d everywhere."""
+    from movie_data_transformer_spark.operators.timeseries_queries import (
+        q_survival_km_purchase,
+    )
+
+    rows = sorted(q_survival_km_purchase(spark, sf_dir).collect(), key=lambda r: r.t)
+    assert rows
+    surv = 1.0
+    prev_n = None
+    for r in rows:
+        assert 1 <= r.d <= r.n_at_risk
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n
+        prev_n = r.n_at_risk
+        surv *= 1.0 - r.d / r.n_at_risk
+        assert r.survival == surv  # same IEEE order -> exact
+        assert 0.0 <= r.survival <= 1.0
+    assert rows[-1].survival <= rows[0].survival
