@@ -182,7 +182,107 @@ SQL_LR_TRAIN_GATE = (
 )
 
 
+def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected ROC-AUC of the hashed linear classifier
+    (quality_classifier_scores' logit) against the rule-based quality
+    gate (corpus_quality_filter's thresholds) as ground truth — the
+    model-evaluation operator, computed entirely in integers via the
+    Mann-Whitney rank-sum identity with the 2x-average-rank trick:
+    for each distinct score s, 2*rank_avg = 2*count(<s) + count(=s) + 1,
+    so  auc = (T2 - P*(P+1)) / (2*P*N)  with
+    T2 = sum_s pos(s) * (2*below(s) + count(s) + 1) — every term an
+    exact bigint, the output a floor micro-unit ratio. Tied scores get
+    the proper average-rank treatment (no tie-break hack), so this IS
+    the textbook AUC, bit-exact on any engine or partitioning.
+
+    Scale: one scan-side projection (logit + label), one groupBy on the
+    score, one cumulative window over |distinct scores| rows, one 1-row
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_auc_docs")
+    return spark.sql(
+        r"""
+        WITH scored AS (
+            SELECT aggregate(split(trim(text), '\\s+'), 0L, (acc, x) -> acc +
+                       ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)
+                         % 2001) - 1000)) AS s,
+                   CASE WHEN size(split(trim(text), '\\s+')) >= 30
+                         AND CAST(size(array_distinct(split(trim(text), '\\s+')))
+                                  AS DECIMAL(20,0)) * 1000000
+                             DIV size(split(trim(text), '\\s+')) >= 200000
+                         AND CAST(size(filter(split(lower(trim(text)), '\\s+'),
+                                   w -> w IN ('the','a','an','and','or','of',
+                                              'to','in','is')))
+                                  AS DECIMAL(20,0)) * 1000000
+                             DIV size(split(lower(trim(text)), '\\s+')) >= 10000
+                        THEN 1 ELSE 0 END AS y
+            FROM _auc_docs
+        ),
+        grp AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(y) AS BIGINT) AS p
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT s, c, p,
+                   CAST(sum(c) OVER (ORDER BY s ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - c AS BIGINT) AS below
+            FROM grp
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(c - p) AS BIGINT) AS n_neg,
+               CAST((CAST(sum(p * (2 * below + c + 1)) AS DECIMAL(38,0))
+                     - CAST(sum(p) AS DECIMAL(38,0)) * (sum(p) + 1))
+                    * 1000000
+                    DIV (CAST(2 AS DECIMAL(38,0)) * sum(p) * sum(c - p))
+                    AS BIGINT) AS auc_micro
+        FROM cum
+        """
+    )
+
+
+SQL_CLASSIFIER_AUC_EXACT = r"""
+WITH scored AS (
+    SELECT CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001)
+                    - 1000)) AS BIGINT) AS s,
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+                 AND CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                          AS HUGEINT) * 1000000
+                     // len(string_split_regex(trim(text), '\s+')) >= 200000
+                 AND CAST(len(list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           w -> w IN ('the','a','an','and','or','of',
+                                      'to','in','is'))) AS HUGEINT) * 1000000
+                     // len(string_split_regex(lower(trim(text)), '\s+'))
+                     >= 10000
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+grp AS (
+    SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+    FROM scored GROUP BY s
+),
+cum AS (
+    SELECT s, c, p,
+           CAST(sum(c) OVER (ORDER BY s ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                AS BIGINT) AS below
+    FROM grp
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(c - p) AS BIGINT) AS n_neg,
+       CAST((CAST(sum(p * (2 * below + c + 1)) AS HUGEINT)
+             - CAST(sum(p) AS HUGEINT) * (sum(p) + 1)) * 1000000
+            // (CAST(2 AS HUGEINT) * sum(p) * sum(c - p)) AS BIGINT)
+           AS auc_micro
+FROM cum
+"""
+
+
 QUERIES = {
     "lr_train_quality": (q_lr_train_quality, None),  # learned doubles -> rows-only
     "lr_train_gate": (q_lr_train_gate, SQL_LR_TRAIN_GATE),
+    "classifier_auc_exact": (q_classifier_auc_exact, SQL_CLASSIFIER_AUC_EXACT),
 }

@@ -225,3 +225,50 @@ def test_pipeline_e2e_composes_its_stages(spark, sf_dir):
         sum(r.n_tokens for r in rows)
         == kept.agg(F.sum("n_tokens")).collect()[0][0]
     )
+
+
+def test_auc_matches_sklearn_free_recomputation(spark, sf_dir):
+    """classifier_auc_exact equals a Python recomputation of the
+    tie-corrected Mann-Whitney AUC over (logit, quality-label) pairs,
+    and sits in [0, 1e6] micro-units."""
+    from movie_data_transformer_spark.operators.curation_queries import (
+        q_quality_classifier_scores,
+    )
+    from movie_data_transformer_spark.operators.ml_queries import (
+        q_classifier_auc_exact,
+    )
+    from movie_data_transformer_spark.operators.text import quality_scores, text_stats
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    row = q_classifier_auc_exact(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    labels = {
+        r.doc_id: int(
+            r.n_tokens >= 30 and r.ttr >= 0.2 and r.stopword_ratio >= 0.01
+        )
+        for r in docs.join(
+            text_stats(docs).select("doc_id", "n_tokens", "ttr"), "doc_id"
+        )
+        .join(quality_scores(docs).select("doc_id", "stopword_ratio"), "doc_id")
+        .collect()
+    }
+    scores = {
+        r.doc_id: r.logit_sum
+        for r in q_quality_classifier_scores(spark, sf_dir).collect()
+    }
+    pairs = sorted((scores[d], labels[d]) for d in scores)
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    # tie-corrected rank sum: average ranks via 2r = 2*below + count + 1
+    from collections import Counter
+
+    cnt = Counter(s for s, _ in pairs)
+    pos_at = Counter(s for s, y in pairs if y)
+    below, t2 = 0, 0
+    for s in sorted(cnt):
+        t2 += pos_at[s] * (2 * below + cnt[s] + 1)
+        below += cnt[s]
+    expect = (t2 - n_pos * (n_pos + 1)) * 1_000_000 // (2 * n_pos * n_neg)
+    assert row.auc_micro == expect
+    assert 0 <= row.auc_micro <= 1_000_000
