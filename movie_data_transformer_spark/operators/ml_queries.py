@@ -281,8 +281,93 @@ FROM cum
 """
 
 
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the hashed linear classifier: documents
+    ranked by logit and cut into score deciles (ntile over the
+    (logit, doc_id) total order), each bin reporting its size, exact
+    floor-micro mean logit, and floor-micro positive rate against the
+    rule-based quality gate — the calibration counterpart to
+    classifier_auc_exact (a well-ranked model can still be
+    mis-calibrated; this is the table that shows it). All integers
+    until the two floor micro ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_cal_docs")
+    return spark.sql(
+        r"""
+        WITH scored AS (
+            SELECT doc_id,
+                   aggregate(split(trim(text), '\\s+'), 0L, (acc, x) -> acc +
+                       ((CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)
+                         % 2001) - 1000)) AS s,
+                   CASE WHEN size(split(trim(text), '\\s+')) >= 30
+                         AND CAST(size(array_distinct(split(trim(text), '\\s+')))
+                                  AS DECIMAL(20,0)) * 1000000
+                             DIV size(split(trim(text), '\\s+')) >= 200000
+                         AND CAST(size(filter(split(lower(trim(text)), '\\s+'),
+                                   w -> w IN ('the','a','an','and','or','of',
+                                              'to','in','is')))
+                                  AS DECIMAL(20,0)) * 1000000
+                             DIV size(split(lower(trim(text)), '\\s+')) >= 10000
+                        THEN 1 ELSE 0 END AS y
+            FROM _cal_docs
+        ),
+        binned AS (
+            SELECT s, y,
+                   ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS bin
+            FROM scored
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(s) AS DECIMAL(38,0)) * 1000000 DIV count(*)
+                    AS BIGINT) AS mean_logit_micro,
+               CAST(CAST(sum(y) AS DECIMAL(38,0)) * 1000000 DIV count(*)
+                    AS BIGINT) AS pos_rate_micro
+        FROM binned
+        GROUP BY bin
+        """
+    )
+
+
+SQL_CLASSIFIER_CALIBRATION_BINS = r"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+               x -> (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001)
+                    - 1000)) AS BIGINT) AS s,
+           CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 30
+                 AND CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                          AS HUGEINT) * 1000000
+                     // len(string_split_regex(trim(text), '\s+')) >= 200000
+                 AND CAST(len(list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           w -> w IN ('the','a','an','and','or','of',
+                                      'to','in','is'))) AS HUGEINT) * 1000000
+                     // len(string_split_regex(lower(trim(text)), '\s+'))
+                     >= 10000
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+binned AS (
+    SELECT s, y, ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS bin
+    FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(s) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+           AS mean_logit_micro,
+       CAST(CAST(sum(y) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+           AS pos_rate_micro
+FROM binned
+GROUP BY bin
+"""
+
+
 QUERIES = {
     "lr_train_quality": (q_lr_train_quality, None),  # learned doubles -> rows-only
     "lr_train_gate": (q_lr_train_gate, SQL_LR_TRAIN_GATE),
     "classifier_auc_exact": (q_classifier_auc_exact, SQL_CLASSIFIER_AUC_EXACT),
+    "classifier_calibration_bins": (
+        q_classifier_calibration_bins,
+        SQL_CLASSIFIER_CALIBRATION_BINS,
+    ),
 }
