@@ -272,3 +272,26 @@ def test_auc_matches_sklearn_free_recomputation(spark, sf_dir):
     expect = (t2 - n_pos * (n_pos + 1)) * 1_000_000 // (2 * n_pos * n_neg)
     assert row.auc_micro == expect
     assert 0 <= row.auc_micro <= 1_000_000
+
+
+def test_calibration_bins_are_balanced_and_monotone(spark, sf_dir):
+    """Decile bins differ by at most one doc, cover the corpus, and the
+    mean logit is strictly ordered across bins (scores are ranked
+    before binning); positive rate stays within [0, 1e6] micro."""
+    from movie_data_transformer_spark.operators.ml_queries import (
+        q_classifier_calibration_bins,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = sorted(
+        q_classifier_calibration_bins(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    sizes = sorted(r.n_docs for r in rows)
+    assert sizes[-1] - sizes[0] <= 1
+    means = [r.mean_logit_micro for r in rows]
+    assert means == sorted(means)
+    for r in rows:
+        assert 0 <= r.pos_rate_micro <= 1_000_000
