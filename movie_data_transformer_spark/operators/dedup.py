@@ -368,7 +368,15 @@ def incremental_minhash_pairs_from_index(
     full-corpus shuffle per ingest) is pure waste; the count per touched
     bucket still includes both stored and batch rows, so the cap decision
     is identical to the full recompute's; (4) join batch bands against
-    touched-index + batch bands, verify candidates with exact Jaccard."""
+    touched-index + batch bands, verify candidates with exact Jaccard —
+    the stored shingle-set side first left-semi restricted to the
+    candidate doc_ids (a broadcast of the candidate pairs' id column),
+    so the verify's state-side input is an index LOOKUP of the touched
+    docs, not a full stored-table scan (r5 VERDICT design note #2; with
+    the sets table bucketed by doc_id at scale this prunes to the
+    candidate docs' buckets). The candidate subtree feeds both the id
+    broadcast and the verify join above one distinct-exchange, which AQE
+    reuses (ReusedExchange) rather than recomputing."""
     if new_bands is None:
         new_bands = band_table(minhash_signatures_from_arrays(new_sets))
     batch_buckets = new_bands.select("band", "sig").distinct()
@@ -395,9 +403,15 @@ def incremental_minhash_pairs_from_index(
         )
         .distinct()
     )
-    all_sets = stored_sets.select("doc_id", "shingles").unionByName(
-        new_sets.select("doc_id", "shingles")
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    stored_needed = stored_sets.select("doc_id", "shingles").join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    all_sets = stored_needed.unionByName(new_sets.select("doc_id", "shingles"))
     return jaccard_verify_arrays(cands, all_sets, threshold)
 
 

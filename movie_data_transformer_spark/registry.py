@@ -24,18 +24,23 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-5 window (exactly 50), per the NOTES.md ledger / round-4 VERDICT
-# advice #1: behavior 5 (1 re-green + 4 never) + search 3 (never) + source 1
-# (never) + gate_queries 5 (never) + flagship 17 (15 r03-green + 2 never:
-# dedup_incremental_minhash/dedup_apply_filter) + streaming 5 (4 r02 +
-# stream_incremental_dedup never) + llm 12 (r02 re-green) = 48, plus the
-# relational head 2 (join_multiway, fuzzy_name_match re-green) = 50. The
-# r05-session additions (join_bloom_prune, agg_hll_mergeable,
-# hll_union_gate, ann/mm/contamination entries) register OUTSIDE the
-# window on purpose; the r06 window (exact counts in NOTES.md) takes the
-# relational tail + those + movie/merge/jsonl/reliability/tpch-head
-# re-greens.
+# Round-6 window (exactly 50, verified by import), per the NOTES.md ledger /
+# round-5 VERDICT advice #1: relational_queries 30 (head re-green + the
+# 28-entry r02 tail incl. the 5 never-checked r05 additions:
+# join_bloom_prune, agg_hll_mergeable, hll_union_gate, agg_cms_heavy_hitters,
+# agg_quantile_sketch) + recall 3 (2 never: ann_ivf_incremental_assign /
+# stream_ann_ingest + sim_ann_recall re-green) + mm_decode 5 (never) +
+# embedding 2 (never) + format 4 (never) + sql_surface 4 (never) +
+# udf_surface 2 (never) = 50. The r07/r08 windows are committed in
+# NOTES.md's ledger; after r08 no entry's driver row is >4 rounds old.
 _MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.relational_queries",
+    "movie_data_transformer_spark.operators.recall_queries",
+    "movie_data_transformer_spark.operators.mm_decode_queries",
+    "movie_data_transformer_spark.operators.embedding_queries",
+    "movie_data_transformer_spark.operators.format_queries",
+    "movie_data_transformer_spark.operators.sql_surface_queries",
+    "movie_data_transformer_spark.operators.udf_surface_queries",
     "movie_data_transformer_spark.operators.behavior_queries",
     "movie_data_transformer_spark.operators.search_queries",
     "movie_data_transformer_spark.operators.source_queries",
@@ -43,7 +48,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.flagship_queries",
     "movie_data_transformer_spark.streaming.streaming_queries",
     "movie_data_transformer_spark.operators.llm_queries",
-    "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.operators.temporal_queries",
     "movie_data_transformer_spark.operators.function_packs",
     "movie_data_transformer_spark.operators.profile_queries",
@@ -52,20 +56,14 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.analytics_queries",
     "movie_data_transformer_spark.operators.timeseries_queries",
     "movie_data_transformer_spark.operators.grouped_extras_queries",
-    "movie_data_transformer_spark.operators.recall_queries",
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
     "movie_data_transformer_spark.operators.reliability_queries",
     "movie_data_transformer_spark.operators.tpch_queries",
-    "movie_data_transformer_spark.operators.mm_decode_queries",
-    "movie_data_transformer_spark.operators.embedding_queries",
-    "movie_data_transformer_spark.operators.format_queries",
     "movie_data_transformer_spark.operators.stateful_queries",
     "movie_data_transformer_spark.operators.streaming_extras_queries",
-    "movie_data_transformer_spark.operators.sql_surface_queries",
     "movie_data_transformer_spark.operators.layout_queries",
-    "movie_data_transformer_spark.operators.udf_surface_queries",
     "movie_data_transformer_spark.operators.text_cleaning_queries",
     "movie_data_transformer_spark.operators.datasketches_queries",
     "movie_data_transformer_spark.operators.privacy_queries",
