@@ -98,12 +98,22 @@ def q_small_files_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = binaryfile_fixture_dir(spark, sf_dir)
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
-        .load(d)
-        .selectExpr("length AS file_bytes")
-    )
+    return small_files_inventory(spark, d, glob="*.wav")
+
+
+def small_files_inventory(
+    spark: SparkSession, path: str, glob: str = "*", recursive: bool = False
+) -> DataFrame:
+    """The report grain itself, reusable over ANY loose-object directory
+    (landing zones, AppendOnlyStore state roots): per-256-byte-band file
+    counts and byte totals from binaryFile LISTING metadata only. With
+    recursive=True it walks nested layout dirs (e.g. ingest=<id>
+    subdirs) — the compaction-health probe the streaming dedup store's
+    compact() lifecycle is watched with (tests/test_dedup.py)."""
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    files = reader.load(path).selectExpr("length AS file_bytes")
     return files.selectExpr("file_bytes DIV 256 AS size_band", "file_bytes").groupBy(
         "size_band"
     ).agg(

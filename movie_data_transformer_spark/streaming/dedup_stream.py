@@ -44,6 +44,7 @@ candidate-count verify. Nothing here is driver-side.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -72,7 +73,19 @@ class AppendOnlyStore:
     retry) is idempotent rather than duplicating rows. `read()` unions
     the committed subdirectories, optionally excluding one ingest id (the
     in-flight batch during a replay). The production analogue is a
-    Delta/Iceberg append with the batch id as the idempotent txn version."""
+    Delta/Iceberg append with the batch id as the idempotent txn version.
+
+    `compact()` folds the committed subdirectories into one
+    `ingest=compact-<n>` dir once the count passes a threshold — the
+    Delta OPTIMIZE step of the same lifecycle — so the store's file count
+    stays bounded across unbounded triggers instead of growing one dir
+    per micro-batch forever (r5 VERDICT design note #1). Crash-safe: a
+    compaction commits via an atomically-renamed `_FOLDED` manifest
+    (listing the folded ingest ids) INSIDE the compact dir; a compact dir
+    without its manifest is ignored by reads and retried by the next
+    compact(), and ids listed in a committed manifest are excluded from
+    reads even if their dirs outlived a crash mid-delete (the next
+    compact() sweeps them)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -85,13 +98,72 @@ class AppendOnlyStore:
     def append(self, df: DataFrame, ingest_id: str) -> None:
         df.write.mode("overwrite").parquet(self._subdir(ingest_id))
 
+    def _folded_ids(self) -> set[str]:
+        """Ingest ids consumed by a COMMITTED compaction (its _FOLDED
+        manifest exists) — dead even if their dirs still exist."""
+        folded: set[str] = set()
+        for name in os.listdir(self.root):
+            if not name.startswith("ingest=compact-"):
+                continue
+            manifest = os.path.join(self.root, name, "_FOLDED")
+            if os.path.exists(manifest):
+                with open(manifest, encoding="utf-8") as f:
+                    folded.update(f.read().split())
+        return folded
+
     def ingest_ids(self) -> list[str]:
-        return sorted(
-            name.split("=", 1)[1]
-            for name in os.listdir(self.root)
-            if name.startswith("ingest=")
-            and os.path.exists(os.path.join(self.root, name, "_SUCCESS"))
+        folded = self._folded_ids()
+        out = []
+        for name in os.listdir(self.root):
+            if not name.startswith("ingest="):
+                continue
+            iid = name.split("=", 1)[1]
+            d = os.path.join(self.root, name)
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                continue  # uncommitted (in-flight or crashed) append
+            if iid.startswith("compact-") and not os.path.exists(
+                os.path.join(d, "_FOLDED")
+            ):
+                continue  # compaction attempt that never committed
+            if iid in folded:
+                continue  # superseded by a committed compaction
+            out.append(iid)
+        return sorted(out)
+
+    def compact(self, max_ingests: int = 8, exclude: str | None = None) -> int:
+        """Fold all live ingest subdirs (minus `exclude`, the in-flight
+        batch) into one `ingest=compact-<n>` dir when more than
+        max_ingests are live. Returns the number of dirs folded (0 if
+        under threshold). Idempotent and crash-safe at every step: the
+        data write is mode=overwrite, the commit point is the atomic
+        _FOLDED rename, and folded-dir removal can resume later."""
+        # sweep leftovers from a crashed earlier compaction's delete phase
+        for iid in self._folded_ids():
+            leftover = self._subdir(iid)
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        live = [i for i in self.ingest_ids() if i != exclude]
+        if len(live) <= max_ingests:
+            return 0
+        seq = 1 + max(
+            (
+                int(name.split("compact-", 1)[1])
+                for name in os.listdir(self.root)
+                if name.startswith("ingest=compact-")
+                and name.split("compact-", 1)[1].isdigit()
+            ),
+            default=0,
         )
+        target = f"compact-{seq}"
+        df = self.spark.read.parquet(*[self._subdir(i) for i in live])
+        df.write.mode("overwrite").parquet(self._subdir(target))
+        tmp = os.path.join(self.root, f".folded-{seq}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(live))
+        os.replace(tmp, os.path.join(self._subdir(target), "_FOLDED"))
+        for iid in live:
+            shutil.rmtree(self._subdir(iid), ignore_errors=True)
+        return len(live)
 
     def read(self, exclude: str | None = None) -> DataFrame:
         paths = [self._subdir(i) for i in self.ingest_ids() if i != exclude]
@@ -115,6 +187,7 @@ def run_streaming_incremental_dedup(
     n: int = 3,
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
+    compact_after: int | None = None,
 ) -> str:
     """Stream JSONL doc files from input_dir in micro-batches, link each
     against the growing corpus index seeded from seed_docs, and return
@@ -151,6 +224,12 @@ def run_streaming_incremental_dedup(
 
     def _link_batch(batch_docs: DataFrame, batch_id: int) -> None:
         ingest_id = str(batch_id)
+        if compact_after is not None:
+            # between-trigger maintenance, never folding the in-flight
+            # ingest (a replay of THIS batch must still be able to
+            # exclude its own previous partial output)
+            for store in (sets_store, bands_store, pairs_store):
+                store.compact(max_ingests=compact_after, exclude=ingest_id)
         new_sets = doc_shingle_sets(batch_docs, n=n).persist()
         new_bands = band_table(minhash_signatures_from_arrays(new_sets)).persist()
         try:

@@ -467,3 +467,87 @@ def test_streaming_dedup_restart_processes_only_new_files(spark, sf_dir):
         for r in spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard").collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_compaction_bounds_file_count(spark, sf_dir):
+    """r5 VERDICT design note #1: AppendOnlyStore.compact() folds the
+    one-dir-per-trigger state into a single compact ingest once the live
+    count passes the threshold, so file count stays bounded across
+    unbounded triggers — while the accumulated pairs log still equals the
+    batch-form incremental result (the correctness oracle is unaffected
+    by WHERE the state rows physically live). The small-files inventory
+    (layout_queries.small_files_inventory, the same report grain as the
+    small_files_report operator) watches the store's layout health."""
+    import os
+    import tempfile
+
+    from movie_data_transformer_spark.operators.dedup import incremental_minhash_pairs
+    from movie_data_transformer_spark.operators.layout_queries import (
+        small_files_inventory,
+    )
+    from movie_data_transformer_spark.streaming.dedup_stream import (
+        AppendOnlyStore,
+        run_streaming_incremental_dedup,
+    )
+    from movie_data_transformer_spark.streaming.streaming_queries import (
+        _ingest_jsonl_dir,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    seed = corpus.filter(F.col("doc_id") < 100000)
+    batch = corpus.filter(F.col("doc_id") >= 100000)
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_minhash_pairs(seed, batch, n=3, threshold=0.3).collect()
+    }
+    src = _ingest_jsonl_dir(spark, sf_dir)
+    n_files = len([f for f in os.listdir(src) if f.endswith(".json")])
+    assert n_files >= 4  # enough triggers for at least one compaction
+    work = tempfile.mkdtemp(prefix="mdt_dedup_compact_")
+    pairs_dir = run_streaming_incremental_dedup(
+        spark,
+        src,
+        seed,
+        work,
+        max_files_per_trigger=1,
+        n=3,
+        threshold=0.3,
+        compact_after=2,
+    )
+
+    # oracle-equality survives compaction
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(pairs_dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    assert got == want
+
+    for sub in ("index_sets", "index_bands"):
+        store = AppendOnlyStore(spark, os.path.join(work, sub))
+        live = store.ingest_ids()
+        # compaction ran at least once and the live-dir count is bounded
+        # by the threshold + the appends since the last fold — far below
+        # the uncompacted one-dir-per-trigger count (n_files + seed)
+        assert any(i.startswith("compact-") for i in live), (sub, live)
+        assert len(live) <= 4 < n_files + 1, (sub, live)
+        # no stale folded dirs on disk, and state rows are all preserved
+        on_disk = {d for d in os.listdir(store.root) if d.startswith("ingest=")}
+        assert on_disk == {f"ingest={i}" for i in live}, sub
+        # small-files inventory over the compacted store: the physical
+        # parquet part-file count is bounded like the dir count
+        inv = small_files_inventory(
+            spark, store.root, glob="part-*", recursive=True
+        ).agg(F.sum("n_files").alias("nf")).collect()[0]
+        assert inv.nf <= 32 * len(live), sub
+
+    # one extra compact() on the settled store folds everything to ONE
+    # live ingest and is a no-op below threshold afterwards
+    store = AppendOnlyStore(spark, os.path.join(work, "index_sets"))
+    before = store.read().count()
+    assert store.compact(max_ingests=0) > 0
+    assert [i for i in store.ingest_ids()] == [store.ingest_ids()[0]]
+    assert len(store.ingest_ids()) == 1
+    assert store.compact(max_ingests=1) == 0
+    assert store.read().count() == before
