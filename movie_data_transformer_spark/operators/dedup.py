@@ -473,6 +473,23 @@ def incremental_minhash_pairs(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind an (already superseded)
+    localCheckpoint'd DataFrame NOW, instead of waiting for the JVM
+    ContextCleaner to notice the RDD is garbage. Reaches through the
+    analyzed LogicalRDD to the persisted internal RDD (probed working on
+    Spark 4.1.2); best-effort — on any internal-API drift the blocks
+    just revert to GC-based cleanup, so failure is swallowed. NEVER call
+    this on a checkpoint a live plan still reads: a truncated-lineage
+    RDD whose blocks are gone cannot be recomputed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Cluster the near-dup pair graph: (doc_id, cluster_root) where
     cluster_root is the MIN doc id in the doc's connected component —
@@ -511,11 +528,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # partition once (from the materialized edges) on the per-round
         # join key, iterate many
         edges = edges0.repartition(n_parts, F.col("dst")).localCheckpoint()
+        # the repartitioned checkpoint supersedes the raw one: release
+        # edges0's blocks now instead of holding both for the whole
+        # fixpoint (r6 ADVICE — block-manager storage grew linearly)
+        _release_local_checkpoint(edges0)
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .withColumn("label", F.col("doc_id"))
         )
+        prev_ckpt: DataFrame | None = None
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.doc_id)
@@ -536,6 +558,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .localCheckpoint()
             )
             changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+            # stepped (eager checkpoint) is materialized, so the previous
+            # round's blocks are dead — release them instead of letting
+            # them pile up for max_iter rounds awaiting GC
+            if prev_ckpt is not None:
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = stepped
             labels = stepped.select("doc_id", "label")
             if changed == 0:
                 return labels.select("doc_id", F.col("label").alias("cluster_root"))

@@ -157,6 +157,8 @@ class SnapshotTable:
             live.update(self.manifest(v).values())
         deleted: list[str] = []
         files_root = os.path.join(self.root, "files")
+        if not os.path.isdir(files_root):
+            return deleted  # pre-first-commit store: nothing to retain
         for commit in sorted(os.listdir(files_root)):
             cdir = os.path.join(files_root, commit)
             for name in sorted(os.listdir(cdir)):
@@ -164,6 +166,9 @@ class SnapshotTable:
                 if name.startswith("pb=") and rel not in live:
                     shutil.rmtree(os.path.join(cdir, name))
                     deleted.append(rel)
+            if not any(n.startswith("pb=") for n in os.listdir(cdir)):
+                # fully vacuumed: only write markers (_SUCCESS) remain
+                shutil.rmtree(cdir)
         for v in self.versions():
             if v not in keep:
                 os.remove(self._manifest_path(v))

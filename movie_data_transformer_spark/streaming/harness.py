@@ -12,6 +12,7 @@ lazily reading them.
 
 from __future__ import annotations
 
+import atexit
 import glob as globmod
 import os
 import shutil
@@ -25,6 +26,18 @@ from pyspark.sql import DataFrame
 #: any realistic gap between `return spark.read.parquet(stable)` and the
 #: caller's collect
 _STALE_S = 6 * 3600
+
+#: every stable dir THIS process created — removed at process exit, so a
+#: one-off prefix can't leak its dir for 6h waiting on a same-prefix
+#: successor run (and in-process lazy readers are necessarily done by
+#: then). The prefix sweep stays as the cross-process backstop.
+_OWNED_STABLE_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_owned() -> None:
+    for d in _OWNED_STABLE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _sweep_stale(prefix: str) -> None:
@@ -75,9 +88,16 @@ def run_availablenow_to_df(
     if result_from_ckpt is not None:
         result = result_from_ckpt(os.path.join(work, "ckpt"))
     else:
-        emissions = spark.read.parquet(out)
+        if os.path.exists(out):
+            emissions = spark.read.parquet(out)
+        else:
+            # zero micro-batches (empty/filtered-out source): foreachBatch
+            # never ran, so stand in an empty emissions log with the
+            # stream's schema instead of failing the parquet read
+            emissions = spark.createDataFrame([], stream_df.schema)
         result = finalize(emissions) if finalize is not None else emissions
     stable = tempfile.mkdtemp(prefix=run_prefix + "final_")
+    _OWNED_STABLE_DIRS.append(stable)
     result.write.mode("overwrite").parquet(stable)
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(stable)

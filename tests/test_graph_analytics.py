@@ -182,3 +182,27 @@ def test_assoc_rules_match_python_recount(spark, sf_dir):
         assert r.lift_micro == c12 * n * 1_000_000 // (item[r.p1] * item[r.p2])
         assert r.conf_p1_p2_micro == c12 * 1_000_000 // item[r.p1]
         assert r.conf_p2_p1_micro == c12 * 1_000_000 // item[r.p2]
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """r6 ADVICE: the label-propagation fixpoint localCheckpoints a frame
+    per round; superseded rounds' blocks (and the pre-repartition edges
+    checkpoint) must be released as the loop advances, not accumulate
+    until GC. A 17-node path graph needs ~8 min-propagation rounds, yet
+    at most the live checkpoints (partitioned edges + final labels +
+    transient result) may remain persisted afterwards."""
+    from movie_data_transformer_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs, max_iter=20)
+    rows = {(r.doc_id, r.cluster_root) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(17)}
+    live = len(sc._jsc.sc().getRDDStorageInfo())
+    # a path graph of 17 nodes runs ~8 rounds; without per-round release
+    # this sits ~8+ above baseline
+    assert live - baseline <= 3, (live, baseline)

@@ -166,3 +166,32 @@ def test_new_bucket_merge_adopts_stored_types(spark):
     # and the written type really is the stored (18,4), not the batch's
     types = {f.name: f.dataType.simpleString() for f in st.read(2).schema.fields}
     assert types["total"] == "decimal(18,4)"
+
+
+def test_vacuum_pre_commit_and_empty_commit_dirs(spark):
+    """r6 ADVICE: vacuum on a store with no commits is a no-op (no
+    FileNotFoundError), and a vacuum that empties a files/c<version>
+    directory removes the husk instead of leaving it behind."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="snapstore_vac_edge_")
+    st = SnapshotTable(spark, root, n_buckets=4)
+    assert st.vacuum(keep_versions=[]) == []  # pre-first-commit: no-op
+
+    st.commit_full(_state(spark, [(u, u, 1) for u in range(8)]), "user_id", 1)
+    # v2 rewrites EVERY bucket (touches all users), so keeping only v2
+    # leaves nothing of c1
+    st.merge_additive(
+        _state(spark, [(u, 1, 1) for u in range(8)]),
+        "user_id",
+        ["total", "n"],
+        1,
+        2,
+    )
+    deleted = st.vacuum(keep_versions=[2])
+    assert deleted == [f"files/c1/pb={b}" for b in range(4)]
+    # the fully-vacuumed commit dir itself is gone, not an empty husk
+    assert not os.path.exists(os.path.join(root, "files", "c1"))
+    assert st.versions() == [2]
+    assert st.read(2).count() == 8

@@ -113,3 +113,28 @@ def test_late_file_rows_are_all_dropped_by_watermark(spark, sf_dir, tmp_path):
     # batches 0/1 (on-time files) drop nothing; the late batch drops all
     assert dropped.get(0, 0) == 0 and dropped.get(1, 0) == 0
     assert dropped.get(2) == n_late
+
+
+def test_harness_zero_microbatches_returns_empty(spark):
+    """r6 ADVICE: an availableNow stream whose source yields NO files
+    runs zero micro-batches, so foreachBatch never writes the emissions
+    dir — the harness must return an empty DataFrame with the stream's
+    schema, not crash on the missing parquet path."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from movie_data_transformer_spark.streaming.harness import (
+        run_availablenow_to_df,
+    )
+
+    src = tempfile.mkdtemp(prefix="mdt_empty_stream_src_")
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("pathGlobFilter", "*.json").json(src)
+    )
+    out = run_availablenow_to_df(stream, "append", "mdt_empty_stream_")
+    assert out.columns == ["user_id", "value"]
+    assert out.count() == 0
