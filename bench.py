@@ -73,9 +73,28 @@ HEADLINE = [
 ]
 
 
+#: wait for the 1-minute loadavg to settle below this before timing —
+#: BENCH_r04/r05 were recorded at loadavg 4-6 right after heavy
+#: validation sweeps and came out 15-30% inflated vs idle re-runs of the
+#: byte-identical plans (r5 VERDICT advice #7). Bounded: give up after
+#: _SETTLE_MAX_S and record whatever load remains (self-diagnosing via
+#: the loadavg_1m field either way). SPARK_GRAFT_BENCH_NO_WAIT=1 skips.
+_SETTLE_LOAD = 1.0
+_SETTLE_MAX_S = 300
+
+
+def _wait_for_idle() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        return
+    deadline = time.time() + _SETTLE_MAX_S
+    while os.getloadavg()[0] > _SETTLE_LOAD and time.time() < deadline:
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    _wait_for_idle()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
