@@ -27,6 +27,7 @@ task holds ~100 x 1MB blobs; never collect() media to the driver.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,15 +86,66 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(content: bytes, fmt: str, fake: bool = False) -> bytes:
-    """STUB: real deployments plug PIL/soundfile/ffmpeg in here.
-    fake=True returns a deterministic pseudo-decode (the identity) so the
-    downstream plumbing is testable in codec-less environments."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True (tests) or plug a real decoder (PIL/ffmpeg)"
+    """Codec boundary for COMPRESSED formats (the container tiers WAV/
+    BMP/PNG/GIF/baseline-JPEG/AVI are decoded for real by the hand-rolled
+    parsers in this module — see mm_decode_queries). fake=True returns a
+    deterministic pseudo-decode (the identity) so the downstream plumbing
+    is testable in codec-less environments.
+
+    SPARK_GRAFT_REAL_CODECS=1 (r5 VERDICT advice #8) routes through
+    external codecs WHEN PRESENT — Pillow for images, stdlib wave for
+    audio, ffmpeg for video — so an environment upgrade lights up
+    compressed-tier decode with no code change. The flag is read
+    per-call (executor-side inside mapInPandas; local mode shares the
+    driver env, a cluster sets it via spark.executorEnv)."""
+    if fake:
+        return content
+    if os.environ.get("SPARK_GRAFT_REAL_CODECS") == "1":
+        return _decode_with_external_codecs(content, fmt)
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "pass fake=True (tests), set SPARK_GRAFT_REAL_CODECS=1 where "
+        "Pillow/ffmpeg exist, or plug a real decoder"
+    )
+
+
+def _decode_with_external_codecs(content: bytes, fmt: str) -> bytes:
+    """Decode via whatever external codec the environment provides;
+    raises NotImplementedError naming the missing dependency so a
+    misconfigured cluster fails loudly, not with a silent fake."""
+    import io
+
+    if fmt in ("png", "jpg", "jpeg", "bmp", "gif", "webp"):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "SPARK_GRAFT_REAL_CODECS=1 but Pillow is not installed"
+            ) from exc
+        with Image.open(io.BytesIO(content)) as img:
+            return img.convert("RGB").tobytes()
+    if fmt == "wav":
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            return wf.readframes(wf.getnframes())
+    if fmt in ("mp4", "mkv", "avi", "webm"):
+        import shutil as _shutil
+        import subprocess
+
+        if _shutil.which("ffmpeg") is None:
+            raise NotImplementedError(
+                "SPARK_GRAFT_REAL_CODECS=1 but ffmpeg is not on PATH"
+            )
+        proc = subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-i", "pipe:0", "-f", "rawvideo",
+             "-pix_fmt", "rgb24", "pipe:1"],
+            input=content,
+            capture_output=True,
+            check=True,
         )
-    return content
+        return proc.stdout
+    raise NotImplementedError(f"no external codec route for format {fmt!r}")
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:

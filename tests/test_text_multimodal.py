@@ -668,3 +668,66 @@ def test_audio_windows_tile_the_clip(spark, sf_dir):
         assert sum(r.energy for r in wins) == w.energy
         assert sum(r.zero_crossings for r in wins) <= w.zero_crossings
         assert max(r.peak_abs for r in wins) == w.peak_abs
+
+
+def test_real_codec_flag_routes_and_names_missing_deps(monkeypatch):
+    """SPARK_GRAFT_REAL_CODECS=1 (r5 VERDICT advice #8): the codec
+    boundary routes to external decoders when the flag is set. In THIS
+    container: the stdlib-wave audio route genuinely decodes; the Pillow
+    image route (absent here) must fail loudly NAMING the missing
+    dependency — never fall back to a silent fake."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_REAL_CODECS", "1")
+
+    # audio: stdlib wave is always present -> real PCM frames back
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = struct.pack("<4h", 0, 1000, -1000, 42)
+        wf.writeframes(frames)
+    assert decode_media(buf.getvalue(), "wav", fake=False) == frames
+
+    # image: Pillow is not installed in this env -> loud, named failure
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; the missing-dep branch is not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG", "png", fake=False)
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_REAL_CODECS" not in __import__("os").environ,
+    reason="real-codec integration: set SPARK_GRAFT_REAL_CODECS=1 in an "
+    "environment with Pillow/ffmpeg to exercise compressed-tier decode",
+)
+def test_real_codec_png_roundtrip():
+    """Skipped by default: in a Pillow-equipped environment the PNG route
+    must decode a 2x2 truecolor PNG to exactly its 12 raw RGB bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = b"\x00" + rgb[:6] + b"\x00" + rgb[6:]  # filter None per scanline
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_media(png, "png", fake=False) == rgb
