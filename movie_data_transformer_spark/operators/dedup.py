@@ -403,6 +403,12 @@ def incremental_minhash_pairs_from_index(
         )
         .distinct()
     )
+    # materialize the (broadcast-small) candidate pair set ONCE: it feeds
+    # both the id-restriction below and the verify join, and Spark does
+    # not reuse the banding/bucket-join exchange between the two branches
+    # (measured: the duplicated subtree nearly doubled the per-ingest
+    # cost at sf0.1)
+    cands = cands.localCheckpoint()
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
