@@ -79,6 +79,9 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.sql_lang_queries",
     "movie_data_transformer_spark.operators.pipeline_queries",
     "movie_data_transformer_spark.operators.embedding_extras_queries",
+    # round-6 additions register BEHIND every committed window (r07/r08
+    # fronts are fixed in NOTES.md); they queue for the r09+ rotation
+    "movie_data_transformer_spark.operators.sql_udf_queries",
 ]
 
 
