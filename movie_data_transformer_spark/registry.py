@@ -82,6 +82,7 @@ _MODULES: list[str] = [
     # round-6 additions register BEHIND every committed window (r07/r08
     # fronts are fixed in NOTES.md); they queue for the r09+ rotation
     "movie_data_transformer_spark.operators.sql_udf_queries",
+    "movie_data_transformer_spark.operators.linalg_queries",
 ]
 
 
