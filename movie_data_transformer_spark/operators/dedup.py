@@ -729,6 +729,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: c = |A∩B| / min(|A|, |B|) over
+    word-bigram shingle sets — the asymmetric complement of Jaccard that
+    catches a short document embedded in a much longer one (quote farms,
+    boilerplate-wrapped reposts), which Jaccard's union denominator
+    dilutes below any usable threshold.
+
+    No length-bucket blocking (unequal lengths are the point); the pair
+    space is bounded instead by a PROMISCUOUS-SHINGLE guard: shingles
+    appearing in more than max_shingle_df docs of a lang are dropped
+    before the self-join (each surviving shingle fans out <= df^2
+    pairs), the same skew cap contamination_ngram_overlap uses. Sizes
+    |A|, |B| count ALL shingles, so a pair relying only on dropped
+    common shingles scores lower, never spuriously higher — documented
+    conservative semantics, reproduced exactly by the oracle. Exact
+    integer micro-units end to end (full oracle)."""
+    shingled = widen_for_compute(docs).select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        shingled.groupBy("lang", "shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("lang", "shingle")
+    )
+    kept = shingled.join(rare, ["lang", "shingle"], "left_semi")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+    inter = (
+        a.join(b, ["lang", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(n_inter * 1000000 div least(n_a, n_b) AS DOUBLE) / 1000000"
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def exact_substr_pairs(corpus: DataFrame, window: int = 15) -> DataFrame:
     """ExactSubstr-style dedup (Lee et al., "Deduplicating Training Data
     Makes Language Models Better"): two documents are duplicate-linked if

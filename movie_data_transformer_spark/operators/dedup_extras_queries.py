@@ -1,0 +1,68 @@
+"""Round-6 dedup extensions, registered behind the committed r07/r08
+driver windows (NOTES.md ledger): containment-based near-dup detection —
+the asymmetric score family the Jaccard/MinHash/SimHash battery lacked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movie_data_transformer_spark.operators.dedup import (
+    CORPUS_ORACLE_CTE,
+    augmented_corpus,
+    containment_pairs,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+MAX_SHINGLE_DF = 100
+THRESHOLD = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over the planted-dup corpus: the 's'-word-
+    stripped near-copies are length-asymmetric by construction, exactly
+    the shape containment exists for (see containment_pairs)."""
+    return containment_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")),
+        n=2,
+        threshold=THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+# mirrors containment_pairs exactly: bigram shingles with the short-doc
+# convention (concat_ws skips the NULL pad), per-lang df cap before the
+# self-join, UNFILTERED set sizes in the denominator.
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+idx AS (SELECT doc_id, lang, t,
+               unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, lang,
+              concat_ws(' ', t[i], t[i+1]) AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+    SELECT lang, shingle FROM sh
+    GROUP BY lang, shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+kept AS (SELECT sh.* FROM sh JOIN rare USING (lang, shingle)),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM kept a JOIN kept b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter * 1000000 // least(na.n_sh, nb.n_sh) AS DOUBLE)
+           / 1000000 AS containment
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter * 1000000 // least(na.n_sh, nb.n_sh) AS DOUBLE)
+          / 1000000 >= {THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+}

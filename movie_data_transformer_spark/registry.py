@@ -83,6 +83,7 @@ _MODULES: list[str] = [
     # fronts are fixed in NOTES.md); they queue for the r09+ rotation
     "movie_data_transformer_spark.operators.sql_udf_queries",
     "movie_data_transformer_spark.operators.linalg_queries",
+    "movie_data_transformer_spark.operators.dedup_extras_queries",
 ]
 
 

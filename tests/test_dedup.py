@@ -551,3 +551,51 @@ def test_streaming_dedup_compaction_bounds_file_count(spark, sf_dir):
     assert len(store.ingest_ids()) == 1
     assert store.compact(max_ingests=1) == 0
     assert store.read().count() == before
+
+
+def test_containment_catches_jaccard_blind_embedding(spark):
+    """A short doc fully embedded in a much longer one: containment = 1.0
+    while Jaccard sits far below any usable threshold — the case the
+    asymmetric score exists for."""
+    from movie_data_transformer_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i}x" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, short, "en", len(short)),
+            (2, filler + " " + short + " " + filler, "en", 500),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] >= 0.99  # every bigram of the short doc is inside
+    # jaccard on the same pair is diluted by the long doc's union
+    jac = ngram_jaccard_pairs(
+        docs.withColumn("n_chars", F.lit(100)), n=2, threshold=0.0
+    ).collect()
+    jac_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jac}
+    assert jac_pairs.get((1, 2), 0.0) < 0.1
+
+
+def test_containment_df_cap_is_conservative(spark):
+    """Dropping a promiscuous shingle can only LOWER a pair's score:
+    with the cap at 1 every cross-doc shingle is dropped (df=2) and no
+    pair survives; with a high cap the pair scores 1.0."""
+    from movie_data_transformer_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", 7), (2, "a b c d e f", "en", 11)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    high = containment_pairs(docs, n=2, threshold=0.5, max_shingle_df=100).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in high] == [(1, 2, 1.0)]
+    low = containment_pairs(docs, n=2, threshold=0.01, max_shingle_df=1).collect()
+    assert low == []
