@@ -84,6 +84,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.sql_udf_queries",
     "movie_data_transformer_spark.operators.linalg_queries",
     "movie_data_transformer_spark.operators.dedup_extras_queries",
+    "movie_data_transformer_spark.operators.mm_hash_queries",
 ]
 
 

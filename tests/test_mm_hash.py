@@ -1,0 +1,80 @@
+"""dHash goldens on constructed BMPs: gradient/flat extremes and the
+brightness-shift invariance that makes a DIFFERENCE hash a perceptual
+hash (absolute-level changes don't flip comparison bits)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from movie_data_transformer_spark.operators.mm_hash_queries import (
+    DH_H,
+    DH_W,
+    dhash_rows,
+)
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP from an (h, w, 3) RGB uint8 array —
+    same container layout synthesize_bmp_media emits."""
+    h, w = img.shape[:2]
+    pad = (-(w * 3)) % 4
+    rows = []
+    for yy in range(h - 1, -1, -1):
+        px = img[yy][:, ::-1].astype(np.uint8)  # BGR on disk
+        rows.append(px.tobytes() + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + dib + pixel_data
+
+
+def _hashes(spark, images):
+    media = spark.createDataFrame(
+        [(i, bytearray(_bmp_bytes(img))) for i, img in enumerate(images)],
+        "doc_id long, content binary",
+    )
+    return {
+        r.doc_id: (r.hash_hi, r.hash_lo) for r in dhash_rows(media).collect()
+    }
+
+
+def _gradient(shift: int = 0) -> np.ndarray:
+    # strictly increasing left->right luma; +shift clipped under 255
+    img = np.zeros((16, 20, 3), dtype=np.uint8)
+    img[:, :, :] = (np.arange(20) * 10 + shift)[None, :, None]
+    return img
+
+
+def test_dhash_extremes_and_shift_invariance(spark):
+    all_ones = (1 << 32) - 1  # every comparison bit set, per 32-bit half
+    hs = _hashes(
+        spark,
+        [
+            _gradient(),  # 0: strictly increasing -> all bits 1
+            np.full((12, 12, 3), 77, dtype=np.uint8),  # 1: flat -> all 0
+            _gradient(shift=40),  # 2: brightness-shifted gradient
+        ],
+    )
+    assert hs[0] == (all_ones, all_ones)
+    assert hs[1] == (0, 0)
+    # difference hash ignores uniform brightness shifts
+    assert hs[2] == hs[0]
+
+
+def test_dhash_small_edit_small_hamming(spark):
+    """Perturbing one sampled cell flips at most its two adjacent
+    comparison bits — near-dup images stay within a tiny Hamming
+    distance while a reversed gradient is maximally far."""
+    base = _gradient()
+    edited = base.copy()
+    edited[0:2, 6:8, :] = 255  # a local blotch
+    reversed_ = base[:, ::-1, :].copy()
+    hs = _hashes(spark, [base, edited, reversed_])
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) << 32 | (a[1] ^ b[1])).count("1")
+
+    assert 0 < ham(hs[0], hs[1]) <= 4
+    assert ham(hs[0], hs[2]) == DH_W * DH_H  # every comparison flips
