@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.multimodal import (
     bmp_decode_pixels,
@@ -76,38 +77,136 @@ def q_mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_rows(synthesize_bmp_media(load_table(spark, sf_dir, "documents")))
 
 
-SQL_MM_IMAGE_DHASH = """
-WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h
-           FROM documents),
-txs AS (SELECT doc_id, w, h, unnest(range(0, __W__)) AS tx FROM p),
-cell AS (SELECT doc_id, w, h, tx, unnest(range(0, __H__)) AS ty FROM txs),
-m AS (SELECT doc_id, w, h, tx, ty,
+MAX_HAMMING = 3  # pigeonhole: <=3 differing bits must agree on >=1 of 4 bands
+MAX_BUCKET = 1000
+
+
+def dhash_near_pairs(
+    fps: DataFrame, max_hamming: int = MAX_HAMMING, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-duplicate IMAGE pairs from dHash
+    fingerprints: block on the four 16-bit bands of the 64-bit hash
+    (pigeonhole guarantees recall at hamming <= 3), bucket-group into a
+    single shuffle, verify with exact bit_count(xor) per half — the same
+    candidate machinery as the text SimHash path (dedup.simhash_near_pairs),
+    operating on (hash_hi, hash_lo) halves so every value stays an
+    unsigned 32-bit quantity inside a bigint (portable, no sign games)."""
+    band_structs = ", ".join(
+        f"named_struct('band', {bi}, 'nib', shiftright({half}, {sh}) & 65535)"
+        for bi, (half, sh) in enumerate(
+            [("hash_lo", 0), ("hash_lo", 16), ("hash_hi", 0), ("hash_hi", 16)]
+        )
+    )
+    exploded = fps.selectExpr(
+        "doc_id", "hash_hi", "hash_lo", f"inline(array({band_structs}))"
+    )
+    buckets = (
+        exploded.groupBy("band", "nib")
+        .agg(F.collect_set(F.struct("doc_id", "hash_hi", "hash_lo")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
+    return (
+        buckets.selectExpr("array_sort(ds) AS ds")
+        .selectExpr(
+            "inline(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, "
+            "'hamming', CAST(bit_count(x.hash_lo ^ y.hash_lo) "
+            "+ bit_count(x.hash_hi ^ y.hash_hi) AS INT))))))"
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def q_mm_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over the corpus images plus PLANTED exact
+    copies (docs 0-49 re-labeled +300000, byte-identical blobs), so the
+    hamming-0 clusters the operator exists to find are present at every
+    SF. The copies reuse the already-synthesized blobs (content computed
+    from the ORIGINAL doc_id), exactly how a crawler re-encounters the
+    same image under a new URL."""
+    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
+    copies = media.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "content"
+    )
+    return dhash_near_pairs(
+        dhash_rows(media.unionByName(copies)), max_bucket_size=MAX_BUCKET
+    )
+
+
+# shared oracle template: recompute each image's dHash from the BMP
+# generative pixel formula, given an `aug(doc_id, src)` CTE where src is
+# the doc id the pixels derive from (src = doc_id for originals; planted
+# copies carry the original's src under a new doc_id).
+_DHASH_HASH_CTES = """
+p AS (SELECT doc_id, src, 4 + src % 13 AS w, 4 + src % 9 AS h FROM aug),
+txs AS (SELECT doc_id, src, w, h, unnest(range(0, __W__)) AS tx FROM p),
+cell AS (SELECT doc_id, src, w, h, tx, unnest(range(0, __H__)) AS ty FROM txs),
+m AS (SELECT doc_id, src, w, h, tx, ty,
              (tx * w) // (__W__ + 1) AS sxa,
              ((tx + 1) * w) // (__W__ + 1) AS sxb,
              (ty * h) // __H__ AS sy
       FROM cell),
 g AS (SELECT doc_id, w, h, ty * __W__ + tx AS k,
-             (299 * ((doc_id * 7 + sxa * 13 + sy * 31) % 256)
-            + 587 * ((doc_id * 11 + sxa * 17 + sy * 5) % 256)
-            + 114 * ((doc_id * 3 + sxa * 29 + sy * 23) % 256)) // 1000 AS ga,
-             (299 * ((doc_id * 7 + sxb * 13 + sy * 31) % 256)
-            + 587 * ((doc_id * 11 + sxb * 17 + sy * 5) % 256)
-            + 114 * ((doc_id * 3 + sxb * 29 + sy * 23) % 256)) // 1000 AS gb
+             (299 * ((src * 7 + sxa * 13 + sy * 31) % 256)
+            + 587 * ((src * 11 + sxa * 17 + sy * 5) % 256)
+            + 114 * ((src * 3 + sxa * 29 + sy * 23) % 256)) // 1000 AS ga,
+             (299 * ((src * 7 + sxb * 13 + sy * 31) % 256)
+            + 587 * ((src * 11 + sxb * 17 + sy * 5) % 256)
+            + 114 * ((src * 3 + sxb * 29 + sy * 23) % 256)) // 1000 AS gb
       FROM m),
 bits AS (SELECT doc_id, w, h, k,
-                CASE WHEN ga < gb THEN 1 ELSE 0 END AS bit FROM g)
-SELECT doc_id,
-       CAST(w AS BIGINT) AS src_w,
-       CAST(h AS BIGINT) AS src_h,
-       CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
-            AS BIGINT) AS hash_hi,
-       CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END)
-            AS BIGINT) AS hash_lo
-FROM bits
-GROUP BY doc_id, w, h
+                CASE WHEN ga < gb THEN 1 ELSE 0 END AS bit FROM g),
+hashes AS (
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS src_w,
+           CAST(h AS BIGINT) AS src_h,
+           CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM bits
+    GROUP BY doc_id, w, h
+)
 """.replace("__W__", str(DH_W)).replace("__H__", str(DH_H))
+
+SQL_MM_IMAGE_DHASH = f"""
+WITH aug AS (SELECT doc_id, doc_id AS src FROM documents),
+{_DHASH_HASH_CTES}
+SELECT doc_id, src_w, src_h, hash_hi, hash_lo FROM hashes
+"""
+
+SQL_MM_DHASH_NEAR_PAIRS = f"""
+WITH aug AS (SELECT doc_id, doc_id AS src FROM documents
+             UNION ALL
+             SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id < 50),
+{_DHASH_HASH_CTES},
+bands AS (
+    SELECT doc_id, hash_hi, hash_lo, 0 AS band, hash_lo % 65536 AS nib FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 1, (hash_lo // 65536) % 65536 FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 3, (hash_hi // 65536) % 65536 FROM hashes
+),
+ok AS (SELECT band, nib FROM bands
+       GROUP BY band, nib HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, nib))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+          + bit_count(xor(a.hash_hi, b.hash_hi)) AS INT) AS hamming
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+    + bit_count(xor(a.hash_hi, b.hash_hi)) <= {MAX_HAMMING}
+"""
 
 
 QUERIES = {
     "mm_image_dhash": (q_mm_image_dhash, SQL_MM_IMAGE_DHASH),
+    "mm_dhash_near_pairs": (q_mm_dhash_near_pairs, SQL_MM_DHASH_NEAR_PAIRS),
 }

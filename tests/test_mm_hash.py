@@ -78,3 +78,19 @@ def test_dhash_small_edit_small_hamming(spark):
 
     assert 0 < ham(hs[0], hs[1]) <= 4
     assert ham(hs[0], hs[2]) == DH_W * DH_H  # every comparison flips
+
+
+def test_dhash_near_pairs_find_all_planted_copies(spark, sf_dir):
+    """Every planted byte-identical copy (doc < 50 re-labeled +300000)
+    must surface as a hamming-0 pair with its original — banding cannot
+    lose a hamming-0 pair (all four bands agree)."""
+    from movie_data_transformer_spark.operators.mm_hash_queries import (
+        q_mm_dhash_near_pairs,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in q_mm_dhash_near_pairs(spark, sf_dir).collect()
+    }
+    for i in range(50):
+        assert pairs.get((i, i + 300000)) == 0, i
