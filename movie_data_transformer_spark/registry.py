@@ -85,6 +85,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.linalg_queries",
     "movie_data_transformer_spark.operators.dedup_extras_queries",
     "movie_data_transformer_spark.operators.mm_hash_queries",
+    "movie_data_transformer_spark.operators.ml_extras_queries",
 ]
 
 

@@ -295,3 +295,29 @@ def test_calibration_bins_are_balanced_and_monotone(spark, sf_dir):
     assert means == sorted(means)
     for r in rows:
         assert 0 <= r.pos_rate_micro <= 1_000_000
+
+
+def test_classifier_kappa_internal_consistency(spark, sf_dir):
+    """The emitted marginals determine the full 2x2 table (a = (n_rule +
+    n_clf + n_agree - n) / 2); recomputing kappa from it in exact Python
+    integers must reproduce kappa_micro bit-for-bit, and kappa must sit
+    in [-1, 1]."""
+    from movie_data_transformer_spark.operators.ml_extras_queries import (
+        q_classifier_kappa,
+    )
+
+    r = q_classifier_kappa(spark, sf_dir).collect()[0]
+    n = r.n_docs
+    two_a = r.n_rule_keep + r.n_clf_keep + r.n_agree - n
+    assert two_a % 2 == 0 and two_a >= 0
+    a = two_a // 2
+    b = r.n_rule_keep - a
+    c = r.n_clf_keep - a
+    d = n - a - b - c
+    assert min(a, b, c, d) >= 0 and a + d == r.n_agree
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    num = (n * (a + d) - pe_num) * 1_000_000
+    den = n * n - pe_num
+    want = -((-num) // den) if num < 0 else num // den  # trunc toward zero
+    assert r.kappa_micro == want
+    assert -1_000_000 <= r.kappa_micro <= 1_000_000
