@@ -206,7 +206,83 @@ WHERE bit_count(xor(a.hash_lo, b.hash_lo))
 """
 
 
+def q_mm_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE curation pipeline as ONE dataflow (the multimodal twin
+    of corpus_pipeline_e2e): synthesize/decode -> dHash fingerprints ->
+    banded near-pair candidates -> exact Hamming verify -> greedy
+    min-neighbor keep (an image is dropped iff a LOWER-id image sits
+    within MAX_HAMMING — one anti-join, no iterative closure) ->
+    per-dimension accounting. Every planted copy (id+300000) drops; the
+    oracle composes the same stages over the generative formula, so the
+    hash binds the whole chain, not just its pieces."""
+    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
+    copies = media.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "content"
+    )
+    fps = dhash_rows(media.unionByName(copies))
+    pairs = dhash_near_pairs(fps, max_bucket_size=MAX_BUCKET)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept_flag = fps.join(dropped, "doc_id", "left_anti")
+    return (
+        fps.groupBy("src_w", "src_h")
+        .agg(F.count("*").cast("bigint").alias("n_total"))
+        .join(
+            kept_flag.groupBy("src_w", "src_h").agg(
+                F.count("*").cast("bigint").alias("n_kept")
+            ),
+            ["src_w", "src_h"],
+            "left",
+        )
+        .selectExpr(
+            "src_w",
+            "src_h",
+            "n_total",
+            "coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept",
+            "n_total - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_dropped",
+        )
+    )
+
+
+SQL_MM_IMAGE_DEDUP_PIPELINE = f"""
+WITH aug AS (SELECT doc_id, doc_id AS src FROM documents
+             UNION ALL
+             SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id < 50),
+{_DHASH_HASH_CTES},
+bands AS (
+    SELECT doc_id, hash_hi, hash_lo, 0 AS band, hash_lo % 65536 AS nib FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 1, (hash_lo // 65536) % 65536 FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM hashes
+    UNION ALL
+    SELECT doc_id, hash_hi, hash_lo, 3, (hash_hi // 65536) % 65536 FROM hashes
+),
+ok AS (SELECT band, nib FROM bands
+       GROUP BY band, nib HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, nib)),
+dropped AS (
+    SELECT DISTINCT b.doc_id
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+        + bit_count(xor(a.hash_hi, b.hash_hi)) <= {MAX_HAMMING}
+)
+SELECT src_w, src_h,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (doc_id NOT IN (SELECT doc_id FROM dropped))
+            AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM dropped))
+            AS BIGINT) AS n_dropped
+FROM hashes
+GROUP BY src_w, src_h
+"""
+
+
 QUERIES = {
     "mm_image_dhash": (q_mm_image_dhash, SQL_MM_IMAGE_DHASH),
     "mm_dhash_near_pairs": (q_mm_dhash_near_pairs, SQL_MM_DHASH_NEAR_PAIRS),
+    "mm_image_dedup_pipeline": (
+        q_mm_image_dedup_pipeline,
+        SQL_MM_IMAGE_DEDUP_PIPELINE,
+    ),
 }

@@ -94,3 +94,19 @@ def test_dhash_near_pairs_find_all_planted_copies(spark, sf_dir):
     }
     for i in range(50):
         assert pairs.get((i, i + 300000)) == 0, i
+
+
+def test_image_dedup_pipeline_drops_all_planted_copies(spark, sf_dir):
+    """Composed-pipeline sanity: totals include the 50 planted copies,
+    every copy is dropped (its original has a lower id at hamming 0),
+    and the per-dimension partition n_kept + n_dropped == n_total."""
+    from movie_data_transformer_spark.operators.mm_hash_queries import (
+        q_mm_image_dedup_pipeline,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_mm_image_dedup_pipeline(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_total for r in rows) == n_docs + 50
+    assert all(r.n_kept + r.n_dropped == r.n_total for r in rows)
+    assert sum(r.n_dropped for r in rows) >= 50  # every planted copy gone
