@@ -221,3 +221,45 @@ def test_km_curve_invariants(spark, sf_dir):
         assert r.survival == surv  # same IEEE order -> exact
         assert 0.0 <= r.survival <= 1.0
     assert rows[-1].survival <= rows[0].survival
+
+
+def test_cusum_window_identity_matches_sequential_fold(spark, sf_dir):
+    """The window form (prefix - clamped running min) must equal the
+    textbook sequential fold s_i = max(0, s_{i-1} + dev_i) day by day —
+    on the real corpus and on a synthetic drifting series."""
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        q_events_cusum_drift,
+    )
+
+    rows = sorted(q_events_cusum_drift(spark, sf_dir).collect(), key=lambda r: r.day_idx)
+    n_days = len(rows)
+    total = sum(r.n_events for r in rows)
+    s = 0
+    for r in rows:
+        s = max(0, s + (r.n_events * n_days - total))
+        assert r.cusum_scaled == s, r.day_idx
+        assert r.is_drift == int(s > total)
+
+
+def test_cusum_flags_planted_volume_drift(spark):
+    """A series that doubles its volume halfway, driven through the
+    PRODUCTION window expressions: positive CUSUM accumulates in the
+    second half and the drift flag trips."""
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        cusum_from_daily,
+    )
+
+    daily_vals = [100] * 10 + [200] * 10
+    daily = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(daily_vals)], "day_idx long, n_events long"
+    )
+    rows = sorted(cusum_from_daily(daily).collect(), key=lambda r: r.day_idx)
+    n_days, total = len(daily_vals), sum(daily_vals)
+    s, flagged = 0, False
+    for r, x in zip(rows, daily_vals):
+        s = max(0, s + (x * n_days - total))
+        flagged = flagged or s > total
+        assert r.cusum_scaled == s, r.day_idx
+    assert rows[9].cusum_scaled == 0  # flat first half: no drift yet
+    assert rows[-1].cusum_scaled > 0 and rows[-1].is_drift == 1
+    assert flagged
