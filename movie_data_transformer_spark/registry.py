@@ -87,6 +87,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.mm_hash_queries",
     "movie_data_transformer_spark.operators.ml_extras_queries",
     "movie_data_transformer_spark.operators.timeseries_extras_queries",
+    "movie_data_transformer_spark.operators.calibration_queries",
 ]
 
 

@@ -321,3 +321,27 @@ def test_classifier_kappa_internal_consistency(spark, sf_dir):
     want = -((-num) // den) if num < 0 else num // den  # trunc toward zero
     assert r.kappa_micro == want
     assert -1_000_000 <= r.kappa_micro <= 1_000_000
+
+
+def test_quantile_normalize_calibration_properties(spark, sf_dir):
+    """Within every source, calibrated scores are monotone in raw scores
+    (rank mapping preserves order), the min-ranked doc of each source
+    maps to the global minimum score, and calibrated values are always
+    actual global order statistics (members of the raw score multiset)."""
+    from movie_data_transformer_spark.operators.calibration_queries import (
+        q_score_quantile_normalize,
+    )
+
+    rows = q_score_quantile_normalize(spark, sf_dir).collect()
+    all_scores = sorted(r.score for r in rows)
+    gmin = all_scores[0]
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: (r.score, r.doc_id))
+        assert rs[0].norm_score == gmin, src  # rank 1 -> global minimum
+        norms = [r.norm_score for r in rs]
+        assert norms == sorted(norms), src  # monotone calibration
+    assert {r.norm_score for r in rows} <= set(all_scores)
