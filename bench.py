@@ -70,6 +70,14 @@ HEADLINE = [
     "bpe_encode_fixed",
     "mm_audio_window_energy",
     "corpus_pipeline_e2e",
+    # r6 additions: distributed exact Gram (PCA base), containment
+    # dedup, composed image-dedup pipeline, CUSUM drift, cross-source
+    # score calibration (new operator families)
+    "emb_gram_matrix",
+    "dedup_containment",
+    "mm_image_dedup_pipeline",
+    "events_cusum_drift",
+    "score_quantile_normalize",
 ]
 
 
