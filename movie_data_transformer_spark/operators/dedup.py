@@ -496,6 +496,90 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def exact_substr_runs(corpus: DataFrame, window: int = 15) -> DataFrame:
+    """Longest shared token RUN per duplicate-linked pair — the quantity
+    the ExactSubstr paper actually removes (Lee et al. cut the shared
+    substring itself, so its LENGTH is the decision variable;
+    exact_substr_pairs only counts shared windows).
+
+    Diagonal-islands construction, all relational: keep window START
+    POSITIONS, join both docs' position lists on the window hash, and
+    observe that a shared run of length window + L - 1 appears as L
+    CONSECUTIVE positions on one diagonal (pos_a - pos_b constant). The
+    longest consecutive streak per (pair, diagonal) falls out of the
+    classic islands trick — pos_a - row_number() is constant within a
+    streak — so the whole thing is two windows and two aggs, no
+    iteration. max_run_tokens = window + max_streak - 1, exact integers,
+    FULL oracle.
+
+    Scale: the position join fans out per repeated window (pos_a x pos_b
+    per hash within a pair); corpus-promiscuous window hashes are capped
+    by max_hash_df before the join (boilerplate n-grams — the same skew
+    guard as containment/contamination; dropped hashes can only shorten
+    a reported run, conservative and mirrored in the oracle). The
+    islands windows partition by (pair, diagonal) — granular keys, no
+    global sort."""
+    toks = F.split(F.col("text"), " ")
+    wins = (
+        widen_for_compute(corpus)
+        .filter(F.size(toks) >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(toks, i, window))).alias("wh"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.wh")
+    )
+    rare = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= 100)
+        .select("wh")
+    )
+    wins = wins.join(rare, "wh", "left_semi")
+    a = wins.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "wh")
+    b = wins.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "wh")
+    matches = (
+        a.join(b, "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        .distinct()
+    )
+    streaks = (
+        matches.selectExpr(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_a - pos_b AS diag",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "diag",
+            "pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag"
+            " ORDER BY pos_a) AS island",
+        )
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("streak"))
+    )
+    return (
+        streaks.groupBy("doc_a", "doc_b")
+        .agg(F.max("streak").alias("max_streak"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST({window} + max_streak - 1 AS BIGINT) AS max_run_tokens",
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Cluster the near-dup pair graph: (doc_id, cluster_root) where
     cluster_root is the MIN doc id in the doc's connected component —

@@ -11,11 +11,13 @@ from movie_data_transformer_spark.operators.dedup import (
     CORPUS_ORACLE_CTE,
     augmented_corpus,
     containment_pairs,
+    exact_substr_runs,
 )
 from movie_data_transformer_spark.sources.tables import load_table
 
 MAX_SHINGLE_DF = 100
 THRESHOLD = 0.5
+RUN_WINDOW = 15
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +65,57 @@ WHERE CAST(n_inter * 1000000 // least(na.n_sh, nb.n_sh) AS DOUBLE)
 """
 
 
+def q_dedup_exact_substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared token run per linked pair over the planted-dup
+    corpus (exact copies share their full length; near-copies share
+    their longest untouched stretch). See dedup.exact_substr_runs."""
+    return exact_substr_runs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")), window=RUN_WINDOW
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTR_RUNS = f"""
+WITH {CORPUS_ORACLE_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+w0 AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - {RUN_WINDOW - 1})) AS pos
+    FROM t WHERE len(toks) >= {RUN_WINDOW}
+),
+wins AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(toks[pos:pos+{RUN_WINDOW - 1}], ' ')) AS wh
+    FROM w0
+),
+rare AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) <= 100),
+kept AS (SELECT wins.* FROM wins JOIN rare USING (wh)),
+matches AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
+),
+streaks AS (
+    SELECT doc_a, doc_b,
+           count(*) AS streak
+    FROM (
+        SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+                   pos_a - pos_b ORDER BY pos_a) AS island
+        FROM matches
+    )
+    GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       CAST({RUN_WINDOW} + max(streak) - 1 AS BIGINT) AS max_run_tokens
+FROM streaks
+GROUP BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_exact_substr_runs": (
+        q_dedup_exact_substr_runs,
+        SQL_DEDUP_EXACT_SUBSTR_RUNS,
+    ),
 }

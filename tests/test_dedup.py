@@ -599,3 +599,30 @@ def test_containment_df_cap_is_conservative(spark):
     assert [(r.doc_a, r.doc_b, r.containment) for r in high] == [(1, 2, 1.0)]
     low = containment_pairs(docs, n=2, threshold=0.01, max_shingle_df=1).collect()
     assert low == []
+
+
+def test_exact_substr_runs_golden_islands(spark):
+    """Diagonal-islands correctness on constructed docs: two shared
+    stretches of different lengths -> max_run_tokens equals the longer
+    one; an exact copy reports its full length; window-sized overlap
+    reports exactly window."""
+    from movie_data_transformer_spark.operators.dedup import exact_substr_runs
+
+    w = 5
+    shared_long = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens -> run of 8
+    shared_short = "t1 t2 t3 t4 t5"  # exactly w -> run of 5
+    d1 = f"a1 a2 {shared_long} a3 a4 {shared_short} a5"
+    d2 = f"b1 {shared_long} b2 b3 b4 {shared_short} b5 b6"
+    d3 = d1  # exact copy
+    docs = spark.createDataFrame(
+        [(1, d1, "en", len(d1)), (2, d2, "en", len(d2)), (3, d3, "en", len(d3))],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.max_run_tokens
+        for r in exact_substr_runs(docs, window=w).collect()
+    }
+    assert got[(1, 2)] == 8  # the longer shared stretch wins
+    n_tokens = len(d1.split(" "))
+    assert got[(1, 3)] == n_tokens  # exact copy: full-length run
+    assert got[(2, 3)] == 8
