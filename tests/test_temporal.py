@@ -142,3 +142,35 @@ def test_scd2_point_in_time_boundaries(spark):
     assert (got[21].dim_event_id, got[21].dim_value) == (11, 2.0)
     assert (got[22].dim_event_id, got[22].dim_value) == (11, 2.0)
     assert (got[23].dim_event_id, got[23].dim_value) == (12, 3.0)
+
+
+def test_concurrency_steps_sweep_line_goldens(spark):
+    """Sweep-line correctness on literal intervals: nesting, exact
+    back-to-back adjacency (inclusive seconds: [0,10] and [11,20] never
+    overlap, [0,10] and [10,20] do), and the profile always returns to
+    zero after the last end."""
+    from movie_data_transformer_spark.operators.interval_queries import (
+        concurrency_steps,
+    )
+
+    sessions = spark.createDataFrame(
+        [
+            (1, 0, 0, 10),
+            (2, 0, 5, 8),    # nested inside session 1
+            (3, 0, 10, 20),  # starts the second session 1 ends -> overlap
+            (4, 0, 30, 40),  # disjoint
+        ],
+        "user_id long, session_idx long, session_start_s long, session_end_s long",
+    )
+    steps = {
+        r.t_s: r.n_open for r in concurrency_steps(sessions).collect()
+    }
+    assert steps[0] == 1
+    assert steps[5] == 2      # nested start
+    assert steps[9] == 1      # nested end (t=8) closes at 9
+    assert steps[10] == 2     # [0,10] still open when [10,20] starts
+    assert steps[11] == 1     # [0,10] closes at 11
+    assert steps[21] == 0     # back to zero
+    assert steps[30] == 1 and steps[41] == 0
+    # conservation: profile ends at zero
+    assert min(steps.values()) == 0
