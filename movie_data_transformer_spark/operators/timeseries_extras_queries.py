@@ -108,6 +108,101 @@ FROM w
 """
 
 
+PERIOD = 7  # weekly seasonality over the daily series
+ALPHA, BETA, GAMMA = "0.3", "0.1", "0.2"
+
+
+def _hw_exprs(el, x):
+    """Generate the Holt-Winters additive update for one dialect from a
+    single template, so both engines evaluate the IDENTICAL expression
+    tree in the identical left-fold order (the holt_linear/EWMA/KM
+    bit-exactness technique). Accumulator = 9-double array
+    [level, trend, season_now, season_+1, ..., season_+6]; the seasonal
+    queue ROTATES (drop head, append updated head) instead of an indexed
+    write, which neither engine can spell identically. el(i) renders
+    accumulator element i; x renders the new observation."""
+    lp = f"({x} - {el(3)}) * {ALPHA} + ({el(1)} + {el(2)}) * (1.0 - {ALPHA})"
+    bp = f"(({lp}) - {el(1)}) * {BETA} + {el(2)} * (1.0 - {BETA})"
+    sp = f"({x} - ({lp})) * {GAMMA} + {el(3)} * (1.0 - {GAMMA})"
+    rot = ", ".join(el(i) for i in range(4, 3 + PERIOD))
+    return f"{lp}, {bp}, {rot}, {sp}"
+
+
+def q_events_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing over the global daily
+    event-count series (weekly seasonality): the last classical smoother
+    after EWMA (single) and Holt (double), with the seasonal state as a
+    rotating 7-queue inside the fold accumulator. Both engines fold the
+    generated-identical expression tree left-to-right, so the doubles
+    match bit-for-bit and the entry carries a FULL oracle.
+
+    Scale: one shuffle to day grain; the fold runs over the tiny daily
+    array (per-key forecasting at 100 TB folds per key after the same
+    pre-aggregation, exactly like events_holt_linear's per-user form)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("unix_timestamp(ts) DIV 86400 AS day_idx")
+        .groupBy("day_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    merge = _hw_exprs(lambda i: f"element_at(acc, {i})", "x")
+    init = ", ".join(
+        ["CAST(element_at(vals, 1) AS DOUBLE)", "CAST(0.0 AS DOUBLE)"]
+        + ["CAST(0.0 AS DOUBLE)"] * PERIOD
+    )
+    return (
+        daily.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day_idx"), F.col("n")))
+            ).alias("seq")
+        )
+        .selectExpr("transform(seq, s -> CAST(s.n AS DOUBLE)) AS vals")
+        .selectExpr(
+            "CAST(size(vals) AS BIGINT) AS n_days",
+            f"aggregate(slice(vals, 2, size(vals) - 1), array({init}),"
+            f" (acc, x) -> array({merge})) AS st",
+        )
+        .selectExpr(
+            "n_days",
+            "round(element_at(st, 1), 6) AS level",
+            "round(element_at(st, 2), 6) AS trend",
+            "round(element_at(st, 3), 6) AS season_next",
+            "round(element_at(st, 1) + element_at(st, 2)"
+            " + element_at(st, 3), 6) AS forecast_1",
+        )
+    )
+
+
+def _hw_sql() -> str:
+    merge = _hw_exprs(lambda i: f"a[{i}]", "e[1]")
+    zeros = ", ".join(["0.0"] * PERIOD)
+    pad = ", ".join(["0.0"] * (1 + PERIOD))
+    return f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+           count(*) AS n
+    FROM events GROUP BY 1
+),
+seq AS (SELECT list(CAST(n AS DOUBLE) ORDER BY day_idx) AS vals FROM daily),
+folded AS (
+    SELECT len(vals) AS n_days,
+           list_reduce(
+               list_prepend([CAST(vals[1] AS DOUBLE), 0.0, {zeros}],
+                            list_transform(vals[2:], x -> [x, {pad}])),
+               (a, e) -> [{merge}]) AS st
+    FROM seq
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[3], 6) AS season_next,
+       round(st[1] + st[2] + st[3], 6) AS forecast_1
+FROM folded
+"""
+
+
 QUERIES = {
     "events_cusum_drift": (q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
+    "events_holt_winters_daily": (q_events_holt_winters_daily, _hw_sql()),
 }

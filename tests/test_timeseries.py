@@ -263,3 +263,38 @@ def test_cusum_flags_planted_volume_drift(spark):
     assert rows[9].cusum_scaled == 0  # flat first half: no drift yet
     assert rows[-1].cusum_scaled > 0 and rows[-1].is_drift == 1
     assert flagged
+
+
+def test_holt_winters_matches_python_recomputation(spark, sf_dir):
+    """Independent sequential Python fold (same IEEE order) must
+    reproduce the engine's Holt-Winters state bit-for-bit before
+    rounding — the holt_linear recomputation discipline extended to the
+    seasonal accumulator."""
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        PERIOD,
+        q_events_holt_winters_daily,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sorted(
+        (r.day_idx, r.n)
+        for r in ev.selectExpr("unix_timestamp(ts) DIV 86400 AS day_idx")
+        .groupBy("day_idx")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    )
+    vals = [float(n) for _, n in daily]
+    a = [vals[0], 0.0] + [0.0] * PERIOD
+    for x in vals[1:]:
+        lp = (x - a[2]) * 0.3 + (a[0] + a[1]) * (1.0 - 0.3)
+        bp = (lp - a[0]) * 0.1 + a[1] * (1.0 - 0.1)
+        sp = (x - lp) * 0.2 + a[2] * (1.0 - 0.2)
+        a = [lp, bp] + a[3:] + [sp]
+    r = q_events_holt_winters_daily(spark, sf_dir).collect()[0]
+    assert r.n_days == len(vals)
+    assert r.level == round(a[0], 6)
+    assert r.trend == round(a[1], 6)
+    assert r.season_next == round(a[2], 6)
+    assert r.forecast_1 == round(a[0] + a[1] + a[2], 6)
