@@ -92,6 +92,39 @@ GROUP BY a.d, b.d
 """
 
 
+def q_emb_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Gram maintenance — the linalg face of the incremental
+    story (incremental_agg_rollup / incremental MinHash / incremental
+    IVF): the Gram matrix of corpus + ingest batch is the ENTRYWISE SUM
+    of the two partial matrices, so a 100 TB corpus keeps its dims^2
+    partial table and each daily batch costs one batch-sized map pass +
+    a 4,160-row merge — never a corpus rescan. Here state = vec_id <
+    cut, batch = the rest, merged by (i, j) sum; the oracle is the FULL
+    recompute over everything, which the merge must equal exactly
+    (integer partials make it bit-equal, not approximately)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = 400  # state/batch split: stable across SFs (vec_ids are dense)
+    state = gram_matrix(emb.filter(F.col("vec_id") < cut))
+    batch = gram_matrix(emb.filter(F.col("vec_id") >= cut))
+    merged = (
+        state.selectExpr("i", "j", "gram AS g_state")
+        .join(
+            batch.selectExpr("i", "j", "gram AS g_batch"),
+            ["i", "j"],
+            "full_outer",
+        )
+        .selectExpr(
+            "i",
+            "j",
+            "coalesce(g_state, CAST(0 AS BIGINT))"
+            " + coalesce(g_batch, CAST(0 AS BIGINT)) AS gram",
+        )
+    )
+    return merged
+
+
 QUERIES = {
     "emb_gram_matrix": (q_emb_gram_matrix, SQL_EMB_GRAM_MATRIX),
+    # oracle: the FULL recompute — merge-of-partials must equal it
+    "emb_gram_incremental": (q_emb_gram_incremental, SQL_EMB_GRAM_MATRIX),
 }
