@@ -203,3 +203,30 @@ def test_key_skew_profile_invariants(spark, sf_dir):
         assert (r.n_rows, r.n_keys) == (n_rows, n_keys)
         assert r.share_micro == r.freq * 1_000_000 // n_rows
         assert r.skew_vs_avg_micro == r.freq * n_keys * 1_000_000 // n_rows
+
+
+def test_rake_keywords_golden_segmentation(spark):
+    """RAKE on a literal corpus: stopwords delimit phrases, degree
+    rewards co-occurring words so the long phrase outranks its parts,
+    and a phrase repeated across docs scores once (no k-fold sum)."""
+    from movie_data_transformer_spark.operators.keyword_queries import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning is the best approach to deep learning", "en", 51),
+            (2, "the best approach", "en", 17),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    rows = {r.phrase: r for r in rake_keywords(docs).collect()}
+    # phrases: 'deep learning' x2 (doc 1), 'best approach' x2
+    # word stats: deep f=2 d=4, learning f=2 d=4, best f=2 d=4,
+    # approach f=2 d=4 -> every word scores 2.0; both phrases score 4.0
+    assert set(rows) == {"deep learning", "best approach"}
+    assert rows["deep learning"].score_micro == 4_000_000
+    assert rows["best approach"].score_micro == 4_000_000
+    assert rows["deep learning"].n_words == 2
+    # tie broken by phrase asc
+    assert rows["best approach"].rk == 1 and rows["deep learning"].rk == 2
