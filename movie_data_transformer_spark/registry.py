@@ -91,6 +91,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.udtf_table_arg_queries",
     "movie_data_transformer_spark.operators.interval_queries",
     "movie_data_transformer_spark.operators.keyword_queries",
+    "movie_data_transformer_spark.operators.dq_extras_queries",
 ]
 
 
