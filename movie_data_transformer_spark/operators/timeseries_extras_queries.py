@@ -202,7 +202,36 @@ FROM folded
 """
 
 
+def q_stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor as a REAL stream: events stream through an
+    availableNow foreachBatch run (map-only day projection appended per
+    micro-batch), and the CUSUM windows run in finalize over the
+    accumulated log — the production shape where a continuously
+    ingesting feed gets its drift profile recomputed per trigger over
+    day-grain state. Slicing-invariant by construction (day counts are
+    associative over any micro-batching), so it shares the batch form's
+    FULL oracle. At 100 TB the emissions log is the day-grain state
+    table; per-trigger cost is one map pass + the tiny day-grain
+    windows."""
+    from movie_data_transformer_spark.sources.tables import load_events_stream
+    from movie_data_transformer_spark.streaming.harness import (
+        run_availablenow_to_df,
+    )
+
+    stream = load_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
+    days = stream.selectExpr("unix_timestamp(ts) DIV 86400 AS day_idx")
+    return run_availablenow_to_df(
+        days,
+        "append",
+        "mdt_cusum_",
+        finalize=lambda em: cusum_from_daily(
+            em.groupBy("day_idx").agg(F.count("*").cast("bigint").alias("n_events"))
+        ),
+    )
+
+
 QUERIES = {
     "events_cusum_drift": (q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
     "events_holt_winters_daily": (q_events_holt_winters_daily, _hw_sql()),
+    "stream_cusum_drift": (q_stream_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
 }
