@@ -230,8 +230,102 @@ def q_stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series
+    (the moving-average STL ancestor): trend = centered 7-day moving
+    average (NULL at the edges, full windows only), seasonal = the
+    per-weekday mean of the detrended series, remainder = what's left.
+    Everything in exact floor/trunc micro integers — the signed
+    detrended means rely on the probed trunc-toward-zero DIV convention
+    — so the entry carries a FULL oracle. One shuffle to day grain; the
+    windows run on the tiny daily table (per-key decomposition at scale
+    partitions the same windows by key)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.selectExpr("unix_timestamp(ts) DIV 86400 AS day_idx")
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    return (
+        daily.selectExpr(
+            "day_idx",
+            "n_events",
+            "CASE WHEN count(*) OVER (ORDER BY day_idx ROWS BETWEEN 3"
+            " PRECEDING AND 3 FOLLOWING) = 7 THEN"
+            " (sum(n_events) OVER (ORDER BY day_idx ROWS BETWEEN 3"
+            " PRECEDING AND 3 FOLLOWING)) * 1000000 DIV 7 END AS trend_micro",
+        )
+        .selectExpr(
+            "day_idx",
+            "n_events",
+            "trend_micro",
+            "n_events * 1000000 - trend_micro AS detrended_micro",
+            "day_idx % 7 AS weekday",
+        )
+        .selectExpr(
+            "day_idx",
+            "n_events",
+            "trend_micro",
+            "CASE WHEN trend_micro IS NOT NULL THEN"
+            " sum(detrended_micro) OVER (PARTITION BY weekday)"
+            " DIV count(detrended_micro) OVER (PARTITION BY weekday)"
+            " END AS seasonal_micro",
+            "detrended_micro",
+        )
+        .selectExpr(
+            "day_idx",
+            "n_events",
+            "CAST(trend_micro AS BIGINT) AS trend_micro",
+            "CAST(seasonal_micro AS BIGINT) AS seasonal_micro",
+            "CAST(detrended_micro - seasonal_micro AS BIGINT) AS remainder_micro",
+        )
+    )
+
+
+SQL_EVENTS_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+tr AS (
+    SELECT day_idx, n_events,
+           CASE WHEN count(*) OVER (ORDER BY day_idx ROWS BETWEEN 3
+                PRECEDING AND 3 FOLLOWING) = 7 THEN
+                CAST(sum(n_events) OVER (ORDER BY day_idx ROWS BETWEEN 3
+                PRECEDING AND 3 FOLLOWING) AS BIGINT) * 1000000 // 7
+           END AS trend_micro
+    FROM daily
+),
+dt AS (
+    SELECT day_idx, n_events, trend_micro,
+           n_events * 1000000 - trend_micro AS detrended_micro,
+           day_idx % 7 AS weekday
+    FROM tr
+),
+se AS (
+    SELECT day_idx, n_events, trend_micro, detrended_micro,
+           CASE WHEN trend_micro IS NOT NULL THEN
+                CAST(sum(detrended_micro) OVER (PARTITION BY weekday)
+                     AS BIGINT)
+                // count(detrended_micro) OVER (PARTITION BY weekday)
+           END AS seasonal_micro
+    FROM dt
+)
+SELECT day_idx, n_events,
+       CAST(trend_micro AS BIGINT) AS trend_micro,
+       CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+       CAST(detrended_micro - seasonal_micro AS BIGINT) AS remainder_micro
+FROM se
+"""
+
+
 QUERIES = {
     "events_cusum_drift": (q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
     "events_holt_winters_daily": (q_events_holt_winters_daily, _hw_sql()),
     "stream_cusum_drift": (q_stream_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
+    "events_seasonal_decompose": (
+        q_events_seasonal_decompose,
+        SQL_EVENTS_SEASONAL_DECOMPOSE,
+    ),
 }

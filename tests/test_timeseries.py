@@ -298,3 +298,28 @@ def test_holt_winters_matches_python_recomputation(spark, sf_dir):
     assert r.trend == round(a[1], 6)
     assert r.season_next == round(a[2], 6)
     assert r.forecast_1 == round(a[0] + a[1] + a[2], 6)
+
+
+def test_seasonal_decompose_additivity_and_edges(spark, sf_dir):
+    """Decomposition invariants: trend is NULL exactly at the 3-day
+    edges, and wherever trend exists, trend + seasonal + remainder
+    reconstructs the (micro-scaled) observation exactly."""
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        q_events_seasonal_decompose,
+    )
+
+    rows = sorted(
+        q_events_seasonal_decompose(spark, sf_dir).collect(),
+        key=lambda r: r.day_idx,
+    )
+    n = len(rows)
+    for i, r in enumerate(rows):
+        if i < 3 or i >= n - 3:
+            assert r.trend_micro is None, r.day_idx
+            assert r.seasonal_micro is None and r.remainder_micro is None
+        else:
+            assert r.trend_micro is not None, r.day_idx
+            assert (
+                r.trend_micro + r.seasonal_micro + r.remainder_micro
+                == r.n_events * 1_000_000
+            ), r.day_idx
