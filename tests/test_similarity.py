@@ -319,3 +319,53 @@ def test_matryoshka_full_ranking_matches_numpy(spark, sf_dir):
             reverse=True,
         )[:TOP_K]
         assert [got[qid][k][1] for k in (1, 2, 3)] == [-c for _, c in pre_scores]
+
+
+def test_int8_retrieval_recall_vs_exact(spark, sf_dir):
+    """Compression costs accuracy, not correctness: the reconstructed
+    top-5 per query must overlap heavily with the exact-micro top-5
+    (recall >= 0.6 on this corpus), and every reconstructed dot must be
+    finite bigint (no silent overflow)."""
+    from movie_data_transformer_spark.operators.embedding_pipeline_queries import (
+        q_emb_int8_retrieval_e2e,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = q_emb_int8_retrieval_e2e(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # exact integer-micro top-5 on the UNcompressed vectors
+    emb = load_table(spark, sf_dir, "embeddings")
+    vm = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT)) AS v",
+    )
+    q = vm.filter("vec_id % 50 = 0").selectExpr("vec_id AS qid", "v AS qv")
+    import pyspark.sql.functions as F
+
+    exact = (
+        vm.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x) AS dot",
+        )
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "row_number() OVER (PARTITION BY qid ORDER BY dot DESC,"
+            " vec_id ASC) AS rk",
+        )
+        .filter("rk <= 5")
+        .collect()
+    )
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(by_q[qid] & exact_by_q[qid]) / 5 for qid in exact_by_q if qid in by_q
+    ]
+    assert recalls and sum(recalls) / len(recalls) >= 0.6
