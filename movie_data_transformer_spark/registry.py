@@ -93,6 +93,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.keyword_queries",
     "movie_data_transformer_spark.operators.dq_extras_queries",
     "movie_data_transformer_spark.operators.embedding_pipeline_queries",
+    "movie_data_transformer_spark.operators.geo_extras_queries",
 ]
 
 

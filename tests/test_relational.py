@@ -231,3 +231,46 @@ def test_join_strategy_hints_steer_the_planner(spark, sf_dir):
         assert marker in p, (hint, p[:400])
         res[hint] = sorted((r.c_mktsegment, r["count"]) for r in rows)
     assert res["broadcast"] == res["merge"] == res["shuffle_hash"]
+
+
+def test_grid_spatial_join_boundary_cells(spark):
+    """The grid decomposition must not lose border points: a point on a
+    box edge that sits in a DIFFERENT cell than the box's anchor still
+    joins (the box explodes onto every covered cell), and a point one
+    unit outside never joins."""
+    from movie_data_transformer_spark.operators.geo_extras_queries import (
+        CELL,
+    )
+
+    # box [95, 205] x [95, 205] covers cells 0-2 on both axes; probe
+    # points at the exact corners, at a cell boundary inside, and just
+    # outside
+    box = (95, 95, 205, 205)
+    pts = {
+        (95, 95): True,
+        (205, 205): True,   # far corner, cell (2,2) != anchor cell (0,0)
+        (100, 100): True,   # exactly on a cell boundary
+        (206, 205): False,  # one unit out in x
+        (94, 95): False,
+    }
+    points = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "pid long, px long, py long"
+    )
+    boxes = spark.createDataFrame([(0,) + box], "bid long, x0 long, y0 long, x1 long, y1 long")
+    points.createOrReplaceTempView("_gt_points")
+    boxes.createOrReplaceTempView("_gt_boxes")
+    rows = spark.sql(
+        f"""
+        WITH box_cells AS (
+            SELECT bid, x0, y0, x1, y1, cx, cy FROM _gt_boxes
+            LATERAL VIEW explode(sequence(x0 DIV {CELL}, x1 DIV {CELL})) t1 AS cx
+            LATERAL VIEW explode(sequence(y0 DIV {CELL}, y1 DIV {CELL})) t2 AS cy
+        )
+        SELECT p.pid FROM _gt_points p JOIN box_cells b
+          ON b.cx = p.px DIV {CELL} AND b.cy = p.py DIV {CELL}
+        WHERE p.px BETWEEN b.x0 AND b.x1 AND p.py BETWEEN b.y0 AND b.y1
+        """
+    ).collect()
+    got = {r.pid for r in rows}
+    want = {i for i, (xy, inside) in enumerate(pts.items()) if inside}
+    assert got == want
