@@ -31,6 +31,17 @@ ENTRIES = [
     "assoc_rules_topk",  # micro-lift top-k tiebreak over basket joins
     "emb_matryoshka_topk",  # integer dot ranking windows
     "window_running_distinct",  # collect_set over an ordered frame
+    # round-6 additions
+    "emb_gram_matrix",  # integer matmul partials merged by (i, j)
+    "dedup_containment",  # df cap + min-size micro quotient
+    "dedup_exact_substr_runs",  # diagonal-islands streaks over a join
+    "mm_dhash_near_pairs",  # banded buckets + hamming verify
+    "classifier_kappa",  # signed trunc-DIV over joined counts
+    "score_quantile_normalize",  # two rank windows + rank equi-join
+    "events_holt_winters_daily",  # IEEE fold over array_sort'ed series
+    "session_concurrency_steps",  # sweep-line running sum
+    "text_rake_keywords",  # islands + instance scores + top-k ties
+    "emb_int8_retrieval_e2e",  # reconstruction + integer dot ranking
 ]
 
 
