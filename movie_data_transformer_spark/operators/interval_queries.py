@@ -95,9 +95,76 @@ FROM agg
 """
 
 
+TOP_PATHS = 25
+
+
+def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the most common event-type SEQUENCES per
+    session (the '->'-joined path string), counted across all sessions —
+    the navigation report every behavioral pipeline ships. Order inside
+    a session is the (ts_s, event_id) total order; ranking ties break on
+    the path string, so the top-k is deterministic. One shuffle to
+    session grain, one to path counts, one top-k window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=GAP_S, seq_col="event_id")
+    paths = (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.expr(
+                "concat_ws('->', transform(array_sort(collect_list("
+                "named_struct('t', ts_s, 'e', event_id, 'y', event_type))),"
+                " x -> x.y))"
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+    )
+    return paths.selectExpr(
+        "path",
+        "n_sessions",
+        "CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)"
+        " AS rk",
+    ).filter(F.col("rk") <= TOP_PATHS)
+
+
+SQL_SESSION_TOP_PATHS = f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+),
+m AS (
+    SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                     OR ts_s - lag(ts_s) OVER w > {GAP_S} THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC)
+),
+s AS (
+    SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
+    FROM m
+),
+paths AS (
+    SELECT string_agg(event_type, '->' ORDER BY ts_s ASC, event_id ASC)
+               AS path
+    FROM s GROUP BY user_id, session_idx
+),
+counts AS (
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+)
+SELECT path, n_sessions, CAST(rk AS INT) AS rk FROM (
+    SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rk
+    FROM counts
+) WHERE rk <= {TOP_PATHS}
+"""
+
+
 QUERIES = {
     "session_concurrency_steps": (
         q_session_concurrency_steps,
         SQL_SESSION_CONCURRENCY_STEPS,
     ),
+    "session_top_paths": (q_session_top_paths, SQL_SESSION_TOP_PATHS),
 }
