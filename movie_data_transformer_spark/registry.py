@@ -94,6 +94,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.dq_extras_queries",
     "movie_data_transformer_spark.operators.embedding_pipeline_queries",
     "movie_data_transformer_spark.operators.geo_extras_queries",
+    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
 ]
 
 
