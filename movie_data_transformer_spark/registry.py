@@ -95,6 +95,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.embedding_pipeline_queries",
     "movie_data_transformer_spark.operators.geo_extras_queries",
     "movie_data_transformer_spark.operators.mm_transform_extras_queries",
+    "movie_data_transformer_spark.operators.sink_extras_queries",
 ]
 
 
