@@ -78,6 +78,11 @@ HEADLINE = [
     "mm_image_dedup_pipeline",
     "events_cusum_drift",
     "score_quantile_normalize",
+    # late-r6 additions: longest-shared-run ExactSubstr, RAKE keyphrase
+    # extraction, and sweep-line interval analytics (new families)
+    "dedup_exact_substr_runs",
+    "text_rake_keywords",
+    "session_concurrency_steps",
 ]
 
 

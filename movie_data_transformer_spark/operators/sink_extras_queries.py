@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.pydatasource import register_datasources
 from movie_data_transformer_spark.sources.tables import load_table
-from movie_data_transformer_spark.streaming.harness import _OWNED_STABLE_DIRS
+from movie_data_transformer_spark.streaming.harness import register_cleanup_dir
 
 
 def q_sink_pydatasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,8 +33,7 @@ def q_sink_pydatasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").cast("string").alias("key"),
         F.md5("text").alias("value"),
     )
-    out = tempfile.mkdtemp(prefix="mdt_pyds_sink_")
-    _OWNED_STABLE_DIRS.append(out)
+    out = register_cleanup_dir(tempfile.mkdtemp(prefix="mdt_pyds_sink_"))
     kv.write.format("kv_text").option("path", out).mode("append").save()
     lines = spark.read.text(os.path.join(out, "*"))
     return lines.selectExpr(

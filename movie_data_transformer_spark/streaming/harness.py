@@ -40,6 +40,14 @@ def _cleanup_owned() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def register_cleanup_dir(path: str) -> str:
+    """Public hook: register any per-invocation output dir for removal
+    at process exit (used by write-surface registry entries so repeated
+    sweeps don't accumulate /tmp litter). Returns the path."""
+    _OWNED_STABLE_DIRS.append(path)
+    return path
+
+
 def _sweep_stale(prefix: str) -> None:
     cutoff = time.time() - _STALE_S
     for d in globmod.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
