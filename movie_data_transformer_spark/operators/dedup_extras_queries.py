@@ -6,6 +6,7 @@ the asymmetric score family the Jaccard/MinHash/SimHash battery lacked.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.dedup import (
     CORPUS_ORACLE_CTE,
@@ -112,10 +113,55 @@ GROUP BY doc_a, doc_b
 """
 
 
+def q_dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph SHAPE observability: the degree histogram of the
+    MinHash pair graph — (degree, n_docs) for every doc appearing in at
+    least one pair. The operational pre-clustering question at 100 TB:
+    a fat tail here means mega-clusters (route to exact dedup / raise
+    the bucket cap guard) before paying for connected components.
+    Composes the production pair generator; the oracle composes the
+    same pair SQL, so the histogram binds the whole pair pipeline."""
+    from movie_data_transformer_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")),
+        n=3,
+        threshold=0.3,
+        max_bucket_size=10_000,
+    )
+    deg = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def _degree_histogram_sql() -> str:
+    from movie_data_transformer_spark.operators.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b FROM pairs
+    ) GROUP BY doc_id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+"""
+
+
 QUERIES = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_exact_substr_runs": (
         q_dedup_exact_substr_runs,
         SQL_DEDUP_EXACT_SUBSTR_RUNS,
     ),
+    "dedup_degree_histogram": (q_dedup_degree_histogram, _degree_histogram_sql()),
 }
