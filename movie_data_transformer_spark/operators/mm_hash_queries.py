@@ -128,8 +128,12 @@ def q_mm_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF. The copies reuse the already-synthesized blobs (content computed
     from the ORIGINAL doc_id), exactly how a crawler re-encounters the
     same image under a new URL."""
-    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
-    copies = media.filter(F.col("doc_id") < 50).select(
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+    # synthesize the copies from the PRE-FILTERED doc list: a filter on
+    # the mapInPandas OUTPUT cannot push through the UDF, so filtering
+    # `media` would synthesize every blob a second time to keep 50
+    copies = synthesize_bmp_media(docs.filter(F.col("doc_id") < 50)).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "content"
     )
     return dhash_near_pairs(
@@ -215,8 +219,9 @@ def q_mm_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension accounting. Every planted copy (id+300000) drops; the
     oracle composes the same stages over the generative formula, so the
     hash binds the whole chain, not just its pieces."""
-    media = synthesize_bmp_media(load_table(spark, sf_dir, "documents"))
-    copies = media.filter(F.col("doc_id") < 50).select(
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+    copies = synthesize_bmp_media(docs.filter(F.col("doc_id") < 50)).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "content"
     )
     fps = dhash_rows(media.unionByName(copies))
