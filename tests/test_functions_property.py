@@ -221,3 +221,76 @@ def test_bpe_replace_chain_cross_engine_and_python(spark, texts):
     dd = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
     for doc_id, text in docs:
         assert got[doc_id] == dd[doc_id] == py_encode(text), (doc_id, text)
+
+
+daily_series = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(daily_series)
+def test_cusum_window_identity_property(spark, vals):
+    """For ANY daily series, the window form (prefix minus clamped
+    running min) equals the sequential fold s_i = max(0, s_{i-1} +
+    dev_i) — the identity events_cusum_drift rests on."""
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        cusum_from_daily,
+    )
+
+    daily = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "day_idx long, n_events long"
+    )
+    rows = sorted(cusum_from_daily(daily).collect(), key=lambda r: r.day_idx)
+    n, total = len(vals), sum(vals)
+    s = 0
+    for r, x in zip(rows, vals):
+        s = max(0, s + (x * n - total))
+        assert r.cusum_scaled == s
+        assert r.is_drift == int(s > total)
+
+
+match_sets = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(match_sets)
+def test_islands_streak_identity_property(spark, pts):
+    """The diagonal-islands SQL (pos - row_number constant within a
+    consecutive run) computes the longest consecutive-position streak
+    per diagonal — checked against a direct Python computation for
+    arbitrary (pos_a, pos_b) match sets on one doc pair."""
+    pts = sorted(set(pts))
+    df = spark.createDataFrame(
+        [(1, 2, a, b) for a, b in pts],
+        "doc_a long, doc_b long, pos_a long, pos_b long",
+    )
+    got = (
+        df.selectExpr(
+            "doc_a", "doc_b", "pos_a", "pos_a - pos_b AS diag"
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "diag",
+            "pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag"
+            " ORDER BY pos_a) AS island",
+        )
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .count()
+        .agg({"count": "max"})
+        .collect()[0][0]
+    )
+    # direct: longest run of consecutive pos_a within each diagonal
+    best = 0
+    by_diag = {}
+    for a, b in pts:
+        by_diag.setdefault(a - b, set()).add(a)
+    for s in by_diag.values():
+        for a in s:
+            if a - 1 not in s:
+                run = 1
+                while a + run in s:
+                    run += 1
+                best = max(best, run)
+    assert got == best
