@@ -110,3 +110,33 @@ def test_image_dedup_pipeline_drops_all_planted_copies(spark, sf_dir):
     assert sum(r.n_total for r in rows) == n_docs + 50
     assert all(r.n_kept + r.n_dropped == r.n_total for r in rows)
     assert sum(r.n_dropped for r in rows) >= 50  # every planted copy gone
+
+
+def test_dhash_banding_pigeonhole_property():
+    """Pure-math recall guarantee of the 4x16-bit banding: ANY two
+    64-bit hashes within Hamming distance 3 agree on at least one band
+    (<= 3 flipped bits cannot touch all 4 disjoint 16-bit bands).
+    Deterministic sweep over structured flip patterns."""
+    import itertools
+
+    def bands(hi, lo):
+        return (lo & 0xFFFF, (lo >> 16) & 0xFFFF, hi & 0xFFFF, (hi >> 16) & 0xFFFF)
+
+    base_hi, base_lo = 0x9E3779B9, 0x7F4A7C15
+    positions = [0, 1, 15, 16, 17, 31, 32, 33, 47, 48, 62, 63]
+    for k in (1, 2, 3):
+        for flips in itertools.combinations(positions, k):
+            hi, lo = base_hi, base_lo
+            for p in flips:
+                if p < 32:
+                    lo ^= 1 << p
+                else:
+                    hi ^= 1 << (p - 32)
+            shared = sum(
+                a == b for a, b in zip(bands(base_hi, base_lo), bands(hi, lo))
+            )
+            assert shared >= 1, flips
+    # and 4 flips spread across all bands CAN break every band (the
+    # guarantee is tight at hamming <= 3)
+    hi, lo = base_hi ^ (1 << 0) ^ (1 << 31), base_lo ^ (1 << 0) ^ (1 << 31)
+    assert all(a != b for a, b in zip(bands(base_hi, base_lo), bands(hi, lo)))
