@@ -97,6 +97,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.mm_transform_extras_queries",
     "movie_data_transformer_spark.operators.sink_extras_queries",
     "movie_data_transformer_spark.operators.format_extras_queries",
+    "movie_data_transformer_spark.operators.engagement_queries",
 ]
 
 

@@ -323,3 +323,21 @@ def test_seasonal_decompose_additivity_and_edges(spark, sf_dir):
                 r.trend_micro + r.seasonal_micro + r.remainder_micro
                 == r.n_events * 1_000_000
             ), r.day_idx
+
+
+def test_engagement_invariants(spark, sf_dir):
+    """DAU <= WAU <= MAU per day; per-user streak accounting is
+    internally consistent (longest <= active days; spans partition the
+    active days)."""
+    from movie_data_transformer_spark.operators.engagement_queries import (
+        q_events_dau_wau_mau,
+        q_user_activity_streaks,
+    )
+
+    for r in q_events_dau_wau_mau(spark, sf_dir).collect():
+        assert 0 < r.dau <= r.wau <= r.mau, r.day_idx
+    for r in q_user_activity_streaks(spark, sf_dir).collect():
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_active_spans >= 1
+        # spans of >= longest streak can't exceed days/longest
+        assert r.n_active_spans <= r.n_active_days
