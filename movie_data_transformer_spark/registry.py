@@ -98,6 +98,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.sink_extras_queries",
     "movie_data_transformer_spark.operators.format_extras_queries",
     "movie_data_transformer_spark.operators.engagement_queries",
+    "movie_data_transformer_spark.operators.analytics_extras_queries",
 ]
 
 
