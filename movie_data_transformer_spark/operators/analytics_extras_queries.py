@@ -142,10 +142,55 @@ FROM classed GROUP BY abc_class
 """
 
 
+def q_orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    YEAR, revenue accumulated per years-since-acquisition — the
+    financial complement of retention_cohorts (which counts users at
+    fixed ages). Exact cents; two shuffles (first-order agg + triangle
+    grain)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ltv_orders")
+    return spark.sql(
+        """
+        WITH first_order AS (
+            SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+            FROM _ltv_orders GROUP BY o_custkey
+        )
+        SELECT f.cohort_year,
+               year(o.o_orderdate) - f.cohort_year AS age_years,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM _ltv_orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        GROUP BY f.cohort_year, year(o.o_orderdate) - f.cohort_year
+        """
+    )
+
+
+SQL_ORDERS_COHORT_LTV_TRIANGLE = """
+WITH first_order AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_year,
+       year(o.o_orderdate) - f.cohort_year AS age_years,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+           AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY f.cohort_year, year(o.o_orderdate) - f.cohort_year
+"""
+
+
 QUERIES = {
     "events_topk_movers": (q_events_topk_movers, SQL_EVENTS_TOPK_MOVERS),
     "orders_abc_classification": (
         q_orders_abc_classification,
         SQL_ORDERS_ABC_CLASSIFICATION,
+    ),
+    "orders_cohort_ltv_triangle": (
+        q_orders_cohort_ltv_triangle,
+        SQL_ORDERS_COHORT_LTV_TRIANGLE,
     ),
 }
