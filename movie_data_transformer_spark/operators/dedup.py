@@ -922,3 +922,99 @@ def exact_substr_pairs(corpus: DataFrame, window: int = 15) -> DataFrame:
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
     return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared_windows"))
+
+
+def ppjoin_prefix_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Prefix-filtering set-similarity join (the PPJoin candidate rule,
+    Xiao et al. 2008 / Chaudhuri et al. 2006): LOSSLESS near-dup pairing
+    at threshold t = num/den, unlike the probabilistic MinHash/SimHash
+    candidate generators.
+
+    Every doc's shingle set is sorted by a GLOBAL canonical order
+    (ascending document frequency, ties by shingle string — rare tokens
+    first, so prefixes are maximally selective), and only the first
+    p = m - ceil(t*m) + 1 tokens of each set are exploded into the
+    candidate self-join. Prefix-filtering principle: two sets with
+    Jaccard >= t must overlap in >= ceil(t*max(|a|,|b|)) tokens, and a
+    set whose prefix misses all shared tokens can hold at most
+    ceil(t*m) - 1 of them — contradiction; so the candidate join over
+    prefixes alone provably drops NO qualifying pair. The oracle is the
+    un-filtered all-pairs inverted-list join: result-set EQUALITY is the
+    losslessness proof, checked by the driver.
+
+    Set semantics: distinct word n-gram shingles, promiscuous shingles
+    (per-lang df > max_shingle_df) removed BEFORE sizing (so Jaccard is
+    exact over the kept sets — cf. containment_pairs, which keeps raw
+    sizes), pairs within a lang only.
+
+    At 100 TB: one shuffle for df, one for the per-doc sort, and the
+    candidate join shuffles only PREFIX tokens (about half the corpus at
+    t=0.5, and the df-ascending order makes hot tokens land in suffixes,
+    so join-key skew is structurally suppressed — the reason PPJoin
+    orders by rarity). The verify step joins candidate pairs (tiny)
+    back to the set arrays — broadcast-sized after LSH-scale reduction.
+    """
+    t_num, t_den = threshold_num, threshold_den
+    sh = widen_for_compute(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(normalize_text(F.col("text")), n)).alias("shingle"),
+    ).persist()  # consumed twice: the df pass and the kept join
+    df_tab = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(df_tab.filter(F.col("df") <= max_shingle_df), ["lang", "shingle"])
+    sets = (
+        kept.groupBy("doc_id", "lang")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("transform(ordered, x -> x.shingle)").alias("sh_set"),
+            F.size("ordered").alias("m"),
+        )
+        # consumed three times (prefix explode + both verify sides) — at
+        # 100 TB this persist is the difference between one and three
+        # full shingle/sort passes (the r6 two-consumer lesson, NOTES.md)
+        .persist()
+    )
+    # p = m - ceil(t*m) + 1, ceil in exact integers
+    p_len = (
+        F.col("m")
+        - F.floor((F.col("m") * t_num + t_den - 1) / t_den).cast("int")
+        + F.lit(1)
+    )
+    prefix = sets.select(
+        "doc_id", "lang", "m", F.explode(F.slice("sh_set", 1, p_len)).alias("shingle")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("m").alias("m_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("m").alias("m_b"), "shingle"
+    )
+    cands = (
+        a.join(b, ["lang", "shingle"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size pruning: J >= t needs t*max <= min (exact integers)
+            & (F.least("m_a", "m_b") * t_den >= F.greatest("m_a", "m_b") * t_num)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("m").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("m").alias("n_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+        .select("doc_a", "doc_b", F.expr(JACCARD_MICRO_EXPR).alias("jaccard"))
+    )
+    return verified.filter(
+        F.col("jaccard") >= float(t_num) / float(t_den)
+    )

@@ -13,6 +13,7 @@ from movie_data_transformer_spark.operators.dedup import (
     augmented_corpus,
     containment_pairs,
     exact_substr_runs,
+    ppjoin_prefix_pairs,
 )
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -157,8 +158,58 @@ FROM deg GROUP BY degree
 """
 
 
+def q_dedup_ppjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering (PPJoin) set-similarity join over the planted-dup
+    corpus at Jaccard >= 0.5. The Spark side explodes ONLY each doc's
+    df-ascending prefix into the candidate join; the oracle is the
+    un-filtered all-pairs inverted-list join — equality IS the proof the
+    prefix filter is lossless (see dedup.ppjoin_prefix_pairs)."""
+    return ppjoin_prefix_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")),
+        n=2,
+        threshold_num=1,
+        threshold_den=2,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+# The oracle deliberately does NOT prefix-filter: it joins the full kept
+# shingle sets all-pairs (within lang, df-capped, exact Jaccard over the
+# KEPT sets — sizes after the cap, unlike the containment oracle's raw
+# sizes). Result-set equality with the Spark side binds the completeness
+# of the prefix candidate generation.
+SQL_DEDUP_PPJOIN_PREFIX = f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+idx AS (SELECT doc_id, lang, t,
+               unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, lang,
+              concat_ws(' ', t[i], t[i+1]) AS shingle FROM idx),
+dfs AS (SELECT lang, shingle, count(*) AS df
+        FROM sh GROUP BY lang, shingle),
+kept AS (SELECT sh.* FROM sh JOIN dfs USING (lang, shingle)
+         WHERE dfs.df <= {MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, count(*) AS m FROM kept GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM kept a JOIN kept b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter * 1000000 // (na.m + nb.m - n_inter) AS DOUBLE)
+           / 1000000 AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter * 1000000 // (na.m + nb.m - n_inter) AS DOUBLE)
+          / 1000000 >= 0.5
+"""
+
+
 QUERIES = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_ppjoin_prefix": (q_dedup_ppjoin_prefix, SQL_DEDUP_PPJOIN_PREFIX),
     "dedup_exact_substr_runs": (
         q_dedup_exact_substr_runs,
         SQL_DEDUP_EXACT_SUBSTR_RUNS,

