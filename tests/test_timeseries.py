@@ -341,3 +341,43 @@ def test_engagement_invariants(spark, sf_dir):
         assert r.n_active_spans >= 1
         # spans of >= longest streak can't exceed days/longest
         assert r.n_active_spans <= r.n_active_days
+
+
+def test_funnel_ordering_constraint_golden(spark):
+    """The funnel's ORDER constraint is what separates it from per-type
+    distinct counts: a user whose only click happened BEFORE their first
+    view must not reach step 2, and a purchase between view and click
+    must not reach step 3."""
+    import datetime as dt
+
+    from movie_data_transformer_spark.operators import engagement_queries as eq
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click before the first view — never reaches step 2
+        (2, t(0), "click"), (2, t(1), "view"),
+        # u3: purchase sits between view and click — reaches step 2 only
+        (3, t(0), "view"), (3, t(1), "purchase"), (3, t(2), "click"),
+        # u4: no view at all — not even step 1
+        (4, t(0), "click"), (4, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    import movie_data_transformer_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: ev
+        eq.load_table = tables.load_table
+        got = {r.step: r.users for r in
+               eq.q_events_funnel_conversion(spark, "ignored").collect()}
+    finally:
+        tables.load_table = orig
+        eq.load_table = orig
+    assert got == {1: 3, 2: 2, 3: 1}
