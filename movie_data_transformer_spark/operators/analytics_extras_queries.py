@@ -183,6 +183,155 @@ GROUP BY f.cohort_year, year(o.o_orderdate) - f.cohort_year
 """
 
 
+def q_events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active epoch-week
+    (cohort), distinct-active counts per weeks-since-acquisition, share
+    of the cohort retained in floor-micro units — the engagement twin of
+    the LTV triangle (which accumulates revenue at yearly grain).
+
+    Shape: distinct (user, week) pairs (one shuffle), per-user min week
+    (reuses the user partitioning), triangle-grain agg, then a per-cohort
+    window for the age-0 denominator. Exact integer epoch-weeks; at
+    100 TB the pair distinct is the only corpus-sized exchange."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ret_events")
+    return spark.sql(
+        """
+        WITH pairs AS (
+            SELECT DISTINCT user_id,
+                   unix_timestamp(ts) DIV 604800 AS week_idx
+            FROM _ret_events
+        ),
+        first_week AS (
+            SELECT user_id, min(week_idx) AS cohort_week
+            FROM pairs GROUP BY user_id
+        ),
+        tri AS (
+            SELECT f.cohort_week,
+                   p.week_idx - f.cohort_week AS weeks_since,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM pairs p JOIN first_week f ON p.user_id = f.user_id
+            GROUP BY f.cohort_week, p.week_idx - f.cohort_week
+        )
+        SELECT cohort_week, weeks_since, n_active,
+               CAST(n_active * 1000000 DIV (max(CASE WHEN weeks_since = 0
+                    THEN n_active END) OVER (PARTITION BY cohort_week))
+                    AS DOUBLE) / 1000000 AS retention
+        FROM tri
+        """
+    )
+
+
+SQL_EVENTS_RETENTION_TRIANGLE = """
+WITH pairs AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week_idx
+    FROM events
+),
+first_week AS (
+    SELECT user_id, min(week_idx) AS cohort_week
+    FROM pairs GROUP BY user_id
+),
+tri AS (
+    SELECT f.cohort_week,
+           p.week_idx - f.cohort_week AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM pairs p JOIN first_week f ON p.user_id = f.user_id
+    GROUP BY f.cohort_week, p.week_idx - f.cohort_week
+)
+SELECT cohort_week, weeks_since, n_active,
+       CAST(n_active * 1000000 // (max(CASE WHEN weeks_since = 0
+            THEN n_active END) OVER (PARTITION BY cohort_week))
+            AS DOUBLE) / 1000000 AS retention
+FROM tri
+"""
+
+
+_TS_PAIRS = """
+    SELECT a.yr,
+           b.rev_cents - a.rev_cents AS dy,
+           b.day_idx - a.day_idx AS dx
+    FROM daily a JOIN daily b
+      ON a.yr = b.yr AND a.day_idx < b.day_idx
+"""
+
+
+def q_stats_theil_sen_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of DAILY revenue per ship-year: the lower
+    median of all pairwise slopes (rev_b-rev_a)/(day_b-day_a) over the
+    year's day-grain revenue series. The estimator is the standard
+    outlier-robust alternative to OLS (breakdown point ~29%); computing
+    it at DAY grain is what makes it scale-correct — Theil-Sen is
+    O(n^2) in points, so the corpus-sized input is first collapsed to
+    <= 366 points per year (one shuffle), and the pairwise expansion is
+    bounded at ~67k pairs per group FOREVER, independent of corpus size.
+
+    Exactness: slopes are ranked by trunc-micro value (dy*1e6 DIV dx —
+    both engines truncate toward zero, probed by classifier_kappa) with
+    (dy, dx) tie-breaks; the lower median is row k = (n_pairs+1) DIV 2
+    of that total order, so the reported micro-slope is deterministic
+    cross-engine even under rational ties. Revenue in exact cents."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ts_lineitem")
+    return spark.sql(
+        f"""
+        WITH daily AS (
+            SELECT year(l_shipdate) AS yr,
+                   datediff(l_shipdate, make_date(year(l_shipdate), 1, 1))
+                       AS day_idx,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM _ts_lineitem GROUP BY 1, 2
+        ),
+        pairs AS ({_TS_PAIRS}),
+        ranked AS (
+            SELECT yr, dy, dx,
+                   dy * 1000000 DIV dx AS slope_micro,
+                   row_number() OVER (PARTITION BY yr
+                       ORDER BY dy * 1000000 DIV dx, dy, dx) AS rk,
+                   count(*) OVER (PARTITION BY yr) AS n_pairs
+            FROM pairs
+        )
+        SELECT yr, CAST(n_pairs AS BIGINT) AS n_pairs,
+               slope_micro AS ts_slope_micro,
+               CAST(slope_micro AS DOUBLE) / 1000000
+                   AS ts_slope_cents_per_day
+        FROM ranked
+        WHERE rk = (n_pairs + 1) DIV 2
+        """
+    )
+
+
+SQL_STATS_THEIL_SEN_BY_YEAR = """
+WITH daily AS (
+    SELECT year(l_shipdate) AS yr,
+           datediff('day', make_date(CAST(year(l_shipdate) AS INT), 1, 1),
+                    l_shipdate) AS day_idx,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.yr,
+           b.rev_cents - a.rev_cents AS dy,
+           b.day_idx - a.day_idx AS dx
+    FROM daily a JOIN daily b
+      ON a.yr = b.yr AND a.day_idx < b.day_idx
+),
+ranked AS (
+    SELECT yr, dy, dx,
+           dy * 1000000 // dx AS slope_micro,
+           row_number() OVER (PARTITION BY yr
+               ORDER BY dy * 1000000 // dx, dy, dx) AS rk,
+           count(*) OVER (PARTITION BY yr) AS n_pairs
+    FROM pairs
+)
+SELECT yr, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(slope_micro AS BIGINT) AS ts_slope_micro,
+       CAST(slope_micro AS DOUBLE) / 1000000 AS ts_slope_cents_per_day
+FROM ranked
+WHERE rk = (n_pairs + 1) // 2
+"""
+
+
 QUERIES = {
     "events_topk_movers": (q_events_topk_movers, SQL_EVENTS_TOPK_MOVERS),
     "orders_abc_classification": (
@@ -192,5 +341,13 @@ QUERIES = {
     "orders_cohort_ltv_triangle": (
         q_orders_cohort_ltv_triangle,
         SQL_ORDERS_COHORT_LTV_TRIANGLE,
+    ),
+    "events_retention_triangle": (
+        q_events_retention_triangle,
+        SQL_EVENTS_RETENTION_TRIANGLE,
+    ),
+    "stats_theil_sen_by_year": (
+        q_stats_theil_sen_by_year,
+        SQL_STATS_THEIL_SEN_BY_YEAR,
     ),
 }

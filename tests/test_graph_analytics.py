@@ -206,3 +206,64 @@ def test_connected_components_releases_round_checkpoints(spark):
     # a path graph of 17 nodes runs ~8 rounds; without per-round release
     # this sits ~8+ above baseline
     assert live - baseline <= 3, (live, baseline)
+
+
+def test_theil_sen_matches_python_and_resists_outliers(spark, sf_dir):
+    """(1) The production query's per-year lower-median slope equals a
+    plain-Python recomputation of the same definition from the daily
+    revenue table. (2) Robustness: on a synthetic series with one wild
+    outlier day, the Theil-Sen slope stays at the true trend while the
+    OLS slope is dragged away — the property the estimator exists for."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_stats_theil_sen_by_year,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.yr: r.ts_slope_micro for r in
+           q_stats_theil_sen_by_year(spark, sf_dir).collect()}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "year(l_shipdate) AS yr",
+            "datediff(l_shipdate, make_date(year(l_shipdate), 1, 1)) AS day_idx",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        )
+        .groupBy("yr", "day_idx")
+        .sum("cents")
+        .collect()
+    )
+    by_year = {}
+    for r in daily:
+        by_year.setdefault(r.yr, []).append((r.day_idx, r["sum(cents)"]))
+    for yr, pts in by_year.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[j][0] - pts[i][0]
+                dy = pts[j][1] - pts[i][1]
+                q = dy * 1_000_000
+                micro = q // dx if q >= 0 else -((-q) // dx)  # trunc toward 0
+                slopes.append((micro, dy, dx))
+        slopes.sort()
+        k = (len(slopes) + 1) // 2
+        assert got[yr] == slopes[k - 1][0], yr
+
+    # robustness golden: y = 10*x plus one wild outlier at x=5
+    pts = [(x, 10 * x) for x in range(10)]
+    pts[5] = (5, 1_000_000)
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx, dy = pts[j][0] - pts[i][0], pts[j][1] - pts[i][1]
+            q = dy * 1_000_000
+            slopes.append(q // dx if q >= 0 else -((-q) // dx))
+    slopes.sort()
+    ts = slopes[(len(slopes) + 1) // 2 - 1] / 1e6
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert ts == 10.0
+    assert abs(ols - 10.0) > 1000  # OLS dragged 3+ orders of magnitude off
