@@ -18,7 +18,9 @@ Both FULL oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
 from movie_data_transformer_spark.sources.tables import load_table
 
 TOP_MOVERS = 20
@@ -332,6 +334,81 @@ WHERE rk = (n_pairs + 1) // 2
 """
 
 
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the customer co-watch
+    graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) for deg(v) >= 2, in
+    floor-micro units — the node-level "how clique-like is my
+    neighborhood" metric that turns the global triangle count into a
+    community-structure profile. Nodes with deg < 2 are excluded (the
+    coefficient is undefined); triangle-free nodes report 0.
+
+    Reuses analytics_queries.cowatch_triangles (degree-oriented
+    once-per-triangle enumeration — the scale story lives there); adds
+    one corner agg + a deg left-join. Exact integers end-to-end.
+    """
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        cowatch_triangles,
+    )
+
+    _edges, deg, tri = cowatch_triangles(spark, sf_dir)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(corners, "node", "left")
+        .selectExpr(
+            "node AS customerId",
+            "CAST(deg AS BIGINT) AS degree",
+            "CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles",
+            "CAST(coalesce(n_tri, 0) * 2 * 1000000 DIV (deg * (deg - 1))"
+            " AS DOUBLE) / 1000000 AS clustering_coeff",
+        )
+    )
+
+
+SQL_GRAPH_LOCAL_CLUSTERING = f"""
+WITH {RATINGS_ORACLE_CTE},
+watched AS (SELECT DISTINCT customerId, movieId FROM ratings),
+prs AS (
+    SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
+    FROM watched a
+    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM prs WHERE shared >= 2),
+deg AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    ) GROUP BY node
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+    SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+)
+SELECT d.node AS customerId,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(coalesce(c.n_tri, 0) * 2 * 1000000 // (d.deg * (d.deg - 1))
+            AS DOUBLE) / 1000000 AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+WHERE d.deg >= 2
+"""
+
+
 QUERIES = {
     "events_topk_movers": (q_events_topk_movers, SQL_EVENTS_TOPK_MOVERS),
     "orders_abc_classification": (
@@ -349,5 +426,9 @@ QUERIES = {
     "stats_theil_sen_by_year": (
         q_stats_theil_sen_by_year,
         SQL_STATS_THEIL_SEN_BY_YEAR,
+    ),
+    "graph_local_clustering": (
+        q_graph_local_clustering,
+        SQL_GRAPH_LOCAL_CLUSTERING,
     ),
 }

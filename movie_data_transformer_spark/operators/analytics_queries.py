@@ -329,27 +329,12 @@ FROM a
 """
 
 
-def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer triangle participation counts over the customer
-    co-watch graph (edge = two customers sharing >= 2 distinct movies —
-    the bipartite customer→movie relation projected to a unipartite
-    graph, then the classic degree-oriented triangle enumeration).
-
-    Orientation: every undirected edge points from its (degree, id)-
-    smaller endpoint to the larger one, so each triangle is generated
-    exactly once as two out-edges of its lowest corner plus one closing
-    edge — the standard trick that bounds wedge count by sum(outdeg^2)
-    instead of sum(deg^2), which is what keeps hub nodes from exploding
-    the join at scale. The oracle enumerates the same triangles with the
-    naive a<b<c self-join; both count each triangle once, so per-node
-    counts agree exactly.
-
-    Scale notes (100 TB): the bipartite projection generates pairs
-    WITHIN movie groups (bounded by per-movie watcher count, never
-    |customers|^2); production corpora cap or minhash-prefilter hot
-    items exactly like operators/similarity.py. Each stage is one
-    equi-join shuffle; no cartesian anywhere.
-    """
+def cowatch_triangles(spark, sf_dir):
+    """Shared co-watch graph construction: returns (edges, deg, tri) —
+    undirected edges (u < v, >= 2 shared movies), per-node degrees, and
+    the once-per-triangle (a, b, c) enumeration via the degree-oriented
+    wedge join (see q_graph_triangle_counts docstring for why the
+    orientation bounds wedge count by sum(outdeg^2))."""
     from movie_data_transformer_spark.operators.movie_pipeline import dedup_latest
     from movie_data_transformer_spark.operators.movie_queries import _exploded
 
@@ -398,6 +383,31 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["w1", "w2"], "left_semi").select(
         F.col("src").alias("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
     )
+    return edges, deg, tri
+
+
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer triangle participation counts over the customer
+    co-watch graph (edge = two customers sharing >= 2 distinct movies —
+    the bipartite customer→movie relation projected to a unipartite
+    graph, then the classic degree-oriented triangle enumeration).
+
+    Orientation: every undirected edge points from its (degree, id)-
+    smaller endpoint to the larger one, so each triangle is generated
+    exactly once as two out-edges of its lowest corner plus one closing
+    edge — the standard trick that bounds wedge count by sum(outdeg^2)
+    instead of sum(deg^2), which is what keeps hub nodes from exploding
+    the join at scale. The oracle enumerates the same triangles with the
+    naive a<b<c self-join; both count each triangle once, so per-node
+    counts agree exactly.
+
+    Scale notes (100 TB): the bipartite projection generates pairs
+    WITHIN movie groups (bounded by per-movie watcher count, never
+    |customers|^2); production corpora cap or minhash-prefilter hot
+    items exactly like operators/similarity.py. Each stage is one
+    equi-join shuffle; no cartesian anywhere.
+    """
+    _edges, _deg, tri = cowatch_triangles(spark, sf_dir)
     corners = (
         tri.select(F.col("a").alias("node"))
         .union(tri.select(F.col("b").alias("node")))

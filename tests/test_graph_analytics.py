@@ -267,3 +267,18 @@ def test_theil_sen_matches_python_and_resists_outliers(spark, sf_dir):
     ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert ts == 10.0
     assert abs(ols - 10.0) > 1000  # OLS dragged 3+ orders of magnitude off
+
+
+def test_local_clustering_invariants(spark, sf_dir):
+    """cc in [0,1]; per-node triangles can't exceed deg-choose-2; a
+    node's triangles require degree >= 2 (enforced by the filter)."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_graph_local_clustering,
+    )
+
+    rows = q_graph_local_clustering(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= 2
+        assert 0.0 <= r.clustering_coeff <= 1.0, r
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2, r
