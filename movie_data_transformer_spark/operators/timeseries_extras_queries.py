@@ -320,8 +320,104 @@ FROM se
 """
 
 
+ACF_MAX_LAG = 7
+
+
+def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT autocorrelation function of the daily event-count series at
+    lags 1..7 — the seasonality detector (a weekly cycle shows as a
+    spike at lag 7) complementing events_seasonal_decompose, which
+    ASSUMES period 7; this measures it.
+
+    Exactness: with S = sum(x), N = n_days, the scaled deviation
+    ndev_i = N*x_i - S is an exact bigint and
+
+        acf_k = sum_i ndev_i * ndev_{i+k} / sum_i ndev_i^2
+
+    (the N^2 factors cancel), so the only non-integer step is the final
+    micro floor, done decimal-side with the remainder-subtract trick
+    (m - m % d) / d — exact, and % takes the dividend's sign on BOTH
+    engines, so negative autocorrelations truncate identically (the
+    BM25 / classifier_kappa precedent). Domain: |ndev| < ~1e16 keeps
+    every product inside DECIMAL(38,0) — at 1e16 daily events rescale
+    the partials. Lagged pairs join on day_idx + k, so calendar gaps
+    simply produce no pair (declared semantics).
+
+    Scale: one corpus-sized shuffle to day grain; everything after runs
+    on the tiny daily table (the 7-row lag spine cross-joins against
+    it, and the 1-row denominator re-scans only day-grain data)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_acf_events")
+    return spark.sql(
+        f"""
+        WITH daily AS (
+            SELECT unix_timestamp(ts) DIV 86400 AS day_idx,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM _acf_events GROUP BY 1
+        ),
+        dev AS (
+            SELECT day_idx,
+                   count(*) OVER () * x - sum(x) OVER () AS ndev
+            FROM daily
+        ),
+        den AS (
+            SELECT CAST(sum(CAST(ndev AS DECIMAL(19,0))
+                * CAST(ndev AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d
+            FROM dev
+        ),
+        lags AS (SELECT explode(sequence(1, {ACF_MAX_LAG})) AS k),
+        num AS (
+            SELECT l.k,
+                   CAST(sum(CAST(a.ndev AS DECIMAL(19,0))
+                       * CAST(b.ndev AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS p,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lags l
+            JOIN dev a ON true
+            JOIN dev b ON b.day_idx = a.day_idx + l.k
+            GROUP BY l.k
+        )
+        SELECT k AS lag, n_pairs,
+               CAST((m - (m % d)) / d AS BIGINT) AS acf_micro,
+               CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000
+                   AS acf
+        FROM (SELECT k, n_pairs, p * 1000000 AS m, d
+              FROM num CROSS JOIN den)
+        """
+    )
+
+
+SQL_EVENTS_DAILY_ACF = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT day_idx,
+           CAST(count(*) OVER () * x - sum(x) OVER () AS HUGEINT) AS ndev
+    FROM daily
+),
+den AS (SELECT sum(ndev * ndev) AS d FROM dev),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k),
+num AS (
+    SELECT l.k,
+           sum(a.ndev * b.ndev) AS p,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lags l
+    JOIN dev a ON true
+    JOIN dev b ON b.day_idx = a.day_idx + l.k
+    GROUP BY l.k
+)
+SELECT CAST(k AS INT) AS lag, n_pairs,
+       CAST((m - (m % d)) / d AS BIGINT) AS acf_micro,
+       CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000 AS acf
+FROM (SELECT k, n_pairs, p * 1000000 AS m, d
+      FROM num CROSS JOIN den)
+"""
+
+
 QUERIES = {
     "events_cusum_drift": (q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
+    "events_daily_acf": (q_events_daily_acf, SQL_EVENTS_DAILY_ACF),
     "events_holt_winters_daily": (q_events_holt_winters_daily, _hw_sql()),
     "stream_cusum_drift": (q_stream_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
     "events_seasonal_decompose": (

@@ -381,3 +381,49 @@ def test_funnel_ordering_constraint_golden(spark):
         tables.load_table = orig
         eq.load_table = orig
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_daily_acf_matches_numpy_and_periodic_golden(spark, sf_dir):
+    """(1) The exact-integer ACF equals the float recomputation within
+    one micro-floor step. (2) A planted period-3 series puts its ACF
+    peak exactly at lag 3 with acf ~ 1 (the seasonality-detection use)."""
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        q_events_daily_acf,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.lag: r.acf for r in q_events_daily_acf(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("unix_timestamp(ts) DIV 86400 AS d")
+        .groupBy("d").count().collect()
+    )
+    series = dict((r.d, r["count"]) for r in daily)
+    days = sorted(series)
+    x = np.array([series[d] for d in days], dtype=float)
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    for k in range(1, 8):
+        num = sum(
+            dev[i] * dev[j]
+            for i, di in enumerate(days)
+            for j, dj in enumerate(days)
+            if dj == di + k
+        )
+        assert abs(got[k] - num / den) < 2e-6, k
+
+    # planted periodic golden, straight through the python-side formula
+    # the operator implements (trunc-micro of the exact rational)
+    xs = [10, 50, 90] * 20
+    n = len(xs); s = sum(xs)
+    nd = [n * v - s for v in xs]
+    dd = sum(v * v for v in nd)
+    acfs = {}
+    for k in range(1, 8):
+        p = sum(nd[i] * nd[i + k] for i in range(n - k)) * 1_000_000
+        acfs[k] = (p // dd if p >= 0 else -((-p) // dd)) / 1e6
+    assert max(acfs, key=lambda k: acfs[k]) == 3
+    assert acfs[3] > 0.9
+    assert acfs[1] < 0 and acfs[2] < 0  # anti-phase lags
