@@ -415,9 +415,105 @@ FROM (SELECT k, n_pairs, p * 1000000 AS m, d
 """
 
 
+ROLL_DAYS = 30
+ROLL_MIN_N = 10
+
+
+def q_events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS trend of daily event value: for every day, the
+    exact least-squares slope of (day, daily micro-value) over the
+    trailing 30-day RANGE window — the moving-regression smoother ops
+    dashboards draw, and the windowed sibling of grouped_ols_trend.
+
+    Exactness: the closed form slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)
+    needs only windowed SUMS, all exact bigints (x re-based to the
+    corpus min day via a window-over-() so magnitudes stay small; y in
+    floor-micro value units). The numerator times 1e6 can clear int64,
+    so the micro floor runs decimal-side with the remainder-subtract
+    trick (trunc-toward-zero on both engines, the BM25 precedent).
+    RANGE (not ROWS) makes calendar gaps shrink n, not smear the frame.
+    Days with window fill < ROLL_MIN_N are excluded (declared).
+
+    Scale: one corpus-sized shuffle to day grain; the ordered windows
+    run on the tiny daily table. The window frame is the plan — no
+    self-join, no per-day re-aggregation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_rt_events")
+    return spark.sql(
+        f"""
+        WITH daily AS (
+            SELECT unix_timestamp(ts) DIV 86400 AS day_idx,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                       AS BIGINT)) AS BIGINT) AS y
+            FROM _rt_events GROUP BY 1
+        ),
+        based AS (
+            SELECT day_idx, day_idx - min(day_idx) OVER () AS x, y FROM daily
+        ),
+        sums AS (
+            SELECT day_idx, x, y,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(x) OVER w AS BIGINT) AS sx,
+                   CAST(sum(y) OVER w AS BIGINT) AS sy,
+                   CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                   CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+            FROM based
+            WINDOW w AS (ORDER BY x RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT day_idx, n AS n_days,
+               CAST((m - (m % d)) / d AS BIGINT) AS slope_micro,
+               CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000
+                   AS slope_micro_value_per_day
+        FROM (
+            SELECT day_idx, n,
+                   CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000 AS m,
+                   CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS d
+            FROM sums
+        )
+        WHERE n >= {ROLL_MIN_N}
+        """
+    )
+
+
+SQL_EVENTS_ROLLING_TREND = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+               AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+based AS (
+    SELECT day_idx, day_idx - min(day_idx) OVER () AS x, y FROM daily
+),
+sums AS (
+    SELECT day_idx, x, y,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+    FROM based
+    WINDOW w AS (ORDER BY x RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT day_idx, n AS n_days,
+       CAST((m - (m % d)) / d AS BIGINT) AS slope_micro,
+       CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000
+           AS slope_micro_value_per_day
+FROM (
+    SELECT day_idx, n,
+           CAST(n * sxy - sx * sy AS HUGEINT) * 1000000 AS m,
+           CAST(n * sxx - sx * sx AS HUGEINT) AS d
+    FROM sums
+)
+WHERE n >= {ROLL_MIN_N}
+"""
+
+
 QUERIES = {
     "events_cusum_drift": (q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
     "events_daily_acf": (q_events_daily_acf, SQL_EVENTS_DAILY_ACF),
+    "events_rolling_trend": (q_events_rolling_trend, SQL_EVENTS_ROLLING_TREND),
     "events_holt_winters_daily": (q_events_holt_winters_daily, _hw_sql()),
     "stream_cusum_drift": (q_stream_cusum_drift, SQL_EVENTS_CUSUM_DRIFT),
     "events_seasonal_decompose": (

@@ -427,3 +427,37 @@ def test_daily_acf_matches_numpy_and_periodic_golden(spark, sf_dir):
     assert max(acfs, key=lambda k: acfs[k]) == 3
     assert acfs[3] > 0.9
     assert acfs[1] < 0 and acfs[2] < 0  # anti-phase lags
+
+
+def test_rolling_trend_matches_numpy_window_fit(spark, sf_dir):
+    """Each reported day's exact micro-slope equals numpy's lstsq fit
+    over the same trailing 30-day window (within one micro step)."""
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.timeseries_extras_queries import (
+        ROLL_DAYS,
+        ROLL_MIN_N,
+        q_events_rolling_trend,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.day_idx: (r.n_days, r.slope_micro)
+           for r in q_events_rolling_trend(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_timestamp(ts) DIV 86400 AS d",
+            "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v",
+        )
+        .groupBy("d").sum("v").collect()
+    )
+    series = {r.d: r["sum(v)"] for r in daily}
+    days = sorted(series)
+    assert got
+    for d, (n, micro) in got.items():
+        win = [dd for dd in days if d - (ROLL_DAYS - 1) <= dd <= d]
+        assert len(win) == n >= ROLL_MIN_N
+        x = np.array(win, dtype=float)
+        y = np.array([series[dd] for dd in win], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(micro / 1e6 - slope) < max(1e-5, abs(slope) * 1e-9), d
