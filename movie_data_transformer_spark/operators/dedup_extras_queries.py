@@ -216,3 +216,144 @@ QUERIES = {
     ),
     "dedup_degree_histogram": (q_dedup_degree_histogram, _degree_histogram_sql()),
 }
+
+
+# --- content-defined chunking -------------------------------------------
+# Rolling-window boundary rule: token position p starts a chunk iff p = 1
+# or (a full K-token window fits at p AND portable_hash(window) % D = 0).
+# Average chunk length ~= D tokens. No min/max bounds (declared simple
+# CDC; production systems add them, which only masks boundaries).
+CDC_K = 4
+CDC_D = 8
+
+
+def cdc_chunk_table(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Chunk a (doc_id, text, ...) corpus by the CDC boundary rule;
+    returns (doc_id, chunk_id, chunk_hash, n_tokens). One posexplode,
+    ONE ordered window pass per doc (the K lead()s share a window spec;
+    boundary flag + running boundary count in the same pass), one
+    (doc, chunk) agg — all keyed shuffles, nothing driver-side."""
+    from movie_data_transformer_spark.operators.dedup import (
+        normalize_text,
+        widen_for_compute,
+    )
+
+    toks = widen_for_compute(docs).select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    )
+    toks.createOrReplaceTempView("_cdc_toks")
+    leads = ", ".join(f"lead(tok, {j}) OVER w AS t{j}" for j in range(1, CDC_K))
+    wincat = ", ".join(["tok"] + [f"t{j}" for j in range(1, CDC_K)])
+    return spark.sql(
+        f"""
+        WITH posed AS (
+            SELECT doc_id, p.pos + 1 AS pos, p.tok
+            FROM _cdc_toks LATERAL VIEW posexplode(t) p AS pos, tok
+        ),
+        led AS (
+            SELECT doc_id, pos, tok, {leads},
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM posed
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos = 1 THEN 1
+                        WHEN pos <= n - {CDC_K} + 1
+                             AND CAST(conv(substr(md5(
+                                 concat_ws(' ', {wincat})), 1, 8), 16, 10)
+                                 AS BIGINT) % {CDC_D} = 0 THEN 1
+                        ELSE 0 END AS b
+            FROM led
+        ),
+        chunked AS (
+            SELECT doc_id, pos, tok,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+            FROM flagged
+        )
+        SELECT doc_id, chunk_id,
+               md5(array_join(transform(array_sort(collect_list(
+                   struct(pos, tok))), x -> x.tok), ' ')) AS chunk_hash,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM chunked GROUP BY doc_id, chunk_id
+        """
+    )
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/restic storage-dedup
+    primitive) over the planted-dup corpus: chunk boundaries are placed
+    where a rolling K-token window's hash hits 0 mod D, so boundaries
+    travel WITH content — an insertion near the head of a doc re-chunks
+    only up to the next surviving boundary, and every chunk after it
+    keeps its identity (pinned by the edit-stability pytest). Fixed-size
+    chunking loses ALL downstream chunks on the same edit; this is the
+    property that makes chunk-level storage dedup work.
+
+    Output: the corpus chunk-reference histogram (refs -> chunk count +
+    token mass) — refs >= 2 is the mass chunk-level dedup saves; the
+    planted exact copies surface as refs-2 chunks. At 100 TB chunk
+    hashes feed the same append-only index tables as the MinHash state
+    (dedup.py)."""
+    chunks = cdc_chunk_table(
+        spark, augmented_corpus(load_table(spark, sf_dir, "documents"))
+    )
+    by_hash = chunks.groupBy("chunk_hash").agg(
+        F.count("*").cast("bigint").alias("refs"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return by_hash.groupBy("refs").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
+    )
+
+
+def _cdc_sql() -> str:
+    leads = ", ".join(f"lead(t[i], {j}) OVER w AS t{j}" for j in range(1, CDC_K))
+    wincat = ", ".join(["t[i]"] + [f"t{j}" for j in range(1, CDC_K)])
+    return f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+posed AS (
+    SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks
+),
+led AS (
+    SELECT doc_id, i AS pos, t[i] AS tok, {leads},
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM posed
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+flagged AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos = 1 THEN 1
+                WHEN pos <= n - {CDC_K} + 1
+                     AND CAST('0x' || substr(md5(
+                         concat_ws(' ', tok, {", ".join(f"t{j}" for j in range(1, CDC_K))})), 1, 8)
+                         AS BIGINT) % {CDC_D} = 0 THEN 1
+                ELSE 0 END AS b
+    FROM led
+),
+chunked AS (
+    SELECT doc_id, pos, tok,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM flagged
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM chunked GROUP BY doc_id, chunk_id
+),
+by_hash AS (
+    SELECT chunk_hash, CAST(count(*) AS BIGINT) AS refs,
+           min(n_tokens) AS n_tokens
+    FROM chunks GROUP BY chunk_hash
+)
+SELECT refs, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+FROM by_hash GROUP BY refs
+"""
+
+
+QUERIES["dedup_cdc_chunks"] = (q_dedup_cdc_chunks, _cdc_sql())

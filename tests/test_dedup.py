@@ -675,3 +675,71 @@ def test_ppjoin_finds_planted_exact_copies(spark, sf_dir):
     missing = [p for p in exact if p not in got]
     assert not missing, f"exact copies missed: {missing[:5]}"
     assert all(got[p] == 1.0 for p in exact)
+
+
+def test_cdc_edit_stability_vs_fixed_chunking(spark):
+    """The CDC motivation, end to end through the PRODUCTION chunker:
+    insert one token at the head of a doc — every chunk after the first
+    surviving boundary keeps its identity (shared hashes ~= all), while
+    FIXED-size chunking of the same pair shares almost nothing (every
+    boundary shifts by one)."""
+    import random
+
+    from movie_data_transformer_spark.operators.dedup_extras_queries import (
+        cdc_chunk_table,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    orig = " ".join(words)
+    edited = "zzz " + orig
+    docs = spark.createDataFrame(
+        [(1, orig, "en", len(orig)), (2, edited, "en", len(edited))],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    chunks = cdc_chunk_table(spark, docs).collect()
+    h1 = [r.chunk_hash for r in sorted(
+        (r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_id)]
+    h2 = [r.chunk_hash for r in sorted(
+        (r for r in chunks if r.doc_id == 2), key=lambda r: r.chunk_id)]
+    shared = set(h1) & set(h2)
+    # all but the head chunk(s) before the first surviving boundary match
+    assert len(shared) >= len(h1) - 2 >= 5
+    # identical suffixes: chunk sequences converge and stay converged
+    tail = min(len(h1), len(h2)) - 1
+    assert h1[-tail:] == h2[-tail:]
+
+    # fixed-size chunking on the same pair: one-token shift destroys
+    # (nearly) every chunk identity
+    import hashlib
+
+    def fixed(ws, size=8):
+        return [hashlib.md5(" ".join(ws[i:i + size]).encode()).hexdigest()
+                for i in range(0, len(ws), size)]
+
+    f1, f2 = fixed(words), fixed(["zzz"] + words)
+    assert len(set(f1) & set(f2)) <= 1
+
+
+def test_cdc_histogram_accounts_planted_copies(spark, sf_dir):
+    """Chunk-token mass conservation: histogram token mass times refs
+    reproduces the corpus token count; refs>=2 mass exists (the planted
+    copies guarantee shared chunks)."""
+    from movie_data_transformer_spark.operators.dedup import (
+        augmented_corpus,
+        normalize_text,
+    )
+    from movie_data_transformer_spark.operators.dedup_extras_queries import (
+        q_dedup_cdc_chunks,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_dedup_cdc_chunks(spark, sf_dir).collect()
+    assert any(r.refs >= 2 for r in rows)
+    mass = sum(r.refs * r.chunk_tokens for r in rows)
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    want = corpus.select(
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert mass == want
