@@ -432,3 +432,83 @@ QUERIES = {
         SQL_GRAPH_LOCAL_CLUSTERING,
     ),
 }
+
+
+def q_customers_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the canonical customer-value model: per
+    customer, Recency (days from the corpus max order date to their
+    last order), Frequency (order count), Monetary (exact cents), each
+    quintile-scored 1-5 by ntile over a TOTAL order (metric, custkey —
+    ntile is only cross-engine deterministic under a total order,
+    NOTES.md pitfall), most-recent / most-frequent / biggest-spend = 5.
+    Output adds the concatenated segment label ('555' = champions).
+
+    Scale: one customer-grain agg (corpus-sized shuffle) + three ntile
+    windows over the customer table; the corpus max date is a
+    window-over-() on the aggregate, never a second scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rfm_orders")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS spend_cents
+            FROM _rfm_orders GROUP BY o_custkey
+        ),
+        rec AS (
+            SELECT *, datediff(max(last_order) OVER (), last_order)
+                       AS recency_days
+            FROM per_cust
+        )
+        SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT)
+                   AS recency_days,
+               n_orders, spend_cents,
+               CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC)
+                   AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC)
+                   AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC)
+                   AS INT) AS m_score,
+               concat(
+                   CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS STRING),
+                   CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS STRING),
+                   CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC) AS STRING)
+               ) AS segment
+        FROM rec
+        """
+    )
+
+
+SQL_CUSTOMERS_RFM_SCORES = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY o_custkey
+),
+rec AS (
+    SELECT *, datediff('day', last_order, max(last_order) OVER ())
+               AS recency_days
+    FROM per_cust
+)
+SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       n_orders, spend_cents,
+       CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC)
+           AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC)
+           AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC)
+           AS INT) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS VARCHAR)
+           || CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC) AS VARCHAR)
+           AS segment
+FROM rec
+"""
+
+
+QUERIES["customers_rfm_scores"] = (q_customers_rfm_scores, SQL_CUSTOMERS_RFM_SCORES)

@@ -18,6 +18,7 @@ Scale: one map-side digit projection + a 9-row aggregate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -87,3 +88,114 @@ FROM counts
 QUERIES = {
     "orders_benford_digits": (q_orders_benford_digits, SQL_ORDERS_BENFORD_DIGITS),
 }
+
+
+def q_source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between the unigram token
+    distributions of every source pair — the corpus-drift monitor a
+    curation pipeline runs when a new crawl snapshot lands ("did src7's
+    content distribution move?"). TV = 0.5 * sum_t |p_a(t) - p_b(t)|,
+    EXACT: with counts c and totals N the numerator is
+    sum_t |c_a*N_b - c_b*N_a| over the token UNION, and the union
+    decomposes so only the INNER join is ever computed:
+
+        sum_{a-only} c_a*N_b  =  N_a*N_b - sum_{shared} c_a*N_b
+
+    (sum of c_a over ALL of a's tokens is N_a). So: one (source, token)
+    count table, one token-keyed self-join over SHARED tokens, and the
+    190-row pair spine (totals x totals, broadcast) supplies the
+    completion terms — pairs sharing nothing fall out as TV = 1. All
+    bigint; one micro floor at the end.
+
+    Scale: the count table is vocab-sized per source (not corpus-sized);
+    the self-join is bounded by sum_t df(t)^2 over sources — with S
+    sources at most S^2 * |vocab|, independent of corpus row count."""
+    from movie_data_transformer_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "source", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).createOrReplaceTempView("_tv_toks")
+    return spark.sql(
+        """
+        WITH counts AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM _tv_toks GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+        ),
+        spine AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM totals a JOIN totals b ON a.source < b.source
+        ),
+        shared AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS s_abs,
+                   CAST(sum(a.c * tb.n) AS BIGINT) AS s_a,
+                   CAST(sum(b.c * ta.n) AS BIGINT) AS s_b
+            FROM counts a
+            JOIN counts b ON a.tok = b.tok AND a.source < b.source
+            JOIN totals ta ON ta.source = a.source
+            JOIN totals tb ON tb.source = b.source
+            GROUP BY 1, 2
+        )
+        SELECT s.src_a, s.src_b,
+               CAST((coalesce(sh.s_abs, 0)
+                     + (s.n_a * s.n_b - coalesce(sh.s_a, 0))
+                     + (s.n_a * s.n_b - coalesce(sh.s_b, 0)))
+                    * 1000000 DIV (2 * s.n_a * s.n_b) AS DOUBLE) / 1000000
+                   AS tv_distance
+        FROM spine s
+        LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+        """
+    )
+
+
+SQL_SOURCE_TOKEN_TV_DRIFT = """
+WITH corpus AS (
+    SELECT source,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS text
+    FROM documents
+),
+toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+counts AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+totals AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+),
+spine AS (
+    SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+    FROM totals a JOIN totals b ON a.source < b.source
+),
+shared AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS s_abs,
+           CAST(sum(a.c * tb.n) AS BIGINT) AS s_a,
+           CAST(sum(b.c * ta.n) AS BIGINT) AS s_b
+    FROM counts a
+    JOIN counts b ON a.tok = b.tok AND a.source < b.source
+    JOIN totals ta ON ta.source = a.source
+    JOIN totals tb ON tb.source = b.source
+    GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b,
+       CAST((coalesce(sh.s_abs, 0)
+             + (s.n_a * s.n_b - coalesce(sh.s_a, 0))
+             + (s.n_a * s.n_b - coalesce(sh.s_b, 0)))
+            * 1000000 // (2 * s.n_a * s.n_b) AS DOUBLE) / 1000000
+           AS tv_distance
+FROM spine s
+LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+"""
+
+
+QUERIES["source_token_tv_drift"] = (
+    q_source_token_tv_drift,
+    SQL_SOURCE_TOKEN_TV_DRIFT,
+)

@@ -230,3 +230,34 @@ def test_rake_keywords_golden_segmentation(spark):
     assert rows["deep learning"].n_words == 2
     # tie broken by phrase asc
     assert rows["best approach"].rk == 1 and rows["deep learning"].rk == 2
+
+
+def test_tv_drift_bounds_and_golden(spark, sf_dir):
+    """TV in [0,1] on the real corpus; golden: identical-distribution
+    sources give 0, token-disjoint sources give 1, and a half-overlap
+    pair lands exactly at 0.5 (exact rational)."""
+    from movie_data_transformer_spark.operators import dq_extras_queries as dq
+
+    rows = dq.q_source_token_tv_drift(spark, sf_dir).collect()
+    assert len(rows) == 190  # 20 sources -> C(20,2)
+    assert all(0.0 <= r.tv_distance <= 1.0 for r in rows)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s1", 7),
+            (2, "a b c d", "en", "s2", 7),      # identical to s1 -> TV 0
+            (3, "x y z w", "en", "s3", 7),      # disjoint from s1 -> TV 1
+            (4, "a b x y", "en", "s4", 7),      # half overlap with s1 -> 0.5
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = dq.load_table
+    try:
+        dq.load_table = lambda s, d, n: docs
+        got = {(r.src_a, r.src_b): r.tv_distance
+               for r in dq.q_source_token_tv_drift(spark, "ignored").collect()}
+    finally:
+        dq.load_table = orig
+    assert got[("s1", "s2")] == 0.0
+    assert got[("s1", "s3")] == 1.0
+    assert got[("s1", "s4")] == 0.5
