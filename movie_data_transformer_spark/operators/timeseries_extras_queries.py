@@ -521,3 +521,146 @@ QUERIES = {
         SQL_EVENTS_SEASONAL_DECOMPOSE,
     ),
 }
+
+
+def q_events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: flag complete days whose
+    decomposition REMAINDER sits more than 2 population-sd from the mean
+    remainder — the alarm that fires on a genuinely odd Tuesday instead
+    of on every weekend (which raw z-scores over the daily series do).
+
+    Exactness: no sqrt ever happens — with d_i = n*r_i - S the condition
+    |r_i - mean| > 2*sd cross-multiplies to d_i^2 > 4*(n*sum(r^2) - S^2),
+    all exact integers (DECIMAL(38,0)/HUGEINT for the squares, the ACF
+    precedent). Composes the production decomposition verbatim."""
+    dec = q_events_seasonal_decompose(spark, sf_dir)
+    dec.createOrReplaceTempView("_so_dec")
+    return spark.sql(
+        """
+        WITH r AS (
+            SELECT day_idx, n_events, remainder_micro
+            FROM _so_dec WHERE remainder_micro IS NOT NULL
+        ),
+        s AS (
+            SELECT day_idx, n_events, remainder_micro,
+                   CAST(count(*) OVER () AS DECIMAL(38,0)) AS n,
+                   CAST(sum(remainder_micro) OVER () AS DECIMAL(38,0)) AS sr,
+                   CAST(sum(CAST(remainder_micro AS DECIMAL(19,0))
+                       * CAST(remainder_micro AS DECIMAL(19,0))) OVER ()
+                       AS DECIMAL(38,0)) AS srr
+            FROM r
+        )
+        SELECT day_idx, n_events, remainder_micro,
+               CAST(CASE WHEN (n * remainder_micro - sr)
+                              * (n * remainder_micro - sr)
+                              > 4 * (n * srr - sr * sr)
+                         THEN 1 ELSE 0 END AS INT) AS is_outlier
+        FROM s
+        """
+    )
+
+
+SQL_EVENTS_SEASONAL_OUTLIERS = f"""
+WITH r AS (
+    SELECT day_idx, n_events, remainder_micro
+    FROM ({SQL_EVENTS_SEASONAL_DECOMPOSE}) dec
+    WHERE remainder_micro IS NOT NULL
+),
+s AS (
+    SELECT day_idx, n_events, remainder_micro,
+           CAST(count(*) OVER () AS HUGEINT) AS n,
+           CAST(sum(remainder_micro) OVER () AS HUGEINT) AS sr,
+           CAST(sum(CAST(remainder_micro AS HUGEINT)
+               * CAST(remainder_micro AS HUGEINT)) OVER () AS HUGEINT) AS srr
+    FROM r
+)
+SELECT day_idx, n_events, remainder_micro,
+       CAST(CASE WHEN (n * remainder_micro - sr)
+                      * (n * remainder_micro - sr)
+                      > 4 * (n * srr - sr * sr)
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM s
+"""
+
+
+QUERIES["events_seasonal_outliers"] = (
+    q_events_seasonal_outliers,
+    SQL_EVENTS_SEASONAL_OUTLIERS,
+)
+
+
+TREND_TOP_K = 3
+TREND_SLIDE_S = 1800
+TREND_WIDTH_S = 3600
+
+
+def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now over a REAL stream: top-3 event types per sliding
+    1h/30min window. Each event fans out map-side to its two
+    slide-aligned windows (explode of the two bucket starts — the
+    stateless window assignment), micro-batches append to the emissions
+    log, and finalize ranks per window — the standard split between the
+    streaming aggregation (associative counts, slicing-invariant) and
+    the rank, which streaming aggregates cannot express (no window
+    functions over streaming aggs). Shares the batch form's FULL oracle.
+    At 100 TB the per-trigger work is one map pass; counts pre-aggregate
+    per (window, type) before the rank touches anything."""
+    from movie_data_transformer_spark.sources.tables import load_events_stream
+    from movie_data_transformer_spark.streaming.harness import (
+        run_availablenow_to_df,
+    )
+
+    stream = load_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
+    proj = stream.selectExpr(
+        f"explode(array(unix_timestamp(ts) DIV {TREND_SLIDE_S} * {TREND_SLIDE_S},"
+        f" unix_timestamp(ts) DIV {TREND_SLIDE_S} * {TREND_SLIDE_S}"
+        f" - {TREND_SLIDE_S})) AS bucket_start",
+        "event_type",
+    )
+
+    def finalize(em: DataFrame) -> DataFrame:
+        counts = em.groupBy("bucket_start", "event_type").agg(
+            F.count("*").cast("bigint").alias("n_events")
+        )
+        return (
+            counts.selectExpr(
+                "CAST(bucket_start AS BIGINT) AS bucket_start",
+                "event_type",
+                "n_events",
+                "CAST(row_number() OVER (PARTITION BY bucket_start"
+                " ORDER BY n_events DESC, event_type ASC) AS INT) AS rk",
+            )
+            .filter(F.col("rk") <= TREND_TOP_K)
+        )
+
+    return run_availablenow_to_df(proj, "append", "mdt_trend_", finalize=finalize)
+
+
+SQL_STREAM_TRENDING_TOPK = f"""
+WITH assigned AS (
+    SELECT CAST(floor(epoch(ts) / {TREND_SLIDE_S}) * {TREND_SLIDE_S} AS BIGINT)
+               AS bucket_start, event_type
+    FROM events
+    UNION ALL
+    SELECT CAST(floor(epoch(ts) / {TREND_SLIDE_S}) * {TREND_SLIDE_S}
+               - {TREND_SLIDE_S} AS BIGINT), event_type
+    FROM events
+),
+counts AS (
+    SELECT bucket_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY 1, 2
+)
+SELECT bucket_start, event_type, n_events, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket_start
+        ORDER BY n_events DESC, event_type ASC) AS rk
+    FROM counts
+)
+WHERE rk <= {TREND_TOP_K}
+"""
+
+
+QUERIES["stream_trending_topk"] = (
+    q_stream_trending_topk,
+    SQL_STREAM_TRENDING_TOPK,
+)
