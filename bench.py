@@ -83,6 +83,13 @@ HEADLINE = [
     "dedup_exact_substr_runs",
     "text_rake_keywords",
     "session_concurrency_steps",
+    # r6 continuation: lossless prefix-filtering set-similarity join,
+    # content-defined chunking, corpus-drift TV distance, and the
+    # ordered conversion funnel (new operator families)
+    "dedup_ppjoin_prefix",
+    "dedup_cdc_chunks",
+    "source_token_tv_drift",
+    "events_funnel_conversion",
 ]
 
 

@@ -512,3 +512,73 @@ FROM rec
 
 
 QUERIES["customers_rfm_scores"] = (q_customers_rfm_scores, SQL_CUSTOMERS_RFM_SCORES)
+
+
+def q_stats_weighted_median_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per ship-year — the weighted
+    order statistic (what a 'typical unit sold' costs, robust to a few
+    huge lines). EXACT via the crossing-row formulation: in the total
+    order (price_cents, orderkey, linenumber, partkey, suppkey — the
+    testdata needs all four tiebreaks, NOTES.md pitfall), the weighted
+    median is the unique row where the cumulative weight crosses half:
+    2*(cumw - w) < W <= 2*cumw. One cumulative window per year, one
+    filter — no second pass, no interpolation, engine-identical.
+
+    Scale: one shuffle to (year) window partitioning; the crossing
+    filter is row-local on the windowed output."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_wm_li")
+    return spark.sql(
+        """
+        WITH rows_w AS (
+            SELECT year(l_shipdate) AS yr,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS price_cents,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey, l_linenumber, l_partkey, l_suppkey
+            FROM _wm_li
+        ),
+        c AS (
+            SELECT yr, price_cents, w,
+                   sum(w) OVER (PARTITION BY yr ORDER BY price_cents,
+                       l_orderkey, l_linenumber, l_partkey, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumw,
+                   sum(w) OVER (PARTITION BY yr) AS tw
+            FROM rows_w
+        )
+        SELECT yr, CAST(tw AS BIGINT) AS total_weight,
+               price_cents AS weighted_median_cents
+        FROM c
+        WHERE 2 * (cumw - w) < tw AND tw <= 2 * cumw
+        """
+    )
+
+
+SQL_STATS_WEIGHTED_MEDIAN_BY_YEAR = """
+WITH rows_w AS (
+    SELECT year(l_shipdate) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS price_cents,
+           CAST(l_quantity AS BIGINT) AS w,
+           l_orderkey, l_linenumber, l_partkey, l_suppkey
+    FROM lineitem
+),
+c AS (
+    SELECT yr, price_cents, w,
+           CAST(sum(w) OVER (PARTITION BY yr ORDER BY price_cents,
+               l_orderkey, l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+           CAST(sum(w) OVER (PARTITION BY yr) AS BIGINT) AS tw
+    FROM rows_w
+)
+SELECT yr, tw AS total_weight, price_cents AS weighted_median_cents
+FROM c
+WHERE 2 * (cumw - w) < tw AND tw <= 2 * cumw
+"""
+
+
+QUERIES["stats_weighted_median_by_year"] = (
+    q_stats_weighted_median_by_year,
+    SQL_STATS_WEIGHTED_MEDIAN_BY_YEAR,
+)

@@ -282,3 +282,41 @@ def test_local_clustering_invariants(spark, sf_dir):
         assert r.degree >= 2
         assert 0.0 <= r.clustering_coeff <= 1.0, r
         assert r.n_triangles <= r.degree * (r.degree - 1) // 2, r
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    """Crossing-row weighted median equals the brute-force definition
+    (smallest value whose cumulative weight reaches half the total) in
+    the same total order, per year."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_stats_weighted_median_by_year,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = {r.yr: (r.total_weight, r.weighted_median_cents)
+           for r in q_stats_weighted_median_by_year(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "year(l_shipdate) AS yr",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p",
+            "CAST(l_quantity AS BIGINT) AS w",
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        )
+        .collect()
+    )
+    by_year: dict[int, list] = {}
+    for r in rows:
+        by_year.setdefault(r.yr, []).append(
+            (r.p, r.l_orderkey, r.l_linenumber, r.l_partkey, r.l_suppkey, r.w)
+        )
+    for yr, items in by_year.items():
+        items.sort()
+        tw = sum(it[-1] for it in items)
+        cum = 0
+        for it in items:
+            cum += it[-1]
+            if 2 * cum >= tw:
+                want = it[0]
+                break
+        assert got[yr] == (tw, want), yr
