@@ -112,3 +112,93 @@ SELECT query_id, neighbor_id, dot_micro2, CAST(rk AS INT) AS rk FROM (
 QUERIES = {
     "emb_int8_retrieval_e2e": (q_emb_int8_retrieval_e2e, SQL_EMB_INT8_RETRIEVAL_E2E),
 }
+
+
+FH_DIMS = 64
+
+
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-hashing trick (Weinberger 2009): each document's
+    token multiset folded into a fixed 64-dim count vector via
+    portable_hash(token) mod dims — the constant-memory vectorizer that
+    feeds linear classifiers and ANN without a vocabulary table (the
+    quality_classifier's hashed features, surfaced as a first-class
+    vectorization operator).
+
+    Binding: the dense vector CONTENT is md5-bound (comma-joined counts
+    in dim order, zeros filled from a per-doc dims spine), plus nnz and
+    l1 = token count — a vector value diff anywhere flips the hash.
+
+    Scale: explode + (doc, dim) agg + per-doc fold; the 64-row dim
+    spine explodes per doc (bounded fanout), no vocabulary state, no
+    driver-side anything."""
+    from movie_data_transformer_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).createOrReplaceTempView("_fh_toks")
+    return spark.sql(
+        f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)
+                       % {FH_DIMS} AS dim,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM _fh_toks GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT DISTINCT doc_id, explode(sequence(0, {FH_DIMS - 1})) AS dim
+            FROM counts
+        ),
+        dense AS (
+            SELECT s.doc_id, s.dim, coalesce(c.c, 0) AS c
+            FROM spine s LEFT JOIN counts c
+              ON c.doc_id = s.doc_id AND c.dim = s.dim
+        )
+        SELECT doc_id,
+               md5(array_join(transform(array_sort(collect_list(
+                   struct(dim, c))), x -> CAST(x.c AS STRING)), ',')) AS vec_md5,
+               CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS nnz,
+               CAST(sum(c) AS BIGINT) AS l1
+        FROM dense GROUP BY doc_id
+        """
+    )
+
+
+SQL_TEXT_FEATURE_HASHING = f"""
+WITH corpus AS (
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+counts AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {FH_DIMS} AS dim,
+           CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+),
+spine AS (
+    SELECT DISTINCT doc_id, unnest(range(0, {FH_DIMS})) AS dim FROM counts
+),
+dense AS (
+    SELECT s.doc_id, s.dim, coalesce(c.c, 0) AS c
+    FROM spine s LEFT JOIN counts c
+      ON c.doc_id = s.doc_id AND c.dim = s.dim
+)
+SELECT doc_id,
+       md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY dim)) AS vec_md5,
+       CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS nnz,
+       CAST(sum(c) AS BIGINT) AS l1
+FROM dense GROUP BY doc_id
+"""
+
+
+QUERIES["text_feature_hashing"] = (
+    q_text_feature_hashing,
+    SQL_TEXT_FEATURE_HASHING,
+)

@@ -261,3 +261,30 @@ def test_tv_drift_bounds_and_golden(spark, sf_dir):
     assert got[("s1", "s2")] == 0.0
     assert got[("s1", "s3")] == 1.0
     assert got[("s1", "s4")] == 0.5
+
+
+def test_feature_hashing_invariants(spark, sf_dir):
+    """l1 mass equals each doc's token count (the hashing trick loses no
+    mass); nnz <= min(64, n_tokens); vectors are deterministic across
+    invocations (same md5)."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.dedup import normalize_text
+    from movie_data_transformer_spark.operators.embedding_pipeline_queries import (
+        q_text_feature_hashing,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in q_text_feature_hashing(spark, sf_dir).collect()}
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(normalize_text(F.col("text")), " ")).alias("n"))
+        .collect()
+    )
+    for t in toks:
+        r = rows[t.doc_id]
+        assert r.l1 == t.n
+        assert 1 <= r.nnz <= min(64, t.n)
+    again = {r.doc_id: r.vec_md5
+             for r in q_text_feature_hashing(spark, sf_dir).collect()}
+    assert again == {k: v.vec_md5 for k, v in rows.items()}
