@@ -199,3 +199,126 @@ QUERIES["source_token_tv_drift"] = (
     q_source_token_tv_drift,
     SQL_SOURCE_TOKEN_TV_DRIFT,
 )
+
+
+def q_dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality report over the orders feed:
+    one row per expectation with passed/failed counts and a micro pass
+    rate — the contract a lake pipeline evaluates before publishing a
+    partition. Checks span the four standard families:
+
+      completeness  - o_custkey / o_orderdate non-null
+      uniqueness    - o_orderkey has no duplicates
+      compliance    - o_totalprice > 0; o_orderdate within [1990, 2005)
+      referential   - o_custkey resolves against the customer dimension
+
+    All metrics come from ONE pass over orders (conditional aggregates
+    fused into a single scan-side aggregation; uniqueness from a
+    key-grain pre-agg riding the same shuffle; the FK check is a
+    broadcast left-anti count) — the scan-once shape Deequ compiles its
+    analyzers to, which is what makes a 100 TB contract check one job,
+    not one job per rule."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_dq_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_dq_customer")
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+                   CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+                   CAST(count(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+                        > 0 THEN 1 END) AS BIGINT) AS pos_price,
+                   CAST(count(CASE WHEN year(o_orderdate) >= 1990
+                        AND year(o_orderdate) < 2005 THEN 1 END) AS BIGINT)
+                       AS in_range
+            FROM _dq_orders
+        ),
+        uniq AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS unique_keys
+            FROM (SELECT o_orderkey, count(*) AS c
+                  FROM _dq_orders GROUP BY o_orderkey)
+        ),
+        fk AS (
+            SELECT CAST(count(*) AS BIGINT) AS orphans
+            FROM _dq_orders o LEFT ANTI JOIN _dq_customer c
+              ON o.o_custkey = c.c_custkey
+        ),
+        report AS (
+            SELECT 'completeness:o_custkey' AS expectation,
+                   nn_cust AS passed, n - nn_cust AS failed, n FROM base
+            UNION ALL
+            SELECT 'completeness:o_orderdate', nn_date, n - nn_date, n
+            FROM base
+            UNION ALL
+            SELECT 'compliance:o_totalprice>0', pos_price, n - pos_price, n
+            FROM base
+            UNION ALL
+            SELECT 'compliance:orderdate_in_range', in_range, n - in_range, n
+            FROM base
+            UNION ALL
+            SELECT 'uniqueness:o_orderkey',
+                   unique_keys, n_rows - unique_keys, n_rows FROM uniq
+            UNION ALL
+            SELECT 'referential:o_custkey->customer',
+                   b.n - f.orphans, f.orphans, b.n
+            FROM base b CROSS JOIN fk f
+        )
+        SELECT expectation, passed, failed,
+               CAST(passed * 1000000 DIV n AS DOUBLE) / 1000000 AS pass_rate,
+               CAST(CASE WHEN failed = 0 THEN 1 ELSE 0 END AS INT) AS ok
+        FROM report
+        """
+    )
+
+
+SQL_DQ_EXPECTATIONS_REPORT = """
+WITH base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+           CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+           CAST(count(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > 0
+                THEN 1 END) AS BIGINT) AS pos_price,
+           CAST(count(CASE WHEN year(o_orderdate) >= 1990
+                AND year(o_orderdate) < 2005 THEN 1 END) AS BIGINT) AS in_range
+    FROM orders
+),
+uniq AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS unique_keys
+    FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+),
+fk AS (
+    SELECT CAST(count(*) AS BIGINT) AS orphans
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+),
+report AS (
+    SELECT 'completeness:o_custkey' AS expectation,
+           nn_cust AS passed, n - nn_cust AS failed, n FROM base
+    UNION ALL
+    SELECT 'completeness:o_orderdate', nn_date, n - nn_date, n FROM base
+    UNION ALL
+    SELECT 'compliance:o_totalprice>0', pos_price, n - pos_price, n FROM base
+    UNION ALL
+    SELECT 'compliance:orderdate_in_range', in_range, n - in_range, n
+    FROM base
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey', unique_keys, n_rows - unique_keys, n_rows
+    FROM uniq
+    UNION ALL
+    SELECT 'referential:o_custkey->customer', b.n - f.orphans, f.orphans, b.n
+    FROM base b CROSS JOIN fk f
+)
+SELECT expectation, passed, failed,
+       CAST(passed * 1000000 // n AS DOUBLE) / 1000000 AS pass_rate,
+       CAST(CASE WHEN failed = 0 THEN 1 ELSE 0 END AS INT) AS ok
+FROM report
+"""
+
+
+QUERIES["dq_expectations_report"] = (
+    q_dq_expectations_report,
+    SQL_DQ_EXPECTATIONS_REPORT,
+)
