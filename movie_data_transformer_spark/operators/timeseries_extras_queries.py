@@ -664,3 +664,105 @@ QUERIES["stream_trending_topk"] = (
     q_stream_trending_topk,
     SQL_STREAM_TRENDING_TOPK,
 )
+
+
+def q_events_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection over the daily event-count series
+    (one-split binary segmentation — the batch complement of the CUSUM
+    monitor): the split day maximizing the between-segment variance
+    reduction. For a split after position i (prefix sums S1/n1, suffix
+    S2/n2), the reduction is (S1*n2 - S2*n1)^2 / (n1*n2*n) — EXACT
+    rationals, ranked by their trunc-micro value with a day tie-break
+    (remainder-subtract floor in DECIMAL/HUGEINT since the squared
+    numerator times 1e6 clears int64), so the argmax is deterministic
+    cross-engine. Output: the best split day, both segment means
+    (micro), and the score.
+
+    Scale: one shuffle to day grain; prefix sums + the argmax are
+    windows over the tiny daily table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_cp_events")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT unix_timestamp(ts) DIV 86400 AS day_idx,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM _cp_events GROUP BY 1
+        ),
+        pre AS (
+            SELECT day_idx, x,
+                   sum(x) OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS s1,
+                   CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS n1,
+                   sum(x) OVER () AS st,
+                   count(*) OVER () AS nt
+            FROM daily
+        ),
+        scored AS (
+            SELECT day_idx,
+                   n1, nt - n1 AS n2, s1, st - s1 AS s2,
+                   CAST((s1 * (nt - n1) - (st - s1) * n1) AS DECIMAL(19,0))
+                       * CAST((s1 * (nt - n1) - (st - s1) * n1) AS DECIMAL(19,0))
+                       * 1000000 AS m,
+                   CAST(n1 * (nt - n1) * nt AS DECIMAL(38,0)) AS d
+            FROM pre
+            WHERE n1 < nt
+        )
+        SELECT day_idx AS split_after_day,
+               CAST(s1 * 1000000 DIV n1 AS BIGINT) AS mean_before_micro,
+               CAST(s2 * 1000000 DIV n2 AS BIGINT) AS mean_after_micro,
+               CAST(score_micro AS BIGINT) AS score_micro
+        FROM (
+            SELECT *, CAST((m - (m % d)) / d AS DECIMAL(38,0)) AS score_micro,
+                   row_number() OVER (ORDER BY
+                       CAST((m - (m % d)) / d AS DECIMAL(38,0)) DESC,
+                       day_idx ASC) AS rk
+            FROM scored
+        )
+        WHERE rk = 1
+        """
+    )
+
+
+SQL_EVENTS_CHANGEPOINT_DAY = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+pre AS (
+    SELECT day_idx, x,
+           CAST(sum(x) OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+           CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS n1,
+           CAST(sum(x) OVER () AS BIGINT) AS st,
+           CAST(count(*) OVER () AS BIGINT) AS nt
+    FROM daily
+),
+scored AS (
+    SELECT day_idx,
+           n1, nt - n1 AS n2, s1, st - s1 AS s2,
+           CAST((s1 * (nt - n1) - (st - s1) * n1) AS HUGEINT)
+               * CAST((s1 * (nt - n1) - (st - s1) * n1) AS HUGEINT)
+               * 1000000 AS m,
+           CAST(n1 * (nt - n1) * nt AS HUGEINT) AS d
+    FROM pre
+    WHERE n1 < nt
+)
+SELECT day_idx AS split_after_day,
+       CAST(s1 * 1000000 // n1 AS BIGINT) AS mean_before_micro,
+       CAST(s2 * 1000000 // n2 AS BIGINT) AS mean_after_micro,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM (
+    SELECT *, (m - (m % d)) / d AS score_micro,
+           row_number() OVER (ORDER BY (m - (m % d)) / d DESC,
+               day_idx ASC) AS rk
+    FROM scored
+)
+WHERE rk = 1
+"""
+
+
+QUERIES["events_changepoint_day"] = (
+    q_events_changepoint_day,
+    SQL_EVENTS_CHANGEPOINT_DAY,
+)

@@ -461,3 +461,34 @@ def test_rolling_trend_matches_numpy_window_fit(spark, sf_dir):
         y = np.array([series[dd] for dd in win], dtype=float)
         slope = np.polyfit(x, y, 1)[0]
         assert abs(micro / 1e6 - slope) < max(1e-5, abs(slope) * 1e-9), d
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """A clean level shift (50/day -> 90/day after day 19) must put the
+    best split exactly at day 19 with the right segment means."""
+    import datetime as dt
+
+    from movie_data_transformer_spark.operators import (
+        timeseries_extras_queries as tx,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(40):
+        n = 50 if day < 20 else 90
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day, seconds=eid % 3600)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    orig = tx.load_table
+    try:
+        tx.load_table = lambda s, d, n: ev
+        got = tx.q_events_changepoint_day(spark, "ignored").collect()
+    finally:
+        tx.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    base_day = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert r.split_after_day == base_day + 19
+    assert r.mean_before_micro == 50_000_000
+    assert r.mean_after_micro == 90_000_000
