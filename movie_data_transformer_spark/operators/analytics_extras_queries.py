@@ -582,3 +582,121 @@ QUERIES["stats_weighted_median_by_year"] = (
     q_stats_weighted_median_by_year,
     SQL_STATS_WEIGHTED_MEDIAN_BY_YEAR,
 )
+
+
+ATTR_WINDOW_S = 7 * 86400
+
+
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution: each
+    purchase distributes exactly 1,000,000 micro-credits over the user's
+    view/click touches in the trailing 7 days — 40% to the first touch,
+    40% to the last, 20% split across the middles — the standard
+    marketing-mix model beyond last-touch (which the as-of join family
+    already covers). Edge conventions: one touch takes all; two touches
+    split 50/50; middles use a LARGEST-REMAINDER split (floor share +1
+    for the first `rem` middles in touch order) so per-purchase credit
+    sums to exactly 1e6 — an invariant the pytest pins. Touch order is
+    the total (ts, event_id).
+
+    Output: credit mass and touch counts per (touch_type, position
+    class) — the 'which channel earns conversions, and in which role'
+    report. Scale: the purchase x touch join is user-keyed and bounded
+    by the 7-day window per user; ranks are per-purchase windows."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_at_events")
+    return spark.sql(
+        f"""
+        WITH purchases AS (
+            SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM _at_events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM _at_events WHERE event_type IN ('view', 'click')
+        ),
+        joined AS (
+            SELECT p.p_id, t.event_type, t.ts, t.event_id
+            FROM purchases p JOIN touches t
+              ON t.user_id = p.user_id
+             AND t.ts < p.p_ts
+             AND t.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_S} SECOND
+        ),
+        ranked AS (
+            SELECT p_id, event_type,
+                   CAST(row_number() OVER (PARTITION BY p_id
+                       ORDER BY ts, event_id) AS BIGINT) AS pos,
+                   CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+            FROM joined
+        ),
+        credited AS (
+            SELECT p_id, event_type,
+                   CASE WHEN k = 1 THEN 1000000
+                        WHEN k = 2 THEN 500000
+                        WHEN pos = 1 OR pos = k THEN 400000
+                        ELSE 200000 DIV (k - 2)
+                             + CASE WHEN pos - 1 <= 200000 % (k - 2)
+                                    THEN 1 ELSE 0 END
+                   END AS credit_micro,
+                   CASE WHEN pos = 1 THEN 'first'
+                        WHEN pos = k THEN 'last'
+                        ELSE 'middle' END AS position_class
+            FROM ranked
+        )
+        SELECT event_type AS touch_type, position_class,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        FROM credited
+        GROUP BY event_type, position_class
+        """
+    )
+
+
+SQL_ATTRIBUTION_POSITION_BASED = f"""
+WITH purchases AS (
+    SELECT user_id, ts AS p_ts, event_id AS p_id
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+joined AS (
+    SELECT p.p_id, t.event_type, t.ts, t.event_id
+    FROM purchases p JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.ts < p.p_ts
+     AND t.ts >= p.p_ts - INTERVAL {ATTR_WINDOW_S} SECOND
+),
+ranked AS (
+    SELECT p_id, event_type,
+           CAST(row_number() OVER (PARTITION BY p_id
+               ORDER BY ts, event_id) AS BIGINT) AS pos,
+           CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+    FROM joined
+),
+credited AS (
+    SELECT p_id, event_type,
+           CASE WHEN k = 1 THEN 1000000
+                WHEN k = 2 THEN 500000
+                WHEN pos = 1 OR pos = k THEN 400000
+                ELSE 200000 // (k - 2)
+                     + CASE WHEN pos - 1 <= 200000 % (k - 2)
+                            THEN 1 ELSE 0 END
+           END AS credit_micro,
+           CASE WHEN pos = 1 THEN 'first'
+                WHEN pos = k THEN 'last'
+                ELSE 'middle' END AS position_class
+    FROM ranked
+)
+SELECT event_type AS touch_type, position_class,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+FROM credited
+GROUP BY event_type, position_class
+"""
+
+
+QUERIES["attribution_position_based"] = (
+    q_attribution_position_based,
+    SQL_ATTRIBUTION_POSITION_BASED,
+)

@@ -492,3 +492,51 @@ def test_changepoint_finds_planted_level_shift(spark):
     assert r.split_after_day == base_day + 19
     assert r.mean_before_micro == 50_000_000
     assert r.mean_after_micro == 90_000_000
+
+
+def test_attribution_credit_conservation_and_golden(spark, sf_dir):
+    """Total credit equals 1e6 times the number of purchases with >= 1
+    touch in window (exact conservation, largest-remainder); golden
+    5-touch case splits 400000/66667/66667/66666/400000."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators import (
+        analytics_extras_queries as ax,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = ax.q_attribution_position_based(spark, sf_dir).collect()
+    total = sum(r.credit_micro for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id", "ts AS p_ts", "event_id AS p_id")
+    t = ev.filter(F.col("event_type").isin("view", "click")).selectExpr(
+        "user_id", "ts")
+    n_attr = (
+        p.join(t, "user_id")
+        .filter("ts < p_ts AND ts >= p_ts - INTERVAL 604800 SECOND")
+        .select("p_id").distinct().count()
+    )
+    assert total == 1_000_000 * n_attr
+
+    def m(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    golden = [(i, m(i), "view") for i in range(5)] + [(9, m(9), "purchase")]
+    evg = spark.createDataFrame(
+        [(eid, ts, et, 1) for eid, ts, et in golden],
+        "event_id long, ts timestamp, event_type string, user_id long",
+    )
+    orig = ax.load_table
+    try:
+        ax.load_table = lambda s, d, n: evg
+        got = ax.q_attribution_position_based(spark, "ignored").collect()
+    finally:
+        ax.load_table = orig
+    by_class = {r.position_class: r for r in got}
+    assert by_class["first"].credit_micro == 400000
+    assert by_class["last"].credit_micro == 400000
+    assert by_class["middle"].credit_micro == 200000
+    assert by_class["middle"].n_touches == 3
