@@ -101,3 +101,29 @@ def test_partitioned_bucketed_prunes_and_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS state_pb")
+
+
+def test_hot_cold_join_plan_routes_hot_keys_broadcast(spark, sf_dir):
+    """The hot path must be a BroadcastHashJoin, the cold path a shuffle
+    join, and the union must equal the plain join row-for-row."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.skew_extras_queries import (
+        hot_cold_join,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    routed = hot_cold_join(o, c, "custkey")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    plain = o.join(c, "custkey")
+    assert routed.count() == plain.count()
+    a = routed.groupBy("c_mktsegment").count().collect()
+    b = plain.groupBy("c_mktsegment").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
