@@ -42,6 +42,19 @@ ENTRIES = [
     "session_concurrency_steps",  # sweep-line running sum
     "text_rake_keywords",  # islands + instance scores + top-k ties
     "emb_int8_retrieval_e2e",  # reconstruction + integer dot ranking
+    # round-6 continuation additions
+    "dedup_ppjoin_prefix",  # df-order prefixes + micro-jaccard verify
+    "dedup_cdc_chunks",  # rolling-hash boundaries + chunk-hash agg
+    "stats_theil_sen_by_year",  # trunc-micro slope rank + tiebreaks
+    "events_funnel_conversion",  # chained min-aggs + over-() share
+    "graph_local_clustering",  # oriented triangles + degree join
+    "source_token_tv_drift",  # shared-token join + union completion
+    "customers_rfm_scores",  # three ntile windows over total orders
+    "stats_weighted_median_by_year",  # crossing-row cumulative window
+    "events_changepoint_day",  # rational argmax via trunc-micro rank
+    "attribution_position_based",  # largest-remainder credit split
+    "text_feature_hashing",  # hash-mod dims + md5-bound dense fold
+    "join_skew_hot_cold",  # hot/cold routing must not change results
 ]
 
 
