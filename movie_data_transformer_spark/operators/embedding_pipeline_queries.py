@@ -202,3 +202,103 @@ QUERIES["text_feature_hashing"] = (
     q_text_feature_hashing,
     SQL_TEXT_FEATURE_HASHING,
 )
+
+
+K_CENTERS = 8
+
+
+def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal, the
+    classic 2-approximation): seed with the min vec_id, then repeatedly
+    take the point FARTHEST from every chosen center — the diverse-
+    subset selector behind coreset curation and k-means++-style seeding
+    (complementing SemDeDup, which removes the CLOSEST pairs).
+
+    Exact: vectors quantized to integer micro (floor(v*1e6), the IVF
+    convention), distances are bigint squared-L2 sums, and each round's
+    argmax breaks ties on vec_id — fully deterministic, so the entry
+    carries a FULL oracle: the SAME greedy sequence as a DuckDB
+    WITH RECURSIVE over a list accumulator (the iterative-algorithm
+    oracle technique). Output: (sel_rank, vec_id, d2_at_selection) —
+    d2 at rank k+1's selection is the coverage radius^2 of the rank-k
+    coreset, nonincreasing by construction (pinned in pytest).
+
+    Scale: each round is one map pass (64-literal center array folded
+    row-side, generated SQL — the r5 py4j lesson) + a 1-row
+    TakeOrdered argmax collect, k rounds total — the pagerank-shaped
+    driver-probe pattern; the vector table is persisted once."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000000) AS BIGINT)) AS e",
+        )
+        .persist()
+    )
+
+    def d2_expr(center: list[int]) -> str:
+        arr = ", ".join(f"{c}L" for c in center)
+        return (
+            f"aggregate(zip_with(e, array({arr}), (a, b) -> (a-b)*(a-b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    seed = vecs.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, seed.vec_id, None)]
+    cur = vecs.selectExpr("vec_id", "e", f"{d2_expr(seed.e)} AS mind2")
+    for rank in range(2, K_CENTERS + 1):
+        chosen_ids = ", ".join(str(c[1]) for c in chosen)
+        nxt = (
+            cur.filter(f"vec_id NOT IN ({chosen_ids})")
+            .orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rank, nxt.vec_id, nxt.mind2))
+        cur = cur.selectExpr(
+            "vec_id", "e", f"least(mind2, {d2_expr(nxt.e)}) AS mind2"
+        )
+    vecs.unpersist(blocking=False)
+    return spark.createDataFrame(
+        chosen, "sel_rank int, vec_id long, d2_at_selection long"
+    )
+
+
+SQL_EMB_KCENTER_CORESET = f"""
+WITH RECURSIVE vecs AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+               * 1000000) AS BIGINT)) AS e
+    FROM embeddings
+),
+sel AS (
+    SELECT 1 AS it, [v.vec_id] AS ids, [v.e] AS centers,
+           [CAST(NULL AS BIGINT)] AS d2s
+    FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT 1) v
+  UNION ALL
+    SELECT it + 1, list_append(ids, nv.vec_id),
+           list_append(centers, nv.e), list_append(d2s, nv.md)
+    FROM sel, LATERAL (
+        SELECT v.vec_id, v.e,
+               min(CAST(list_sum(list_transform(list_zip(v.e, u.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)) AS md
+        FROM vecs v, unnest(sel.centers) AS u(cv)
+        WHERE NOT list_contains(sel.ids, v.vec_id)
+        GROUP BY v.vec_id, v.e
+        ORDER BY md DESC, v.vec_id ASC
+        LIMIT 1
+    ) nv
+    WHERE it < {K_CENTERS}
+)
+SELECT CAST(u.i AS INT) AS sel_rank, ids[u.i] AS vec_id,
+       d2s[u.i] AS d2_at_selection
+FROM (SELECT ids, d2s FROM sel WHERE it = {K_CENTERS}),
+     unnest(generate_series(1, {K_CENTERS})) u(i)
+"""
+
+
+QUERIES["emb_kcenter_coreset"] = (
+    q_emb_kcenter_coreset,
+    SQL_EMB_KCENTER_CORESET,
+)

@@ -369,3 +369,46 @@ def test_int8_retrieval_recall_vs_exact(spark, sf_dir):
         len(by_q[qid] & exact_by_q[qid]) / 5 for qid in exact_by_q if qid in by_q
     ]
     assert recalls and sum(recalls) / len(recalls) >= 0.6
+
+
+def test_kcenter_matches_python_greedy_and_radius_monotone(spark, sf_dir):
+    """The production greedy sequence equals a brute-force Python
+    farthest-point traversal on the same micro-quantized vectors, and
+    selection distances are nonincreasing (the 2-approx coverage-radius
+    property of greedy k-center)."""
+    import math
+
+    from movie_data_transformer_spark.operators.embedding_pipeline_queries import (
+        K_CENTERS,
+        q_emb_kcenter_coreset,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    got = sorted(
+        q_emb_kcenter_coreset(spark, sf_dir).collect(), key=lambda r: r.sel_rank
+    )
+    assert [r.sel_rank for r in got] == list(range(1, K_CENTERS + 1))
+    d2s = [r.d2_at_selection for r in got[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+    vecs = {
+        r.vec_id: [int(math.floor(float(x) * 1_000_000)) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    chosen = [min(vecs)]
+    mind2 = {
+        vid: sum((a - b) ** 2 for a, b in zip(v, vecs[chosen[0]]))
+        for vid, v in vecs.items()
+    }
+    expect = [(1, chosen[0], None)]
+    for rank in range(2, K_CENTERS + 1):
+        cand = [(d, -vid) for vid, d in mind2.items() if vid not in chosen]
+        d, nvid = max(cand)
+        nvid = -nvid
+        chosen.append(nvid)
+        expect.append((rank, nvid, d))
+        for vid, v in vecs.items():
+            nd = sum((a - b) ** 2 for a, b in zip(v, vecs[nvid]))
+            if nd < mind2[vid]:
+                mind2[vid] = nd
+    assert [(r.sel_rank, r.vec_id, r.d2_at_selection) for r in got] == expect
