@@ -357,3 +357,108 @@ FROM by_hash GROUP BY refs
 
 
 QUERIES["dedup_cdc_chunks"] = (q_dedup_cdc_chunks, _cdc_sql())
+
+
+# --- sorted-neighborhood blocking ---------------------------------------
+SN_WINDOW = 3  # compare each doc to its 3 successors in sort order
+SN_THRESHOLD = 0.5
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge) — the
+    THIRD candidate-generation strategy beside LSH (probabilistic) and
+    prefix-filtering (lossless): sort the corpus by a normalized key
+    (here the normalized text itself, doc_id tie-break), compare each
+    record only to its SN_WINDOW successors, verify with exact token-set
+    Jaccard. Near-copies share long prefixes so they sort adjacent —
+    the planted exact copies are always caught (pinned in pytest);
+    recall is partial BY DESIGN for pairs differing early in the key
+    (the method's documented trade — production runs multiple passes
+    with different keys). The oracle states the definition literally
+    (global rank self-join on rank distance <= w), so the driver hash
+    binds exactly the declared semantics.
+
+    Scale: ONE global sort (range exchange) + w lead()s on the sorted
+    order + a row-local verify — no self-join of the corpus, no bucket
+    skew by construction (every record compares to exactly w others)."""
+    from movie_data_transformer_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    augmented_corpus(docs).select(
+        "doc_id", normalize_text(F.col("text")).alias("ntext")
+    ).createOrReplaceTempView("_sn_docs")
+    leads = ", ".join(
+        f"lead(doc_id, {j}) OVER w AS id_{j}, lead(ntext, {j}) OVER w AS tx_{j}"
+        for j in range(1, SN_WINDOW + 1)
+    )
+    pairs_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id AS id_a, ntext AS tx_a, id_{j} AS id_b, tx_{j} AS tx_b"
+        f" FROM led WHERE id_{j} IS NOT NULL"
+        for j in range(1, SN_WINDOW + 1)
+    )
+    return spark.sql(
+        f"""
+        WITH led AS (
+            SELECT doc_id, ntext, {leads}
+            FROM _sn_docs
+            WINDOW w AS (ORDER BY ntext, doc_id)
+        ),
+        cand AS ({pairs_union}),
+        verified AS (
+            SELECT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b,
+                   CAST(size(array_intersect(ta, tb)) AS BIGINT) AS n_inter,
+                   CAST(size(ta) AS BIGINT) AS n_a,
+                   CAST(size(tb) AS BIGINT) AS n_b
+            FROM (
+                SELECT id_a, id_b,
+                       array_distinct(split(tx_a, ' ')) AS ta,
+                       array_distinct(split(tx_b, ' ')) AS tb
+                FROM cand
+            )
+        )
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS DOUBLE)
+                   / 1000000 AS jaccard
+        FROM verified
+        WHERE CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS DOUBLE)
+                  / 1000000 >= {SN_THRESHOLD}
+        """
+    )
+
+
+def _sn_sql() -> str:
+    return f"""
+WITH {CORPUS_ORACLE_CTE},
+ranked AS (
+    SELECT doc_id, text AS ntext,
+           row_number() OVER (ORDER BY text, doc_id) AS rk
+    FROM corpus
+),
+cand AS (
+    SELECT a.doc_id AS id_a, a.ntext AS tx_a,
+           b.doc_id AS id_b, b.ntext AS tx_b
+    FROM ranked a JOIN ranked b
+      ON b.rk > a.rk AND b.rk <= a.rk + {SN_WINDOW}
+),
+verified AS (
+    SELECT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b,
+           CAST(len(list_intersect(ta, tb)) AS BIGINT) AS n_inter,
+           CAST(len(ta) AS BIGINT) AS n_a,
+           CAST(len(tb) AS BIGINT) AS n_b
+    FROM (
+        SELECT id_a, id_b,
+               list_distinct(string_split(tx_a, ' ')) AS ta,
+               list_distinct(string_split(tx_b, ' ')) AS tb
+        FROM cand
+    )
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(n_inter * 1000000 // (n_a + n_b - n_inter) AS DOUBLE)
+           / 1000000 AS jaccard
+FROM verified
+WHERE CAST(n_inter * 1000000 // (n_a + n_b - n_inter) AS DOUBLE)
+          / 1000000 >= {SN_THRESHOLD}
+"""
+
+
+QUERIES["dedup_sorted_neighborhood"] = (q_dedup_sorted_neighborhood, _sn_sql())

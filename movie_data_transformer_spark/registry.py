@@ -101,6 +101,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.analytics_extras_queries",
     "movie_data_transformer_spark.operators.privacy_extras_queries",
     "movie_data_transformer_spark.operators.skew_extras_queries",
+    "movie_data_transformer_spark.operators.search_extras_queries",
 ]
 
 

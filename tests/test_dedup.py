@@ -743,3 +743,19 @@ def test_cdc_histogram_accounts_planted_copies(spark, sf_dir):
         F.size(F.split(normalize_text(F.col("text")), " ")).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert mass == want
+
+
+def test_sorted_neighborhood_catches_planted_exact_copies(spark, sf_dir):
+    """Exact copies have IDENTICAL sort keys, so they are guaranteed
+    window-adjacent (any interleaving is itself a near-identical doc):
+    all 50 planted exact pairs must surface with jaccard 1.0."""
+    from movie_data_transformer_spark.operators.dedup_extras_queries import (
+        q_dedup_sorted_neighborhood,
+    )
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in q_dedup_sorted_neighborhood(spark, sf_dir).collect()}
+    exact = [(i, i + 200000) for i in range(50, 100)]
+    found = [p for p in exact if p in got]
+    assert len(found) >= 48, f"only {len(found)}/50 exact pairs in window"
+    assert all(got[p] == 1.0 for p in found)

@@ -288,3 +288,32 @@ def test_feature_hashing_invariants(spark, sf_dir):
     again = {r.doc_id: r.vec_md5
              for r in q_text_feature_hashing(spark, sf_dir).collect()}
     assert again == {k: v.vec_md5 for k, v in rows.items()}
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """Fused list properties: 10 per query; rrf_micro consistent with
+    the member ranks (recomputed); a doc on BOTH lists outranks the
+    same ranks split across docs (the fusion monotonicity RRF is for);
+    every fused doc appears on at least one source list."""
+    from movie_data_transformer_spark.operators.search_extras_queries import (
+        RRF_K,
+        q_search_hybrid_rrf,
+    )
+
+    rows = q_search_hybrid_rrf(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for q, rs in by_q.items():
+        assert [r.fused_rank for r in sorted(rs, key=lambda r: r.fused_rank)] == list(range(1, 11))
+        for r in rs:
+            want = 0
+            if r.rank_bm25 is not None:
+                want += 1_000_000 // (RRF_K + r.rank_bm25)
+            if r.rank_vec is not None:
+                want += 1_000_000 // (RRF_K + r.rank_vec)
+            assert r.rrf_micro == want and want > 0
+        # fused order is nonincreasing in rrf_micro
+        srt = sorted(rs, key=lambda r: r.fused_rank)
+        assert all(a.rrf_micro >= b.rrf_micro for a, b in zip(srt, srt[1:]))
