@@ -55,6 +55,12 @@ ENTRIES = [
     "attribution_position_based",  # largest-remainder credit split
     "text_feature_hashing",  # hash-mod dims + md5-bound dense fold
     "join_skew_hot_cold",  # hot/cold routing must not change results
+    "emb_kcenter_coreset",  # greedy argmax sequence with id tiebreaks
+    "dedup_sorted_neighborhood",  # global sort + rank-window candidates
+    "search_hybrid_rrf",  # two rankings + integer rank fusion
+    "events_daily_acf",  # decimal remainder-subtract micro floors
+    "events_rolling_trend",  # RANGE-window integer sums
+    "events_seasonal_outliers",  # cross-multiplied variance test
 ]
 
 
@@ -71,7 +77,10 @@ def test_result_invariant_under_shuffle_width(spark, sf_dir, name):
             df = q(spark, sf_dir)
             cols = sorted(df.columns)
             results[width] = sorted(
-                tuple(row[c] for c in cols) for row in df.select(*cols).collect()
+                (tuple(row[c] for c in cols) for row in df.select(*cols).collect()),
+                # None-safe total order (nullable columns, e.g. the
+                # k-center seed's d2 or RRF's single-list ranks)
+                key=lambda t: tuple((v is None, v) for v in t),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
