@@ -700,3 +700,128 @@ QUERIES["attribution_position_based"] = (
     q_attribution_position_based,
     SQL_ATTRIBUTION_POSITION_BASED,
 )
+
+
+BOOT_B = 50
+# Poisson(1) CDF in micro units (1e6): P(X<=k) for k = 0..4; mass above
+# 5 (~0.06%) is folded into count 5 (declared truncation).
+BOOT_CDF = [367879, 735759, 919699, 981012, 996340]
+
+
+def _boot_count_expr(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+def q_stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order value — the
+    distributed bootstrap (resample multiplicities drawn per (row,
+    replicate) instead of sampling rows, so each replicate is ONE
+    map-side weighted aggregate and the corpus is never materialized B
+    times per machine). Multiplicities are DETERMINISTIC: the portable
+    hash of (orderkey, replicate) maps through the Poisson(1) CDF in
+    micro constants (the Benford-style literal-table technique), so the
+    whole procedure is exact, reproducible, and FULLY oracle-checked —
+    no RNG, no seed drift between engines.
+
+    Replicate means are floor-micro cents (remainder-subtract in
+    DECIMAL — sum(c*cents)*1e6 clears int64 at warehouse scale); the CI
+    is the order-statistic pair (rank 2, rank B-1 of the B sorted
+    replicate means). Scale: one fanout of B rows per input row, all
+    partial-aggregated map-side per replicate — the textbook
+    shuffle-light bootstrap."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_boot_orders")
+    cnt = _boot_count_expr("u")
+    return spark.sql(
+        f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM _boot_orders
+        ),
+        fan AS (
+            SELECT b, cents,
+                   CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING),
+                       ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                       % 1000000 AS u
+            FROM base LATERAL VIEW explode(sequence(1, {BOOT_B})) t AS b
+        ),
+        reps AS (
+            SELECT b,
+                   CAST(sum(({cnt}) * cents) AS DECIMAL(38,0)) * 1000000 AS m,
+                   CAST(sum({cnt}) AS DECIMAL(38,0)) AS d
+            FROM fan GROUP BY b
+        ),
+        means AS (
+            SELECT b, CAST((m - (m % d)) / d AS BIGINT) AS mean_micro_cents
+            FROM reps
+        ),
+        ranked AS (
+            SELECT mean_micro_cents,
+                   row_number() OVER (ORDER BY mean_micro_cents, b) AS rk
+            FROM means
+        ),
+        full_mean AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) * 1000000 DIV count(*) AS BIGINT)
+                       AS mean_micro_cents
+            FROM base
+        )
+        SELECT f.n, f.mean_micro_cents,
+               (SELECT mean_micro_cents FROM ranked WHERE rk = 2) AS ci_lo_micro,
+               (SELECT mean_micro_cents FROM ranked WHERE rk = {BOOT_B - 1})
+                   AS ci_hi_micro
+        FROM full_mean f
+        """
+    )
+
+
+def _boot_sql() -> str:
+    cnt = _boot_count_expr("u")
+    return f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+fan AS (
+    SELECT t.b, cents,
+           CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+               CAST(t.b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
+    FROM base, unnest(range(1, {BOOT_B} + 1)) t(b)
+),
+reps AS (
+    SELECT b,
+           CAST(sum(({cnt}) * cents) AS HUGEINT) * 1000000 AS m,
+           CAST(sum({cnt}) AS HUGEINT) AS d
+    FROM fan GROUP BY b
+),
+means AS (
+    SELECT b, CAST((m - (m % d)) / d AS BIGINT) AS mean_micro_cents FROM reps
+),
+ranked AS (
+    SELECT mean_micro_cents,
+           row_number() OVER (ORDER BY mean_micro_cents, b) AS rk
+    FROM means
+),
+full_mean AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+               AS mean_micro_cents
+    FROM base
+)
+SELECT f.n, f.mean_micro_cents,
+       (SELECT mean_micro_cents FROM ranked WHERE rk = 2) AS ci_lo_micro,
+       (SELECT mean_micro_cents FROM ranked WHERE rk = {BOOT_B - 1})
+           AS ci_hi_micro
+FROM full_mean f
+"""
+
+
+QUERIES["stats_poisson_bootstrap_ci"] = (
+    q_stats_poisson_bootstrap_ci,
+    _boot_sql(),
+)

@@ -320,3 +320,19 @@ def test_weighted_median_matches_python(spark, sf_dir):
                 want = it[0]
                 break
         assert got[yr] == (tw, want), yr
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark, sf_dir):
+    """The bootstrap CI must bracket the full-sample mean with sane
+    width (CLT scale: a few sd/sqrt(n)); lo < mean < hi strictly for
+    this corpus (continuous-ish spend distribution)."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_stats_poisson_bootstrap_ci,
+    )
+
+    r = q_stats_poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r.ci_lo_micro < r.mean_micro_cents < r.ci_hi_micro
+    width = r.ci_hi_micro - r.ci_lo_micro
+    # spend sd ~ mean-scale; 95% CI width should be well under 20% of
+    # the mean at n >= 1500 and nonzero always
+    assert 0 < width < r.mean_micro_cents * 0.2
