@@ -825,3 +825,110 @@ QUERIES["stats_poisson_bootstrap_ci"] = (
     q_stats_poisson_bootstrap_ci,
     _boot_sql(),
 )
+
+
+SEQ_TOP = 20
+
+
+def q_seq_rules_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL market-basket rules ("bought brand A, came back for
+    brand B"): ordered pairs of part brands across a customer's
+    ADJACENT orders by date — the temporal complement of
+    assoc_rules_topk, which only sees co-occurrence inside one basket.
+    support = adjacent-order pairs exhibiting A-then-B; confidence =
+    support / occurrences of A in any order with a successor (exact
+    floor micro); top-20 by (confidence, support, a, b) total order.
+
+    Scale: order sequence numbers are one per-customer window; brands
+    ride a broadcast part join; the A-then-B join is keyed on
+    (custkey, rn) — adjacent only, so the expansion is bounded by
+    basket_size^2 per order pair, never orders^2."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_li")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
+    return spark.sql(
+        f"""
+        WITH seq AS (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_orders
+            FROM _sq_orders
+        ),
+        baskets AS (
+            SELECT DISTINCT s.o_custkey, s.rn, s.n_orders, p.p_brand
+            FROM seq s
+            JOIN _sq_li l ON l.l_orderkey = s.o_orderkey
+            JOIN _sq_part p ON p.p_partkey = l.l_partkey
+        ),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM baskets a JOIN baskets b
+              ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+            GROUP BY 1, 2
+        ),
+        antecedent AS (
+            SELECT p_brand AS brand_a, CAST(count(*) AS BIGINT) AS n_ant
+            FROM baskets WHERE rn < n_orders
+            GROUP BY 1
+        )
+        SELECT brand_a, brand_b, support,
+               CAST(support * 1000000 DIV n_ant AS DOUBLE) / 1000000
+                   AS confidence,
+               CAST(rk AS INT) AS rk
+        FROM (
+            SELECT p.*, a.n_ant,
+                   row_number() OVER (ORDER BY
+                       support * 1000000 DIV n_ant DESC,
+                       support DESC, brand_a ASC, brand_b ASC) AS rk
+            FROM pairs p JOIN antecedent a USING (brand_a)
+        )
+        WHERE rk <= {SEQ_TOP}
+        """
+    )
+
+
+SQL_SEQ_RULES_BRAND_TOPK = f"""
+WITH seq AS (
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+),
+baskets AS (
+    SELECT DISTINCT s.o_custkey, s.rn, s.n_orders, p.p_brand
+    FROM seq s
+    JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+),
+prs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM baskets a JOIN baskets b
+      ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+    GROUP BY 1, 2
+),
+antecedent AS (
+    SELECT p_brand AS brand_a, CAST(count(*) AS BIGINT) AS n_ant
+    FROM baskets WHERE rn < n_orders
+    GROUP BY 1
+)
+SELECT brand_a, brand_b, support,
+       CAST(support * 1000000 // n_ant AS DOUBLE) / 1000000 AS confidence,
+       CAST(rk AS INT) AS rk
+FROM (
+    SELECT p.*, a.n_ant,
+           row_number() OVER (ORDER BY support * 1000000 // n_ant DESC,
+               support DESC, brand_a ASC, brand_b ASC) AS rk
+    FROM prs p JOIN antecedent a USING (brand_a)
+)
+WHERE rk <= {SEQ_TOP}
+"""
+
+
+QUERIES["seq_rules_brand_topk"] = (
+    q_seq_rules_brand_topk,
+    SQL_SEQ_RULES_BRAND_TOPK,
+)

@@ -66,3 +66,107 @@ FROM classes
 QUERIES = {
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_PRIVACY_K_ANONYMITY),
 }
+
+
+ERASE_MOD = 37  # deterministic synthetic deletion-request list
+
+
+def q_privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten execution audit: given a deletion-request
+    list (users with user_id % 37 == 0 — a deterministic stand-in for
+    the DSR queue), apply the erasure to the events feed via an
+    anti-join and emit the compliance accounting every DPO report
+    needs: rows before/after, rows erased, distinct subjects erased vs
+    requested, RESIDUAL references after erasure (must be 0 — the gate
+    column), and the conservation identity before = after + erased.
+
+    The requests table also carries never-seen subjects (requested ids
+    not present in the feed) — the audit separates "erased" from
+    "nothing to erase", which real DSR tooling must distinguish.
+
+    Scale: one broadcast anti-join (the request list is tiny relative
+    to the feed) + conditional aggregates in one pass each over feed
+    and survivor sets; nothing driver-side. At 100 TB the erasure is
+    the same anti-join feeding a partition rewrite (merge_into /
+    snapshot store), and this report reads the rewritten table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_er_events")
+    return spark.sql(
+        f"""
+        WITH requests AS (
+            SELECT DISTINCT user_id FROM _er_events
+            WHERE user_id % {ERASE_MOD} = 0
+            UNION
+            SELECT 999999999 AS user_id  -- a never-seen subject
+        ),
+        survivors AS (
+            SELECT e.* FROM _er_events e
+            LEFT ANTI JOIN requests r ON e.user_id = r.user_id
+        ),
+        feed AS (
+            SELECT CAST(count(*) AS BIGINT) AS rows_before,
+                   CAST(count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                        THEN user_id END) AS BIGINT) AS subjects_in_feed
+            FROM _er_events
+        ),
+        after AS (
+            SELECT CAST(count(*) AS BIGINT) AS rows_after,
+                   CAST(count(CASE WHEN user_id % {ERASE_MOD} = 0
+                        THEN 1 END) AS BIGINT) AS residual_refs
+            FROM survivors
+        ),
+        req AS (
+            SELECT CAST(count(*) AS BIGINT) AS subjects_requested
+            FROM requests
+        )
+        SELECT f.rows_before, a.rows_after,
+               f.rows_before - a.rows_after AS rows_erased,
+               r.subjects_requested, f.subjects_in_feed,
+               r.subjects_requested - f.subjects_in_feed
+                   AS subjects_nothing_to_erase,
+               a.residual_refs,
+               CAST(CASE WHEN a.residual_refs = 0 THEN 1 ELSE 0 END AS INT)
+                   AS erasure_complete
+        FROM feed f CROSS JOIN after a CROSS JOIN req r
+        """
+    )
+
+
+SQL_PRIVACY_ERASURE_AUDIT = f"""
+WITH requests AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+    UNION
+    SELECT 999999999 AS user_id
+),
+survivors AS (
+    SELECT e.* FROM events e
+    ANTI JOIN requests r ON e.user_id = r.user_id
+),
+feed AS (
+    SELECT CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(DISTINCT CASE WHEN user_id % {ERASE_MOD} = 0
+                THEN user_id END) AS BIGINT) AS subjects_in_feed
+    FROM events
+),
+after AS (
+    SELECT CAST(count(*) AS BIGINT) AS rows_after,
+           CAST(count(CASE WHEN user_id % {ERASE_MOD} = 0 THEN 1 END)
+               AS BIGINT) AS residual_refs
+    FROM survivors
+),
+req AS (SELECT CAST(count(*) AS BIGINT) AS subjects_requested FROM requests)
+SELECT f.rows_before, a.rows_after,
+       f.rows_before - a.rows_after AS rows_erased,
+       r.subjects_requested, f.subjects_in_feed,
+       r.subjects_requested - f.subjects_in_feed
+           AS subjects_nothing_to_erase,
+       a.residual_refs,
+       CAST(CASE WHEN a.residual_refs = 0 THEN 1 ELSE 0 END AS INT)
+           AS erasure_complete
+FROM feed f CROSS JOIN after a CROSS JOIN req r
+"""
+
+
+QUERIES["privacy_erasure_audit"] = (
+    q_privacy_erasure_audit,
+    SQL_PRIVACY_ERASURE_AUDIT,
+)
