@@ -99,11 +99,11 @@ def q_orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rev
         ),
         classed AS (
+            -- cross-multiplied 80%/95% cuts: cum*5 <= total*4 and
+            -- cum*20 <= total*19 — no *1e6 blowup, exact to ~4e17 cents
             SELECT l_partkey, rev_cents,
-                   CASE WHEN cum_cents * 1000000 DIV total_cents <= 800000
-                        THEN 'A'
-                        WHEN cum_cents * 1000000 DIV total_cents <= 950000
-                        THEN 'B'
+                   CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                        WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM ranked
         )
@@ -132,8 +132,8 @@ ranked AS (
 ),
 classed AS (
     SELECT l_partkey, rev_cents,
-           CASE WHEN cum_cents * 1000000 // total_cents <= 800000 THEN 'A'
-                WHEN cum_cents * 1000000 // total_cents <= 950000 THEN 'B'
+           CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM ranked
 )
@@ -765,10 +765,14 @@ def q_stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM means
         ),
         full_mean AS (
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(cents) * 1000000 DIV count(*) AS BIGINT)
-                       AS mean_micro_cents
-            FROM base
+            SELECT CAST(cnt AS BIGINT) AS n,
+                   CAST((fm - (fm % fd)) / fd AS BIGINT) AS mean_micro_cents
+            FROM (
+                SELECT count(*) AS cnt,
+                       CAST(sum(cents) AS DECIMAL(38,0)) * 1000000 AS fm,
+                       CAST(count(*) AS DECIMAL(38,0)) AS fd
+                FROM base
+            )
         )
         SELECT f.n, f.mean_micro_cents,
                (SELECT mean_micro_cents FROM ranked WHERE rk = 2) AS ci_lo_micro,
@@ -800,7 +804,7 @@ reps AS (
     FROM fan GROUP BY b
 ),
 means AS (
-    SELECT b, CAST((m - (m % d)) / d AS BIGINT) AS mean_micro_cents FROM reps
+    SELECT b, CAST((m - (m % d)) // d AS BIGINT) AS mean_micro_cents FROM reps
 ),
 ranked AS (
     SELECT mean_micro_cents,
@@ -808,10 +812,14 @@ ranked AS (
     FROM means
 ),
 full_mean AS (
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
-               AS mean_micro_cents
-    FROM base
+    SELECT CAST(cnt AS BIGINT) AS n,
+           CAST((fm - (fm % fd)) // fd AS BIGINT) AS mean_micro_cents
+    FROM (
+        SELECT count(*) AS cnt,
+               CAST(sum(cents) AS HUGEINT) * 1000000 AS fm,
+               CAST(count(*) AS HUGEINT) AS fd
+        FROM base
+    )
 )
 SELECT f.n, f.mean_micro_cents,
        (SELECT mean_micro_cents FROM ranked WHERE rk = 2) AS ci_lo_micro,

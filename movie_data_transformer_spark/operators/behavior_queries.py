@@ -94,7 +94,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), monetary (exact decimal revenue). Each dimension gets
     ntile(4) over a TOTAL order (metric, custkey) — 4 = best. The
     global ntile runs on the |customers|-row aggregate, never the
-    order facts."""
+    order facts. Quintile sibling with concatenated segment labels:
+    analytics_extras_queries.q_customers_rfm_scores (the recency
+    definitions are bound together by
+    test_rfm_siblings_agree_on_recency)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),

@@ -1007,12 +1007,25 @@ def ppjoin_prefix_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"), F.col("m").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"), F.col("m").alias("n_b"))
+    # BIGINT sizes: F.size is IntegerType and n_inter * 1000000 wraps
+    # int32 at n_inter >= 2148 — inside the long-document domain
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("m").cast("bigint").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("m").cast("bigint").alias("n_b"),
+    )
     verified = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("set_a", "set_b")).cast("bigint"),
+        )
         .select("doc_a", "doc_b", F.expr(JACCARD_MICRO_EXPR).alias("jaccard"))
     )
     return verified.filter(

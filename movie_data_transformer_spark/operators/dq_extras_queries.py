@@ -104,8 +104,9 @@ def q_source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum of c_a over ALL of a's tokens is N_a). So: one (source, token)
     count table, one token-keyed self-join over SHARED tokens, and the
     190-row pair spine (totals x totals, broadcast) supplies the
-    completion terms — pairs sharing nothing fall out as TV = 1. All
-    bigint; one micro floor at the end.
+    completion terms — pairs sharing nothing fall out as TV = 1.
+    Partials in DECIMAL(38,0)/HUGEINT (c*N clears int64 at ~3e9 tokens
+    per source); one remainder-subtract micro floor at the end.
 
     Scale: the count table is vocab-sized per source (not corpus-sized);
     the self-join is bounded by sum_t df(t)^2 over sources — with S
@@ -131,24 +132,36 @@ def q_source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM totals a JOIN totals b ON a.source < b.source
         ),
         shared AS (
+            -- DECIMAL(38,0) partials: c*N and N_a*N_b clear int64 once a
+            -- source holds ~3e9 tokens — inside the 100 TB domain
             SELECT a.source AS src_a, b.source AS src_b,
-                   CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS s_abs,
-                   CAST(sum(a.c * tb.n) AS BIGINT) AS s_a,
-                   CAST(sum(b.c * ta.n) AS BIGINT) AS s_b
+                   CAST(sum(abs(CAST(a.c AS DECIMAL(19,0)) * tb.n
+                       - CAST(b.c AS DECIMAL(19,0)) * ta.n))
+                       AS DECIMAL(38,0)) AS s_abs,
+                   CAST(sum(CAST(a.c AS DECIMAL(19,0)) * tb.n)
+                       AS DECIMAL(38,0)) AS s_a,
+                   CAST(sum(CAST(b.c AS DECIMAL(19,0)) * ta.n)
+                       AS DECIMAL(38,0)) AS s_b
             FROM counts a
             JOIN counts b ON a.tok = b.tok AND a.source < b.source
             JOIN totals ta ON ta.source = a.source
             JOIN totals tb ON tb.source = b.source
             GROUP BY 1, 2
         )
-        SELECT s.src_a, s.src_b,
-               CAST((coalesce(sh.s_abs, 0)
-                     + (s.n_a * s.n_b - coalesce(sh.s_a, 0))
-                     + (s.n_a * s.n_b - coalesce(sh.s_b, 0)))
-                    * 1000000 DIV (2 * s.n_a * s.n_b) AS DOUBLE) / 1000000
+        SELECT src_a, src_b,
+               CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000
                    AS tv_distance
-        FROM spine s
-        LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+        FROM (
+            SELECT s.src_a, s.src_b,
+                   (coalesce(sh.s_abs, 0)
+                    + (CAST(s.n_a AS DECIMAL(19,0)) * s.n_b
+                       - coalesce(sh.s_a, 0))
+                    + (CAST(s.n_a AS DECIMAL(19,0)) * s.n_b
+                       - coalesce(sh.s_b, 0))) * 1000000 AS m,
+                   CAST(2 AS DECIMAL(19,0)) * s.n_a * s.n_b AS d
+            FROM spine s
+            LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+        )
         """
     )
 
@@ -175,23 +188,29 @@ spine AS (
 ),
 shared AS (
     SELECT a.source AS src_a, b.source AS src_b,
-           CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS s_abs,
-           CAST(sum(a.c * tb.n) AS BIGINT) AS s_a,
-           CAST(sum(b.c * ta.n) AS BIGINT) AS s_b
+           CAST(sum(abs(CAST(a.c AS HUGEINT) * tb.n
+               - CAST(b.c AS HUGEINT) * ta.n)) AS HUGEINT) AS s_abs,
+           CAST(sum(CAST(a.c AS HUGEINT) * tb.n) AS HUGEINT) AS s_a,
+           CAST(sum(CAST(b.c AS HUGEINT) * ta.n) AS HUGEINT) AS s_b
     FROM counts a
     JOIN counts b ON a.tok = b.tok AND a.source < b.source
     JOIN totals ta ON ta.source = a.source
     JOIN totals tb ON tb.source = b.source
     GROUP BY 1, 2
 )
-SELECT s.src_a, s.src_b,
-       CAST((coalesce(sh.s_abs, 0)
-             + (s.n_a * s.n_b - coalesce(sh.s_a, 0))
-             + (s.n_a * s.n_b - coalesce(sh.s_b, 0)))
-            * 1000000 // (2 * s.n_a * s.n_b) AS DOUBLE) / 1000000
+SELECT src_a, src_b,
+       CAST(CAST((m - (m % d)) // d AS BIGINT) AS DOUBLE) / 1000000
            AS tv_distance
-FROM spine s
-LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+FROM (
+    SELECT s.src_a, s.src_b,
+           (coalesce(sh.s_abs, 0)
+            + (CAST(s.n_a AS HUGEINT) * s.n_b - coalesce(sh.s_a, 0))
+            + (CAST(s.n_a AS HUGEINT) * s.n_b - coalesce(sh.s_b, 0)))
+               * 1000000 AS m,
+           CAST(2 AS HUGEINT) * s.n_a * s.n_b AS d
+    FROM spine s
+    LEFT JOIN shared sh ON sh.src_a = s.src_a AND sh.src_b = s.src_b
+)
 """
 
 

@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from movie_data_transformer_spark.operators.embedding_pipeline_queries import (
+    FH_DIMS,
+)
 from movie_data_transformer_spark.operators.search_ranking_queries import (
     QUERIES as _SRQ,
     QUERY_TERMS,
@@ -29,7 +32,6 @@ from movie_data_transformer_spark.sources.tables import load_table
 
 RRF_K = 60
 FUSED_TOP = 10
-FH_DIMS = 64
 
 _QUERY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in QUERY_TERMS)
 

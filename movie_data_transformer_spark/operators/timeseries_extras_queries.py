@@ -408,8 +408,8 @@ num AS (
     GROUP BY l.k
 )
 SELECT CAST(k AS INT) AS lag, n_pairs,
-       CAST((m - (m % d)) / d AS BIGINT) AS acf_micro,
-       CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000 AS acf
+       CAST((m - (m % d)) // d AS BIGINT) AS acf_micro,
+       CAST(CAST((m - (m % d)) // d AS BIGINT) AS DOUBLE) / 1000000 AS acf
 FROM (SELECT k, n_pairs, p * 1000000 AS m, d
       FROM num CROSS JOIN den)
 """
@@ -497,8 +497,8 @@ sums AS (
                  AND CURRENT ROW)
 )
 SELECT day_idx, n AS n_days,
-       CAST((m - (m % d)) / d AS BIGINT) AS slope_micro,
-       CAST(CAST((m - (m % d)) / d AS BIGINT) AS DOUBLE) / 1000000
+       CAST((m - (m % d)) // d AS BIGINT) AS slope_micro,
+       CAST(CAST((m - (m % d)) // d AS BIGINT) AS DOUBLE) / 1000000
            AS slope_micro_value_per_day
 FROM (
     SELECT day_idx, n,
@@ -753,8 +753,8 @@ SELECT day_idx AS split_after_day,
        CAST(s2 * 1000000 // n2 AS BIGINT) AS mean_after_micro,
        CAST(score_micro AS BIGINT) AS score_micro
 FROM (
-    SELECT *, (m - (m % d)) / d AS score_micro,
-           row_number() OVER (ORDER BY (m - (m % d)) / d DESC,
+    SELECT *, (m - (m % d)) // d AS score_micro,
+           row_number() OVER (ORDER BY (m - (m % d)) // d DESC,
                day_idx ASC) AS rk
     FROM scored
 )

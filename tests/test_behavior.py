@@ -113,3 +113,20 @@ def test_rfm_plan_aggregates_before_global_sort(spark, sf_dir):
     # executedPlan prints top-down: Window (later stage) appears before
     # the aggregate feeding it.
     assert win_pos < agg_pos
+
+
+def test_rfm_siblings_agree_on_recency(spark, sf_dir):
+    """The quartile (behavior_queries) and quintile (analytics_extras)
+    RFM operators must agree exactly on the customer set and on every
+    customer's recency_days — the shared definition that must not
+    drift between the two implementations."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_customers_rfm_scores,
+    )
+    from movie_data_transformer_spark.operators.behavior_queries import (
+        q_rfm_segments,
+    )
+
+    a = {r.o_custkey: r.recency_days for r in q_rfm_segments(spark, sf_dir).collect()}
+    b = {r.custkey: r.recency_days for r in q_customers_rfm_scores(spark, sf_dir).collect()}
+    assert a == b
