@@ -1,0 +1,126 @@
+"""Catch-all module for entries added AFTER the r10/r11 driver-window
+plans were committed (NOTES.md): registered last in _MODULES, queued for
+r12, so the frozen window sums stay exact. Same rules as everywhere
+else — full DuckDB oracles, exact integer math, validated at 3 SFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
+
+from movie_data_transformer_spark.operators.multimodal import (
+    bmp_decode_pixels,
+    synthesize_bmp_media,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+HISTEQ_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("levels_before", LongType()),
+        StructField("levels_after", LongType()),
+        StructField("eq_sum", LongType()),
+        StructField("eq_min", LongType()),
+        StructField("eq_max", LongType()),
+    ]
+)
+
+
+def q_mm_histogram_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third real pixel transform: classic histogram equalization of the
+    red channel over decoded 24-bit BMPs — he(v) = (cdf(v) - cdf_min)
+    * 255 DIV (n_px - cdf_min), the exact-integer contrast stretch
+    every imaging pipeline ships. Reported per image: pixel count,
+    distinct gray levels before/after, and the equalized sum/min/max —
+    a wrong cdf convention (strict vs <=), a wrong cdf_min, or a
+    round-instead-of-floor each flips the hash. The generative pixel
+    formula guarantees >= 2 levels (x=0 vs x=1 differ by 13 mod 256),
+    so the denominator never hits 0. One mapInPandas projection, no
+    shuffle; the oracle recomputes the mapping from the pixel formula
+    with a per-level cumulative window."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+
+    def eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                img = bmp_decode_pixels(bytes(blob)).astype(np.int64)
+                r = img[:, :, 0].ravel()
+                n = r.size
+                levels, counts = np.unique(r, return_counts=True)
+                cdf = np.cumsum(counts)
+                cdf_min = int(cdf[0])
+                mapped = (cdf - cdf_min) * 255 // (n - cdf_min)
+                lut = dict(zip(levels.tolist(), mapped.tolist()))
+                eqv = np.array([lut[v] for v in r.tolist()], dtype=np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        int(n),
+                        int(levels.size),
+                        int(np.unique(eqv).size),
+                        int(eqv.sum()),
+                        int(eqv.min()),
+                        int(eqv.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_px", "levels_before", "levels_after",
+                    "eq_sum", "eq_min", "eq_max",
+                ],
+            )
+
+    return media.mapInPandas(eq, HISTEQ_SCHEMA)
+
+
+SQL_MM_HISTOGRAM_EQUALIZE = """
+WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h
+           FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+cell AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+px AS (SELECT doc_id, w * h AS n_px,
+              (doc_id * 7 + x * 13 + y * 31) % 256 AS r
+       FROM cell),
+hist AS (
+    SELECT doc_id, n_px, r, count(*) AS c
+    FROM px GROUP BY 1, 2, 3
+),
+cdf AS (
+    SELECT doc_id, n_px, r, c,
+           sum(c) OVER (PARTITION BY doc_id ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           min(r) OVER (PARTITION BY doc_id) AS r_min
+    FROM hist
+),
+mapped AS (
+    SELECT c1.doc_id, c1.n_px, c1.r, c1.c,
+           (c1.cum - cm.cum) * 255 // (c1.n_px - cm.cum) AS he
+    FROM cdf c1
+    JOIN cdf cm ON cm.doc_id = c1.doc_id AND cm.r = c1.r_min
+)
+SELECT doc_id,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(count(*) AS BIGINT) AS levels_before,
+       CAST(count(DISTINCT he) AS BIGINT) AS levels_after,
+       CAST(sum(he * c) AS BIGINT) AS eq_sum,
+       CAST(min(he) AS BIGINT) AS eq_min,
+       CAST(max(he) AS BIGINT) AS eq_max
+FROM mapped
+GROUP BY doc_id, n_px
+"""
+
+
+QUERIES = {
+    "mm_histogram_equalize": (q_mm_histogram_equalize, SQL_MM_HISTOGRAM_EQUALIZE),
+}

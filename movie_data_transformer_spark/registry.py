@@ -102,6 +102,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.privacy_extras_queries",
     "movie_data_transformer_spark.operators.skew_extras_queries",
     "movie_data_transformer_spark.operators.search_extras_queries",
+    "movie_data_transformer_spark.operators.late_r6_queries",
 ]
 
 
