@@ -124,3 +124,116 @@ GROUP BY doc_id, n_px
 QUERIES = {
     "mm_histogram_equalize": (q_mm_histogram_equalize, SQL_MM_HISTOGRAM_EQUALIZE),
 }
+
+
+def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'what did dedup buy us' accounting — one report tying the
+    three dedup tiers together over the planted-dup corpus:
+
+      exact          - full-text digest groups: removable copies and
+                       the token mass they free (copies share the
+                       keeper's token count exactly)
+      near_candidates- docs touched by >= 1 MinHash pair (theta=0.3):
+                       the UPPER BOUND on near-dedup removal, with
+                       their total token mass (the cluster-canonical
+                       policy decides the final cut — dedup_apply_filter)
+      cdc_chunks     - chunk-level storage savings: (refs-1) x token
+                       mass over shared content-defined chunks (what a
+                       chunk store would NOT write twice)
+
+    Composes the PRODUCTION operators (exact digest convention, the
+    real minhash pair generator, the real CDC histogram); the oracle
+    composes the same published CTE fragments, so a drift in any tier's
+    semantics breaks this hash too. Output: (method, n_units,
+    tokens_saved) — three rows, exact bigints."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.dedup import (
+        augmented_corpus,
+        minhash_dedup_pairs,
+        normalize_text,
+    )
+    from movie_data_transformer_spark.operators.dedup_extras_queries import (
+        q_dedup_cdc_chunks,
+    )
+
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", normalize_text(F.col("text")).alias("text"), "lang", "n_chars"
+    ).persist()  # three consumers: digest groups, pair-doc join, CDC input
+    exact = (
+        corpus.groupBy(F.md5("text").alias("dig"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.size(F.split("text", " "))).cast("bigint").alias("toks"),
+        )
+        .filter(F.col("c") >= 2)
+        .agg(
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_units"),
+            F.sum((F.col("c") - 1) * F.col("toks")).cast("bigint").alias("tokens_saved"),
+        )
+        .selectExpr("'exact' AS method", "n_units", "tokens_saved")
+    )
+    pairs = minhash_dedup_pairs(corpus, n=3, threshold=0.3, max_bucket_size=10_000)
+    near_docs = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    near = (
+        near_docs.join(corpus, "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_units"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens_saved"),
+        )
+        .selectExpr("'near_candidates' AS method", "n_units", "tokens_saved")
+    )
+    cdc = (
+        q_dedup_cdc_chunks(spark, sf_dir)
+        .filter(F.col("refs") >= 2)
+        .agg(
+            F.sum("n_chunks").cast("bigint").alias("n_units"),
+            F.sum((F.col("refs") - 1) * F.col("chunk_tokens")).cast("bigint").alias("tokens_saved"),
+        )
+        .selectExpr("'cdc_chunks' AS method", "n_units", "tokens_saved")
+    )
+    return exact.unionAll(near).unionAll(cdc)
+
+
+def _impact_sql() -> str:
+    from movie_data_transformer_spark.operators.dedup_extras_queries import (
+        _cdc_sql,
+    )
+    from movie_data_transformer_spark.operators.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+exact_g AS (
+    SELECT md5(text) AS dig, count(*) AS c,
+           min(len(string_split(text, ' '))) AS toks
+    FROM corpus GROUP BY 1
+),
+near_docs AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    )
+),
+cdc_hist AS (SELECT * FROM ({_cdc_sql()}) h)
+SELECT 'exact' AS method,
+       CAST(sum(c - 1) AS BIGINT) AS n_units,
+       CAST(sum((c - 1) * toks) AS BIGINT) AS tokens_saved
+FROM exact_g WHERE c >= 2
+UNION ALL
+SELECT 'near_candidates',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(len(string_split(c2.text, ' '))) AS BIGINT)
+FROM near_docs JOIN corpus c2 USING (doc_id)
+UNION ALL
+SELECT 'cdc_chunks',
+       CAST(sum(n_chunks) AS BIGINT),
+       CAST(sum((refs - 1) * chunk_tokens) AS BIGINT)
+FROM cdc_hist WHERE refs >= 2
+"""
+
+
+QUERIES["dedup_impact_report"] = (q_dedup_impact_report, _impact_sql())
