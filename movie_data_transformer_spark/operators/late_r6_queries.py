@@ -237,3 +237,158 @@ FROM cdc_hist WHERE refs >= 2
 
 
 QUERIES["dedup_impact_report"] = (q_dedup_impact_report, _impact_sql())
+
+
+def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent roll-up over the region -> nation hierarchy:
+    per nation, exact-cents revenue with its floor-micro share of the
+    parent region AND the region's share of the grand total — the
+    drill-down report every BI layer renders. Shares are window-over-
+    parent on the small nation-grain aggregate (the q11/q15 small-
+    aggregate pattern); the one corpus-sized shuffle is the customer-
+    keyed revenue roll-up, with region/nation dims broadcast."""
+    from pyspark.sql import functions as F  # noqa: F401 (selectExpr below)
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_rs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_rs_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("_rs_region")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM _rs_orders o
+            JOIN _rs_customer c ON c.c_custkey = o.o_custkey
+            JOIN _rs_nation n ON n.n_nationkey = c.c_nationkey
+            JOIN _rs_region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name, rev_cents,
+               CAST(rev_cents * 1000000 DIV (sum(rev_cents)
+                   OVER (PARTITION BY r_name)) AS DOUBLE) / 1000000
+                   AS share_of_region,
+               CAST(sum(rev_cents) OVER (PARTITION BY r_name) * 1000000
+                   DIV (sum(rev_cents) OVER ()) AS DOUBLE) / 1000000
+                   AS region_share_of_total
+        FROM rev
+        """
+    )
+
+
+SQL_REVENUE_SHARE_HIERARCHY = """
+WITH rev AS (
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, rev_cents,
+       CAST(rev_cents * 1000000 // (sum(rev_cents)
+           OVER (PARTITION BY r_name)) AS DOUBLE) / 1000000
+           AS share_of_region,
+       CAST(sum(rev_cents) OVER (PARTITION BY r_name) * 1000000
+           // (sum(rev_cents) OVER ()) AS DOUBLE) / 1000000
+           AS region_share_of_total
+FROM rev
+"""
+
+
+QUERIES["revenue_share_hierarchy"] = (
+    q_revenue_share_hierarchy,
+    SQL_REVENUE_SHARE_HIERARCHY,
+)
+
+
+def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend terciles (low/mid/high,
+    ntile over the total order (spend, custkey)) computed independently
+    for the first and second half of the order history (split at the
+    median order date via the midpoint of min/max epoch-days), then the
+    transition counts between the two classifications — churned-in /
+    churned-out customers appear against the 'absent' segment. The
+    'who moved down' report behind every retention program.
+
+    Scale: two customer-grain aggs (one per half, same shuffle key),
+    tercile windows on the customer table, full-outer join on custkey."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_mig_orders")
+    return spark.sql(
+        """
+        WITH bounds AS (
+            SELECT (min(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)))
+                    DIV 86400
+                    + max(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)))
+                    DIV 86400) DIV 2 AS mid
+            FROM _mig_orders
+        ),
+        halves AS (
+            SELECT o_custkey,
+                   CASE WHEN unix_timestamp(CAST(o_orderdate AS TIMESTAMP))
+                        DIV 86400 <= mid THEN 1 ELSE 2 END AS half,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM _mig_orders CROSS JOIN bounds
+        ),
+        spend AS (
+            SELECT o_custkey, half, CAST(sum(cents) AS BIGINT) AS spend
+            FROM halves GROUP BY 1, 2
+        ),
+        terciled AS (
+            SELECT o_custkey, half,
+                   ntile(3) OVER (PARTITION BY half
+                       ORDER BY spend ASC, o_custkey ASC) AS t
+            FROM spend
+        ),
+        h1 AS (SELECT o_custkey, t FROM terciled WHERE half = 1),
+        h2 AS (SELECT o_custkey, t FROM terciled WHERE half = 2)
+        SELECT coalesce(CAST(h1.t AS STRING), 'absent') AS seg_h1,
+               coalesce(CAST(h2.t AS STRING), 'absent') AS seg_h2,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM h1 FULL OUTER JOIN h2 ON h2.o_custkey = h1.o_custkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+SQL_CUSTOMER_MIGRATION_MATRIX = """
+WITH bounds AS (
+    SELECT (CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+            // 86400) AS d FROM orders
+),
+mid_t AS (SELECT (min(d) + max(d)) // 2 AS mid FROM bounds),
+halves AS (
+    SELECT o_custkey,
+           CASE WHEN CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)))
+                AS BIGINT) // 86400 <= mid THEN 1 ELSE 2 END AS half,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders CROSS JOIN mid_t
+),
+spend AS (
+    SELECT o_custkey, half, CAST(sum(cents) AS BIGINT) AS spend
+    FROM halves GROUP BY 1, 2
+),
+terciled AS (
+    SELECT o_custkey, half,
+           ntile(3) OVER (PARTITION BY half
+               ORDER BY spend ASC, o_custkey ASC) AS t
+    FROM spend
+),
+h1 AS (SELECT o_custkey, t FROM terciled WHERE half = 1),
+h2 AS (SELECT o_custkey, t FROM terciled WHERE half = 2)
+SELECT coalesce(CAST(h1.t AS VARCHAR), 'absent') AS seg_h1,
+       coalesce(CAST(h2.t AS VARCHAR), 'absent') AS seg_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM h1 FULL OUTER JOIN h2 ON h2.o_custkey = h1.o_custkey
+GROUP BY 1, 2
+"""
+
+
+QUERIES["customer_migration_matrix"] = (
+    q_customer_migration_matrix,
+    SQL_CUSTOMER_MIGRATION_MATRIX,
+)
