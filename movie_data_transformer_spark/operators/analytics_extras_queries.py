@@ -854,21 +854,27 @@ def q_seq_rules_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_li")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
-    return spark.sql(
-        f"""
+    # baskets feeds THREE consumers (both pair sides + the antecedent
+    # agg); Spark inlines CTEs, so materialize the fact-sized join once
+    baskets = spark.sql(
+        """
         WITH seq AS (
             SELECT o_orderkey, o_custkey,
                    row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS rn,
                    count(*) OVER (PARTITION BY o_custkey) AS n_orders
             FROM _sq_orders
-        ),
-        baskets AS (
-            SELECT DISTINCT s.o_custkey, s.rn, s.n_orders, p.p_brand
-            FROM seq s
-            JOIN _sq_li l ON l.l_orderkey = s.o_orderkey
-            JOIN _sq_part p ON p.p_partkey = l.l_partkey
-        ),
+        )
+        SELECT DISTINCT s.o_custkey, s.rn, s.n_orders, p.p_brand
+        FROM seq s
+        JOIN _sq_li l ON l.l_orderkey = s.o_orderkey
+        JOIN _sq_part p ON p.p_partkey = l.l_partkey
+        """
+    ).persist()
+    baskets.createOrReplaceTempView("_sq_baskets")
+    return spark.sql(
+        f"""
+        WITH baskets AS (SELECT * FROM _sq_baskets),
         pairs AS (
             SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
                    CAST(count(*) AS BIGINT) AS support

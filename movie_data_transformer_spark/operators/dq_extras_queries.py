@@ -114,15 +114,23 @@ def q_source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_data_transformer_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    docs.select(
-        "source", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
-    ).createOrReplaceTempView("_tv_toks")
+    # Spark SQL CTEs are INLINED per consumer: `counts` feeds six
+    # subtree references (both shared sides, both total joins, both
+    # spine sides), which would re-tokenize the corpus six times in the
+    # static plan — materialize the vocab-sized count table once.
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    counts.createOrReplaceTempView("_tv_counts")
     return spark.sql(
         """
-        WITH counts AS (
-            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
-            FROM _tv_toks GROUP BY 1, 2
-        ),
+        WITH counts AS (SELECT * FROM _tv_counts),
         totals AS (
             SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
         ),

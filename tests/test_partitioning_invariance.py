@@ -61,6 +61,11 @@ ENTRIES = [
     "events_daily_acf",  # decimal remainder-subtract micro floors
     "events_rolling_trend",  # RANGE-window integer sums
     "events_seasonal_outliers",  # cross-multiplied variance test
+    "dedup_impact_report",  # composes three order-sensitive tiers
+    "customer_migration_matrix",  # per-half ntile terciles
+    "revenue_share_hierarchy",  # parent-share windows
+    "stats_poisson_bootstrap_ci",  # hash multiplicities + order stats
+    "mm_histogram_equalize",  # per-image cdf mapping
 ]
 
 
