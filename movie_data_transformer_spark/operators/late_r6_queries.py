@@ -392,3 +392,103 @@ QUERIES["customer_migration_matrix"] = (
     q_customer_migration_matrix,
     SQL_CUSTOMER_MIGRATION_MATRIX,
 )
+
+
+def q_stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-contract check as a CONTINUOUS gate: events stream
+    through an availableNow foreachBatch run (map-only projection of
+    the checked fields appended per micro-batch) and the expectations
+    report — completeness(user_id, ts), compliance(value >= 0),
+    uniqueness(event_id) — is evaluated in finalize over the
+    accumulated log, the production shape where every landing
+    micro-batch refreshes the contract dashboard before downstream
+    consumers read it. Counts are associative, so the report is
+    slicing-invariant and shares a batch-form FULL oracle (the
+    dq_expectations_report sibling does the batch/orders side)."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.sources.tables import load_events_stream
+    from movie_data_transformer_spark.streaming.harness import (
+        run_availablenow_to_df,
+    )
+
+    stream = load_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
+    proj = stream.select("event_id", "user_id", "ts", "value")
+
+    def finalize(em: DataFrame) -> DataFrame:
+        em.createOrReplaceTempView("_sdq_log")
+        return em.sparkSession.sql(
+            """
+            WITH base AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(user_id) AS BIGINT) AS nn_user,
+                       CAST(count(ts) AS BIGINT) AS nn_ts,
+                       CAST(count(CASE WHEN value >= 0 THEN 1 END) AS BIGINT)
+                           AS nonneg
+                FROM _sdq_log
+            ),
+            uniq AS (
+                SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS unique_keys
+                FROM (SELECT event_id, count(*) AS c
+                      FROM _sdq_log GROUP BY event_id)
+            ),
+            report AS (
+                SELECT 'completeness:user_id' AS expectation,
+                       nn_user AS passed, n - nn_user AS failed, n FROM base
+                UNION ALL
+                SELECT 'completeness:ts', nn_ts, n - nn_ts, n FROM base
+                UNION ALL
+                SELECT 'compliance:value>=0', nonneg, n - nonneg, n FROM base
+                UNION ALL
+                SELECT 'uniqueness:event_id',
+                       unique_keys, n_rows - unique_keys, n_rows FROM uniq
+            )
+            SELECT expectation, passed, failed,
+                   CAST(passed * 1000000 DIV n AS DOUBLE) / 1000000
+                       AS pass_rate,
+                   CAST(CASE WHEN failed = 0 THEN 1 ELSE 0 END AS INT) AS ok
+            FROM report
+            """
+        )
+
+    return run_availablenow_to_df(proj, "append", "mdt_sdq_", finalize=finalize)
+
+
+SQL_STREAM_DQ_EXPECTATIONS = """
+WITH base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(user_id) AS BIGINT) AS nn_user,
+           CAST(count(ts) AS BIGINT) AS nn_ts,
+           CAST(count(CASE WHEN value >= 0 THEN 1 END) AS BIGINT) AS nonneg
+    FROM events
+),
+uniq AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS unique_keys
+    FROM (SELECT event_id, count(*) AS c FROM events GROUP BY event_id)
+),
+report AS (
+    SELECT 'completeness:user_id' AS expectation,
+           nn_user AS passed, n - nn_user AS failed, n FROM base
+    UNION ALL
+    SELECT 'completeness:ts', nn_ts, n - nn_ts, n FROM base
+    UNION ALL
+    SELECT 'compliance:value>=0', nonneg, n - nonneg, n FROM base
+    UNION ALL
+    SELECT 'uniqueness:event_id', unique_keys, n_rows - unique_keys, n_rows
+    FROM uniq
+)
+SELECT expectation, passed, failed,
+       CAST(passed * 1000000 // n AS DOUBLE) / 1000000 AS pass_rate,
+       CAST(CASE WHEN failed = 0 THEN 1 ELSE 0 END AS INT) AS ok
+FROM report
+"""
+
+
+QUERIES["stream_dq_expectations"] = (
+    q_stream_dq_expectations,
+    SQL_STREAM_DQ_EXPECTATIONS,
+)
