@@ -127,6 +127,16 @@ def main() -> None:
     load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate queries from EACH OTHER's persisted intermediates:
+        # several entries persist() multi-consumer tables and nothing
+        # unpersists, so by slot ~40 the accumulated litter evicts the
+        # late entries' own caches and the tail measures memory
+        # pressure, not the plan (ppjoin measured 1.46s in isolation
+        # vs 3.9-4.8s at the end of a full run). Clearing only BETWEEN
+        # queries keeps the within-query semantics identical to every
+        # earlier round: the 3 timed runs still reuse the warmup's
+        # caches via the CacheManager's canonical-plan match.
+        spark.catalog.clearCache()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
         runs = []

@@ -65,6 +65,10 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        # several entries persist() multi-consumer intermediates and
+        # nothing unpersists — isolate queries so a 300-entry sweep
+        # doesn't accumulate executor-storage litter (see bench.py)
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
