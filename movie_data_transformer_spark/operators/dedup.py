@@ -961,11 +961,18 @@ def ppjoin_prefix_pairs(
     back to the set arrays — broadcast-sized after LSH-scale reduction.
     """
     t_num, t_den = threshold_num, threshold_den
+    # sh is consumed twice (df pass + kept join) but deliberately NOT
+    # persisted: the exploded shingle rows are the largest object in the
+    # query and caching them alongside `sets` doubled the storage
+    # footprint for the price of one map-side re-tokenize (no shuffle
+    # saved — both consumers aggregate/join on different keys anyway);
+    # measured bimodal 1.2s/3.7s tail-of-bench behavior under the
+    # double-cache pressure, stable without it.
     sh = widen_for_compute(docs).select(
         "doc_id",
         "lang",
         F.explode(word_shingles(normalize_text(F.col("text")), n)).alias("shingle"),
-    ).persist()  # consumed twice: the df pass and the kept join
+    )
     df_tab = sh.groupBy("lang", "shingle").agg(F.count("*").alias("df"))
     kept = sh.join(df_tab.filter(F.col("df") <= max_shingle_df), ["lang", "shingle"])
     sets = (
