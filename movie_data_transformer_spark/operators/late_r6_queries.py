@@ -492,3 +492,109 @@ QUERIES["stream_dq_expectations"] = (
     q_stream_dq_expectations,
     SQL_STREAM_DQ_EXPECTATIONS,
 )
+
+
+def q_dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality, driver-visible: the MinHash pair generator's EXACT
+    recall against the brute-force all-pairs ground truth at the same
+    threshold (jaccard >= 0.3 on the same trigram shingle sets).
+    minhash_dedup_pairs verifies every candidate with exact Jaccard, so
+    found is a SUBSET of truth and precision is 1.0 by construction —
+    the quantity that can degrade is recall (bands missed the pair),
+    and this report turns the pytest-only recall gate into a binding
+    CORRECTNESS row: n_true_pairs, n_found, n_missed, recall floor-micro.
+
+    Scale note: the ground-truth side is the all-pairs inverted-list
+    join — affordable here because trigram df is tiny, and at 100 TB
+    this entry runs on an AUDIT SAMPLE (the standard way recall is
+    monitored in production dedup), while the LSH side is the shipping
+    path."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.dedup import (
+        JACCARD_MICRO_EXPR,
+        augmented_corpus,
+        doc_shingles,
+        minhash_dedup_pairs,
+    )
+
+    corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    sh = doc_shingles(corpus, n=3).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.selectExpr("doc_id AS doc_a", "shingle")
+    b = sh.selectExpr("doc_id AS doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.selectExpr("doc_id AS doc_a", "n AS n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "n AS n_b"), "doc_b")
+        .select("doc_a", "doc_b", F.expr(JACCARD_MICRO_EXPR).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    found = minhash_dedup_pairs(
+        corpus, n=3, threshold=0.3, max_bucket_size=10_000
+    ).select("doc_a", "doc_b")
+    t = truth.persist()
+    n_true = t.count()
+    n_found = found.count()
+    n_missed = t.join(found, ["doc_a", "doc_b"], "left_anti").count()
+    t.unpersist(blocking=False)
+    sh.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                n_found,
+                n_missed,
+                float(n_found * 1_000_000 // n_true) / 1_000_000 if n_true else 1.0,
+            )
+        ],
+        "n_true_pairs long, n_found long, n_missed long, recall double",
+    )
+
+
+def _minhash_recall_sql() -> str:
+    from movie_data_transformer_spark.operators.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+tsizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+tinter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM dsh a JOIN dsh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM tinter
+    JOIN tsizes na ON na.doc_id = doc_a
+    JOIN tsizes nb ON nb.doc_id = doc_b
+    WHERE CAST(n_inter * 1000000 // (na.n + nb.n - n_inter) AS DOUBLE)
+              / 1000000 >= 0.3
+),
+counts AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM pairs) AS n_found,
+           (SELECT count(*) FROM truth t
+            WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                WHERE p.doc_a = t.doc_a AND p.doc_b = t.doc_b)) AS n_missed
+)
+SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_missed AS BIGINT) AS n_missed,
+       CAST(n_found * 1000000 // n_true AS DOUBLE) / 1000000 AS recall
+FROM counts
+"""
+
+
+QUERIES["dedup_minhash_recall_report"] = (
+    q_dedup_minhash_recall_report,
+    _minhash_recall_sql(),
+)
