@@ -598,3 +598,106 @@ QUERIES["dedup_minhash_recall_report"] = (
     q_dedup_minhash_recall_report,
     _minhash_recall_sql(),
 )
+
+
+OVL_GAP_S = 1800
+OVL_BUCKET_S = 21600
+
+
+def q_join_sessions_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without the quadratic blowup — the TEMPORAL
+    twin of join_points_in_boxes_grid: sessionized user intervals are
+    exploded onto a 6h time grid, candidate pairs form only WITHIN a
+    grid cell (distinct-deduped across cells), and the exact overlap
+    predicate (s1 <= e2 AND s2 <= e1, second grain) verifies — the
+    standard banding that turns interval self-joins into equi-joins.
+    Output: per user pair, how many of their session pairs truly
+    overlapped — the 'who is online together' affinity matrix.
+
+    Scale: fanout bounded by duration/bucket; the candidate join is
+    keyed on the grid cell (time-local skew only — a flash-crowd hour
+    is exactly AQE-skew-split territory); verify is row-local."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        sessionize(ev, gap_seconds=OVL_GAP_S)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts_s").alias("s"), F.max("ts_s").alias("e"))
+    )
+    sessions.createOrReplaceTempView("_ovl_sessions")
+    return spark.sql(
+        f"""
+        WITH cells AS (
+            SELECT user_id, session_idx, s, e,
+                   explode(sequence(s DIV {OVL_BUCKET_S},
+                                    e DIV {OVL_BUCKET_S})) AS cell
+            FROM _ovl_sessions
+        ),
+        cand AS (
+            SELECT DISTINCT
+                   a.user_id AS user_a, a.session_idx AS sess_a,
+                   a.s AS s_a, a.e AS e_a,
+                   b.user_id AS user_b, b.session_idx AS sess_b,
+                   b.s AS s_b, b.e AS e_b
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.user_id < b.user_id
+        )
+        SELECT user_a, user_b,
+               CAST(count(*) AS BIGINT) AS n_overlapping_sessions
+        FROM cand
+        WHERE s_a <= e_b AND s_b <= e_a
+        GROUP BY user_a, user_b
+        """
+    )
+
+
+SQL_JOIN_SESSIONS_OVERLAP_GRID = f"""
+WITH seq AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                   > {OVL_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts))
+        AS BIGINT) ASC, event_id ASC)
+),
+numbered AS (
+    SELECT user_id, ts_s,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s ASC,
+               event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+               ROW) AS session_idx
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, session_idx, min(ts_s) AS s, max(ts_s) AS e
+    FROM numbered GROUP BY 1, 2
+),
+cells AS (
+    SELECT user_id, session_idx, s, e,
+           unnest(range(s // {OVL_BUCKET_S}, e // {OVL_BUCKET_S} + 1)) AS cell
+    FROM sessions
+),
+cand AS (
+    SELECT DISTINCT
+           a.user_id AS user_a, a.session_idx AS sess_a, a.s AS s_a, a.e AS e_a,
+           b.user_id AS user_b, b.session_idx AS sess_b, b.s AS s_b, b.e AS e_b
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.user_id < b.user_id
+)
+SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlapping_sessions
+FROM cand
+WHERE s_a <= e_b AND s_b <= e_a
+GROUP BY user_a, user_b
+"""
+
+
+QUERIES["join_sessions_overlap_grid"] = (
+    q_join_sessions_overlap_grid,
+    SQL_JOIN_SESSIONS_OVERLAP_GRID,
+)

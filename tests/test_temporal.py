@@ -174,3 +174,25 @@ def test_concurrency_steps_sweep_line_goldens(spark):
     assert steps[30] == 1 and steps[41] == 0
     # conservation: profile ends at zero
     assert min(steps.values()) == 0
+
+
+def test_overlap_grid_candidates_complete_vs_naive():
+    """Pure-math completeness of the time-grid banding: for random
+    intervals, every truly-overlapping pair shares at least one grid
+    cell (the cell containing the overlap start lies in both cell
+    ranges), so the bucketed join loses nothing vs the naive n^2 scan."""
+    import itertools
+    import random
+
+    B = 21600
+    rng = random.Random(11)
+    ivals = []
+    for i in range(300):
+        s = rng.randrange(0, 40 * 86400)
+        ivals.append((i, s, s + rng.randrange(1, 8 * 3600)))
+    cells = {
+        i: set(range(s // B, e // B + 1)) for i, s, e in ivals
+    }
+    for (i, s1, e1), (j, s2, e2) in itertools.combinations(ivals, 2):
+        if s1 <= e2 and s2 <= e1:  # true overlap
+            assert cells[i] & cells[j], (i, j)
