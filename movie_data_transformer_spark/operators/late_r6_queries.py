@@ -701,3 +701,58 @@ QUERIES["join_sessions_overlap_grid"] = (
     q_join_sessions_overlap_grid,
     SQL_JOIN_SESSIONS_OVERLAP_GRID,
 )
+
+
+def q_udf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST unexercised Python extension surface: GROUPED
+    applyInArrow (Spark 4) — per-lang corpus stats computed from raw
+    pyarrow tables (one RecordBatch group per lang, zero pandas
+    conversion), held to the oracle of its pure-SQL expression twin
+    like the rest of the udf_surface family. Completes the matrix:
+    scalar arrow UDF, mapInArrow, pandas UDAF/cogroup/applyInPandas/
+    UDTF, and now grouped Arrow. Hot paths still use none of these."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text", "n_chars")
+
+    def stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = table.column("lang")[0].as_py()
+        texts = table.column("text")
+        n_docs = table.num_rows
+        # whitespace token count == size(split(trim(text), '\\s+'))
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+        )
+        total_tokens = pc.sum(toks).as_py()
+        max_chars = pc.max(table.column("n_chars")).as_py()
+        return pa.table(
+            {
+                "lang": pa.array([lang], pa.string()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_tokens": pa.array([int(total_tokens)], pa.int64()),
+                "max_chars": pa.array([int(max_chars)], pa.int64()),
+            }
+        )
+
+    return docs.groupBy("lang").applyInArrow(
+        stats, "lang string, n_docs long, total_tokens long, max_chars long"
+    )
+
+
+SQL_UDF_GROUP_APPLY_ARROW = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES["udf_group_apply_arrow"] = (
+    q_udf_group_apply_arrow,
+    SQL_UDF_GROUP_APPLY_ARROW,
+)
