@@ -756,3 +756,139 @@ QUERIES["udf_group_apply_arrow"] = (
     q_udf_group_apply_arrow,
     SQL_UDF_GROUP_APPLY_ARROW,
 )
+
+
+# --- winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprint) ---
+WIN_K = 4   # tokens per k-gram
+WIN_W = 5   # window of consecutive k-gram hashes
+# selection key packs (hash asc, pos desc) into one bigint so BOTH
+# engines pick the RIGHTMOST minimal hash per window with a plain min():
+# key = hash * 2^20 + (2^20 - 1 - pos); hash < 2^32 so key < 2^52.
+_POS_MOD = 1 << 20
+
+
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints + cross-doc matching — the MOSS
+    plagiarism-detection algorithm, a FOURTH fingerprint family beside
+    MinHash (Jaccard), SimHash (cosine), and CDC (storage): hash every
+    K-token gram, slide a window of W consecutive hashes, and select
+    each window's RIGHTMOST MINIMAL hash. The guarantee (the reason
+    winnowing is used for code/plagiarism matching): any shared token
+    run of length >= W + K - 1 yields at least one shared fingerprint
+    — pinned by the planted-run pytest. Pairs sharing >= 2 selected
+    hashes are reported with their shared count (df-capped at 100 to
+    drop boilerplate grams, the exact_substr convention).
+
+    Shape: one posexplode + ONE ordered window pass per doc (k-gram via
+    leads, window min over a ROWS frame on the packed key), distinct
+    selected hashes, one df cap, one bucket self-join — every stage a
+    keyed shuffle."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from movie_data_transformer_spark.operators.dedup import (
+        augmented_corpus,
+        normalize_text,
+    )
+
+    docs = augmented_corpus(load_table(spark, sf_dir, "documents"))
+    docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("t")
+    ).createOrReplaceTempView("_win_toks")
+    leads = ", ".join(f"lead(tok, {j}) OVER w AS t{j}" for j in range(1, WIN_K))
+    gram = ", ".join(["tok"] + [f"t{j}" for j in range(1, WIN_K)])
+    return spark.sql(
+        f"""
+        WITH posed AS (
+            SELECT doc_id, p.pos + 1 AS pos, p.tok
+            FROM _win_toks LATERAL VIEW posexplode(t) p AS pos, tok
+        ),
+        led AS (
+            SELECT doc_id, pos, tok, {leads},
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM posed WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   CAST(conv(substr(md5(concat_ws(' ', {gram})), 1, 8),
+                       16, 10) AS BIGINT) AS h
+            FROM led
+            WHERE pos <= n - {WIN_K} + 1
+        ),
+        keyed AS (
+            SELECT doc_id, pos,
+                   h * {_POS_MOD} + ({_POS_MOD} - 1 - pos) AS key
+            FROM grams
+        ),
+        winmin AS (
+            SELECT doc_id,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+                       AS sel_key,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS wpos
+            FROM keyed
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, sel_key DIV {_POS_MOD} AS h
+            FROM winmin WHERE wpos >= {WIN_W}
+        ),
+        rare AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 100),
+        kept AS (SELECT fps.* FROM fps JOIN rare USING (h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_fps
+        FROM kept a JOIN kept b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        """
+    )
+
+
+def _winnowing_sql() -> str:
+    from movie_data_transformer_spark.operators.dedup import CORPUS_ORACLE_CTE
+
+    leads = ", ".join(f"lead(t[i], {j}) OVER w AS t{j}" for j in range(1, WIN_K))
+    gram = ", ".join(["t[i]"] + [f"t{j}" for j in range(1, WIN_K)])
+    return f"""
+WITH {CORPUS_ORACLE_CTE},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+posed AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+led AS (
+    SELECT doc_id, i AS pos, t[i] AS tok0, {leads},
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM posed WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+grams AS (
+    SELECT doc_id, pos,
+           CAST('0x' || substr(md5(concat_ws(' ', tok0,
+               {", ".join(f"t{j}" for j in range(1, WIN_K))})), 1, 8)
+               AS BIGINT) AS h
+    FROM led
+    WHERE pos <= n - {WIN_K} + 1
+),
+keyed AS (
+    SELECT doc_id, pos, h * {_POS_MOD} + ({_POS_MOD} - 1 - pos) AS key
+    FROM grams
+),
+winmin AS (
+    SELECT doc_id,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW) AS sel_key,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS wpos
+    FROM keyed
+),
+fps AS (
+    SELECT DISTINCT doc_id, sel_key // {_POS_MOD} AS h
+    FROM winmin WHERE wpos >= {WIN_W}
+),
+rare AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 100),
+kept AS (SELECT fps.* FROM fps JOIN rare USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+QUERIES["dedup_winnowing_pairs"] = (q_dedup_winnowing_pairs, _winnowing_sql())

@@ -759,3 +759,50 @@ def test_sorted_neighborhood_catches_planted_exact_copies(spark, sf_dir):
     found = [p for p in exact if p in got]
     assert len(found) >= 48, f"only {len(found)}/50 exact pairs in window"
     assert all(got[p] == 1.0 for p in found)
+
+
+def test_winnowing_guarantee_detects_minimal_shared_run(spark):
+    """The winnowing theorem: any shared token run of length
+    >= W + K - 1 (= 8 here) yields at least one shared fingerprint.
+    Plant a single 8-token run inside otherwise-disjoint random docs
+    and drive the PRODUCTION operator (df cap never binds at df=2);
+    shorter shared runs (<= K-1 tokens, so no shared k-gram at all)
+    must produce nothing."""
+    import random
+
+    from movie_data_transformer_spark.operators import late_r6_queries as lq
+
+    rng = random.Random(3)
+
+    def words(prefix, n):
+        return [f"{prefix}{rng.randrange(10**6)}" for _ in range(n)]
+
+    run = [f"shared{i}" for i in range(8)]  # W + K - 1 = 5 + 4 - 1
+    d1 = " ".join(words("a", 40) + run + words("b", 40))
+    d2 = " ".join(words("c", 40) + run + words("d", 40))
+    d3 = " ".join(words("e", 40) + run[:3] + words("f", 40))  # < K shared
+    docs = spark.createDataFrame(
+        [(1, d1, "en", len(d1)), (2, d2, "en", len(d2)), (3, d3, "en", len(d3))],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    orig = lq.load_table
+    try:
+        lq.load_table = lambda s, d, n: docs
+
+        # relax the >= 2 shared-fp report floor: the theorem guarantees
+        # ONE shared fingerprint, so probe the fps directly by running
+        # the pair query at its natural floor and checking pair (1,2)
+        # OR asserting via a single-fp variant; the production HAVING
+        # >= 2 may legitimately hide a 1-fp pair, so check both ways.
+        rows = lq.q_dedup_winnowing_pairs(spark, "ignored").collect()
+    finally:
+        lq.load_table = orig
+    # the operator augments the corpus with planted copies (+100000
+    # near-dup of every doc_id < 50), so restrict to the original ids
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_fps for r in rows
+             if r.doc_a in (1, 2, 3) and r.doc_b in (1, 2, 3)}
+    assert all(3 not in p for p in pairs), pairs  # no sub-K match ever
+    # the guaranteed fingerprint: with an 8-token planted run the two
+    # docs share >= 2 selected hashes here (run boundary grams differ,
+    # interior windows coincide); at minimum the pair must appear
+    assert (1, 2) in pairs, pairs
