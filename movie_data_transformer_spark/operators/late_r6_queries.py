@@ -892,3 +892,121 @@ HAVING count(*) >= 2
 
 
 QUERIES["dedup_winnowing_pairs"] = (q_dedup_winnowing_pairs, _winnowing_sql())
+
+
+BOT_WINDOW_S = 600
+BOT_BURST_FLOOR = 5
+
+
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot/abuse screen — the two classic signals, exact:
+
+      burst      - the user's MAX event count inside any trailing
+                   10-minute RANGE window (super-human rate);
+      regularity - inter-event gap variance, cross-multiplied to exact
+                   integers (n*sum(g^2) - S^2 over scaled deviations) —
+                   near-zero variance at volume means a metronome, not
+                   a human.
+
+    Output per user: n_events, max_burst_10min, mean_gap scaled-micro,
+    the exact variance numerator/denominator pair (so the oracle binds
+    the full rational, not a rounded quotient), and the burst flag.
+    RANGE (not ROWS) windows make the burst metric calendar-correct.
+
+    Scale: one user-keyed shuffle; both windows and the gap aggregate
+    ride the same partitioning."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_bot_events")
+    return spark.sql(
+        f"""
+        WITH e AS (
+            SELECT user_id, event_id, unix_timestamp(ts) AS t
+            FROM _bot_events
+        ),
+        burst AS (
+            SELECT user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY t
+                       RANGE BETWEEN {BOT_WINDOW_S} PRECEDING AND CURRENT
+                       ROW) AS w_cnt
+            FROM e
+        ),
+        burst_max AS (
+            SELECT user_id, CAST(max(w_cnt) AS BIGINT) AS max_burst
+            FROM burst GROUP BY user_id
+        ),
+        gaps AS (
+            SELECT user_id, t - lag(t) OVER (PARTITION BY user_id
+                ORDER BY t, event_id) AS g
+            FROM e
+        ),
+        gap_stats AS (
+            SELECT user_id,
+                   CAST(count(g) AS BIGINT) AS n_gaps,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS
+                       DECIMAL(19,0))) AS DECIMAL(38,0)) AS sgg
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT b.user_id,
+               CAST(g.n_gaps + 1 AS BIGINT) AS n_events,
+               b.max_burst AS max_burst_10min,
+               CAST(g.sg * 1000000 DIV g.n_gaps AS BIGINT)
+                   AS mean_gap_micro_s,
+               CAST(CAST(g.n_gaps * g.sgg - CAST(g.sg AS DECIMAL(19,0))
+                   * g.sg AS DECIMAL(38,0)) AS STRING) AS var_numer,
+               CAST(g.n_gaps AS BIGINT) * g.n_gaps AS var_denom_sq,
+               CAST(CASE WHEN b.max_burst >= {BOT_BURST_FLOOR}
+                    THEN 1 ELSE 0 END AS INT) AS burst_flag
+        FROM burst_max b
+        JOIN gap_stats g ON g.user_id = b.user_id
+        """
+    )
+
+
+SQL_EVENTS_BOT_SCORE = f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+    FROM events
+),
+burst AS (
+    SELECT user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN {BOT_WINDOW_S} PRECEDING AND CURRENT ROW)
+               AS w_cnt
+    FROM e
+),
+burst_max AS (
+    SELECT user_id, CAST(max(w_cnt) AS BIGINT) AS max_burst
+    FROM burst GROUP BY user_id
+),
+gaps AS (
+    SELECT user_id, t - lag(t) OVER (PARTITION BY user_id
+        ORDER BY t, event_id) AS g
+    FROM e
+),
+gap_stats AS (
+    SELECT user_id,
+           CAST(count(g) AS BIGINT) AS n_gaps,
+           CAST(sum(g) AS BIGINT) AS sg,
+           CAST(sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS HUGEINT)
+               AS sgg
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY user_id
+)
+SELECT b.user_id,
+       CAST(g.n_gaps + 1 AS BIGINT) AS n_events,
+       b.max_burst AS max_burst_10min,
+       CAST(g.sg * 1000000 // g.n_gaps AS BIGINT) AS mean_gap_micro_s,
+       CAST(g.n_gaps * g.sgg - CAST(g.sg AS HUGEINT) * g.sg AS VARCHAR)
+           AS var_numer,
+       CAST(g.n_gaps AS BIGINT) * g.n_gaps AS var_denom_sq,
+       CAST(CASE WHEN b.max_burst >= {BOT_BURST_FLOOR} THEN 1 ELSE 0 END
+           AS INT) AS burst_flag
+FROM burst_max b
+JOIN gap_stats g ON g.user_id = b.user_id
+"""
+
+
+QUERIES["events_bot_score"] = (q_events_bot_score, SQL_EVENTS_BOT_SCORE)
