@@ -159,7 +159,9 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = augmented_corpus(load_table(spark, sf_dir, "documents")).select(
         "doc_id", normalize_text(F.col("text")).alias("text"), "lang", "n_chars"
-    ).persist()  # three consumers: digest groups, pair-doc join, CDC input
+    ).persist()  # three consumers: digest groups, the near-doc token
+    # join, and the minhash pair generator; the CDC tier deliberately
+    # rebuilds via q_dedup_cdc_chunks (its own fixture path)
     exact = (
         corpus.groupBy(F.md5("text").alias("dig"))
         .agg(
@@ -266,13 +268,22 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY r.r_name, n.n_name
         )
         SELECT r_name, n_name, rev_cents,
-               CAST(rev_cents * 1000000 DIV (sum(rev_cents)
-                   OVER (PARTITION BY r_name)) AS DOUBLE) / 1000000
-                   AS share_of_region,
-               CAST(sum(rev_cents) OVER (PARTITION BY r_name) * 1000000
-                   DIV (sum(rev_cents) OVER ()) AS DOUBLE) / 1000000
-                   AS region_share_of_total
-        FROM rev
+               CAST(CAST((nm - (nm % rd)) / rd AS BIGINT) AS DOUBLE)
+                   / 1000000 AS share_of_region,
+               CAST(CAST((rm - (rm % td)) / td AS BIGINT) AS DOUBLE)
+                   / 1000000 AS region_share_of_total
+        FROM (
+            -- DECIMAL(38,0) lift: rev sums * 1e6 clear int64 around
+            -- TPC-H SF1-2 (the ABC/bootstrap overflow class)
+            SELECT r_name, n_name, rev_cents,
+                   CAST(rev_cents AS DECIMAL(38,0)) * 1000000 AS nm,
+                   CAST(sum(rev_cents) OVER (PARTITION BY r_name)
+                       AS DECIMAL(38,0)) AS rd,
+                   CAST(sum(rev_cents) OVER (PARTITION BY r_name)
+                       AS DECIMAL(38,0)) * 1000000 AS rm,
+                   CAST(sum(rev_cents) OVER () AS DECIMAL(38,0)) AS td
+            FROM rev
+        )
         """
     )
 
@@ -289,13 +300,19 @@ WITH rev AS (
     GROUP BY r.r_name, n.n_name
 )
 SELECT r_name, n_name, rev_cents,
-       CAST(rev_cents * 1000000 // (sum(rev_cents)
-           OVER (PARTITION BY r_name)) AS DOUBLE) / 1000000
+       CAST(CAST((nm - (nm % rd)) // rd AS BIGINT) AS DOUBLE) / 1000000
            AS share_of_region,
-       CAST(sum(rev_cents) OVER (PARTITION BY r_name) * 1000000
-           // (sum(rev_cents) OVER ()) AS DOUBLE) / 1000000
+       CAST(CAST((rm - (rm % td)) // td AS BIGINT) AS DOUBLE) / 1000000
            AS region_share_of_total
-FROM rev
+FROM (
+    SELECT r_name, n_name, rev_cents,
+           CAST(rev_cents AS HUGEINT) * 1000000 AS nm,
+           CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS HUGEINT) AS rd,
+           CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS HUGEINT)
+               * 1000000 AS rm,
+           CAST(sum(rev_cents) OVER () AS HUGEINT) AS td
+    FROM rev
+)
 """
 
 
@@ -519,7 +536,9 @@ def q_dedup_minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     corpus = augmented_corpus(load_table(spark, sf_dir, "documents"))
-    sh = doc_shingles(corpus, n=3).distinct().persist()
+    # doc_shingles is per-doc distinct by construction (array_distinct
+    # inside word_shingles) — no extra corpus-wide shuffle needed
+    sh = doc_shingles(corpus, n=3).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.selectExpr("doc_id AS doc_a", "shingle")
     b = sh.selectExpr("doc_id AS doc_b", "shingle")
@@ -589,7 +608,9 @@ counts AS (
 SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
        CAST(n_found AS BIGINT) AS n_found,
        CAST(n_missed AS BIGINT) AS n_missed,
-       CAST(n_found * 1000000 // n_true AS DOUBLE) / 1000000 AS recall
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE CAST(n_found * 1000000 // n_true AS DOUBLE) / 1000000
+       END AS recall
 FROM counts
 """
 
@@ -722,8 +743,10 @@ def q_udf_group_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         texts = table.column("text")
         n_docs = table.num_rows
         # whitespace token count == size(split(trim(text), '\\s+'))
+        # trim SPACES only (pc.utf8_trim(' ')) to match the oracle's
+        # DuckDB trim(), which strips U+0020 — not all Unicode whitespace
         toks = pc.list_value_length(
-            pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+            pc.split_pattern_regex(pc.utf8_trim(texts, " "), r"\s+")
         )
         total_tokens = pc.sum(toks).as_py()
         max_chars = pc.max(table.column("n_chars")).as_py()
@@ -763,8 +786,11 @@ WIN_K = 4   # tokens per k-gram
 WIN_W = 5   # window of consecutive k-gram hashes
 # selection key packs (hash asc, pos desc) into one bigint so BOTH
 # engines pick the RIGHTMOST minimal hash per window with a plain min():
-# key = hash * 2^20 + (2^20 - 1 - pos); hash < 2^32 so key < 2^52.
-_POS_MOD = 1 << 20
+# key = hash * 2^24 + (2^24 - 1 - pos); hash < 2^32 so key < 2^56, and
+# the position field holds docs up to 16M tokens (declared domain —
+# beyond that the pos term would borrow into the hash bits AND the
+# negative key would trunc/floor-diverge between engines).
+_POS_MOD = 1 << 24
 
 
 def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,7 +976,7 @@ def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY user_id
         )
         SELECT b.user_id,
-               CAST(g.n_gaps + 1 AS BIGINT) AS n_events,
+               CAST(coalesce(g.n_gaps + 1, 1) AS BIGINT) AS n_events,
                b.max_burst AS max_burst_10min,
                CAST(g.sg * 1000000 DIV g.n_gaps AS BIGINT)
                    AS mean_gap_micro_s,
@@ -960,7 +986,9 @@ def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CASE WHEN b.max_burst >= {BOT_BURST_FLOOR}
                     THEN 1 ELSE 0 END AS INT) AS burst_flag
         FROM burst_max b
-        JOIN gap_stats g ON g.user_id = b.user_id
+        -- LEFT: a single-event user has no gaps but MUST stay in the
+        -- screen (NULL gap stats, n_events = 1)
+        LEFT JOIN gap_stats g ON g.user_id = b.user_id
         """
     )
 
@@ -996,7 +1024,7 @@ gap_stats AS (
     GROUP BY user_id
 )
 SELECT b.user_id,
-       CAST(g.n_gaps + 1 AS BIGINT) AS n_events,
+       CAST(coalesce(g.n_gaps + 1, 1) AS BIGINT) AS n_events,
        b.max_burst AS max_burst_10min,
        CAST(g.sg * 1000000 // g.n_gaps AS BIGINT) AS mean_gap_micro_s,
        CAST(g.n_gaps * g.sgg - CAST(g.sg AS HUGEINT) * g.sg AS VARCHAR)
@@ -1005,7 +1033,7 @@ SELECT b.user_id,
        CAST(CASE WHEN b.max_burst >= {BOT_BURST_FLOOR} THEN 1 ELSE 0 END
            AS INT) AS burst_flag
 FROM burst_max b
-JOIN gap_stats g ON g.user_id = b.user_id
+LEFT JOIN gap_stats g ON g.user_id = b.user_id
 """
 
 
