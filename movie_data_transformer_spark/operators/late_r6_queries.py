@@ -1038,3 +1038,94 @@ LEFT JOIN gap_stats g ON g.user_id = b.user_id
 
 
 QUERIES["events_bot_score"] = (q_events_bot_score, SQL_EVENTS_BOT_SCORE)
+
+
+DUP_PAY_WINDOW_D = 3
+
+
+def q_orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen — the classic finance-ops control: pairs
+    of orders by the SAME customer for the IDENTICAL cent amount within
+    3 days of each other (double-submission / double-billing suspects).
+    The join is keyed on (custkey, cents) — exact-match blocking, so
+    the candidate space is each customer's per-amount order list, never
+    a cross join — with the day-window predicate verified row-locally.
+    Output: one row per suspect pair with the gap in days, plus a
+    same-day flag (the highest-severity tier). Exact integers.
+
+    Scale: one (custkey, cents)-keyed self-join; amount collisions per
+    customer are tiny, and a pathological repeated-amount customer is
+    exactly the AQE-skew-split case."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_dp_orders")
+    # the organic corpus has near-unique prices (zero collisions at any
+    # SF), so the screen runs over an AUGMENTED feed with PLANTED
+    # double-submissions (orderkey % 997 == 0 re-submitted next day as
+    # orderkey + 10^8, same customer and amount — the augmented_corpus
+    # discipline) so the oracle binds real detection work
+    return spark.sql(
+        f"""
+        WITH aug AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM _dp_orders
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+                   date_add(o_orderdate, 1)
+            FROM _dp_orders WHERE o_orderkey % 997 = 0
+        ),
+        o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT)
+                       AS day_idx
+            FROM aug
+        )
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+               a.cents,
+               CAST(abs(b.day_idx - a.day_idx) AS BIGINT) AS gap_days,
+               CAST(CASE WHEN a.day_idx = b.day_idx THEN 1 ELSE 0 END
+                   AS INT) AS same_day
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+         AND a.o_orderkey < b.o_orderkey
+         AND abs(b.day_idx - a.day_idx) <= {DUP_PAY_WINDOW_D}
+        """
+    )
+
+
+SQL_ORDERS_DUPLICATE_PAYMENT_SCREEN = f"""
+WITH aug AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) + INTERVAL 1 DAY
+    FROM orders WHERE o_orderkey % 997 = 0
+),
+o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS day_idx
+    FROM aug
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.cents,
+       CAST(abs(b.day_idx - a.day_idx) AS BIGINT) AS gap_days,
+       CAST(CASE WHEN a.day_idx = b.day_idx THEN 1 ELSE 0 END AS INT)
+           AS same_day
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(b.day_idx - a.day_idx) <= {DUP_PAY_WINDOW_D}
+"""
+
+
+QUERIES["orders_duplicate_payment_screen"] = (
+    q_orders_duplicate_payment_screen,
+    SQL_ORDERS_DUPLICATE_PAYMENT_SCREEN,
+)

@@ -806,3 +806,26 @@ def test_winnowing_guarantee_detects_minimal_shared_run(spark):
     # docs share >= 2 selected hashes here (run boundary grams differ,
     # interior windows coincide); at minimum the pair must appear
     assert (1, 2) in pairs, pairs
+
+
+def test_duplicate_payment_screen_recovers_planted_set(spark, sf_dir):
+    """Every planted re-submission (orderkey % 997 == 0, +1 day, same
+    amount) must surface as the pair (k, k + 10^8) with gap_days = 1
+    and same_day = 0."""
+    from movie_data_transformer_spark.operators.late_r6_queries import (
+        q_orders_duplicate_payment_screen,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_orders_duplicate_payment_screen(spark, sf_dir).collect()
+    got = {(r.order_a, r.order_b): (r.gap_days, r.same_day) for r in rows}
+    planted = [
+        r.o_orderkey
+        for r in load_table(spark, sf_dir, "orders")
+        .selectExpr("o_orderkey").collect()
+        if r.o_orderkey % 997 == 0
+    ]
+    assert planted
+    for k in planted:
+        assert (k, k + 100000000) in got, k
+        assert got[(k, k + 100000000)] == (1, 0)
