@@ -1129,3 +1129,127 @@ QUERIES["orders_duplicate_payment_screen"] = (
     q_orders_duplicate_payment_screen,
     SQL_ORDERS_DUPLICATE_PAYMENT_SCREEN,
 )
+
+
+def q_supplier_reliability_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement scorecard: per supplier, exact floor-micro late-ship
+    rate (shipped > 60 days after the order date — the corpus's adapted
+    lateness rule, cf. tpch q12) and return rate (l_returnflag = 'R'),
+    plus shipped-line volume and revenue cents, ranked by late rate
+    (total order: rate desc, volume desc, suppkey). One fact-side
+    shuffle to supplier grain; the orders date rides a broadcast-ready
+    orderkey join."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sr_li")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sr_orders")
+    return spark.sql(
+        """
+        WITH j AS (
+            SELECT l.l_suppkey,
+                   CASE WHEN datediff(l.l_shipdate, o.o_orderdate) > 60
+                        THEN 1 ELSE 0 END AS is_late,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+            FROM _sr_li l JOIN _sr_orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        s AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(is_late) AS BIGINT) AS n_late,
+                   CAST(sum(is_ret) AS BIGINT) AS n_returned,
+                   CAST(sum(cents) AS BIGINT) AS rev_cents
+            FROM j GROUP BY l_suppkey
+        )
+        SELECT l_suppkey AS suppkey, n_lines, n_late, n_returned, rev_cents,
+               CAST(n_late * 1000000 DIV n_lines AS DOUBLE) / 1000000
+                   AS late_rate,
+               CAST(n_returned * 1000000 DIV n_lines AS DOUBLE) / 1000000
+                   AS return_rate,
+               CAST(row_number() OVER (ORDER BY
+                   n_late * 1000000 DIV n_lines DESC, n_lines DESC,
+                   l_suppkey ASC) AS INT) AS risk_rank
+        FROM s
+        """
+    )
+
+
+SQL_SUPPLIER_RELIABILITY_SCORECARD = """
+WITH j AS (
+    SELECT l.l_suppkey,
+           CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 1 ELSE 0 END AS is_late,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+s AS (
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           CAST(sum(is_ret) AS BIGINT) AS n_returned,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM j GROUP BY l_suppkey
+)
+SELECT l_suppkey AS suppkey, n_lines, n_late, n_returned, rev_cents,
+       CAST(n_late * 1000000 // n_lines AS DOUBLE) / 1000000 AS late_rate,
+       CAST(n_returned * 1000000 // n_lines AS DOUBLE) / 1000000
+           AS return_rate,
+       CAST(row_number() OVER (ORDER BY n_late * 1000000 // n_lines DESC,
+           n_lines DESC, l_suppkey ASC) AS INT) AS risk_rank
+FROM s
+"""
+
+
+QUERIES["supplier_reliability_scorecard"] = (
+    q_supplier_reliability_scorecard,
+    SQL_SUPPLIER_RELIABILITY_SCORECARD,
+)
+
+
+def q_dedup_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning observability: the verified MinHash pairs
+    histogrammed by Jaccard band (floor(j*10)/10 from 0.3 up) — the
+    curve an operator reads before choosing the dedup cut ('how much
+    mass sits between 0.3 and 0.5?'). Composes the production pair
+    generator; bands are exact (the micro-floored jaccard is banded by
+    integer division, no float boundary)."""
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.dedup import (
+        augmented_corpus,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(
+        augmented_corpus(load_table(spark, sf_dir, "documents")),
+        n=3,
+        threshold=0.3,
+        max_bucket_size=10_000,
+    )
+    return (
+        pairs.selectExpr(
+            "CAST(floor(jaccard * 10) AS INT) AS band10"
+        )
+        .groupBy("band10")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def _jband_sql() -> str:
+    from movie_data_transformer_spark.operators.llm_queries import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()}
+SELECT CAST(floor(jaccard * 10) AS INT) AS band10,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+QUERIES["dedup_jaccard_band_histogram"] = (
+    q_dedup_jaccard_band_histogram,
+    _jband_sql(),
+)
