@@ -19,6 +19,17 @@ Scale design:
     bit_count(xor) — bucket-join, not cross-join.
   - n-gram Jaccard: word-bigram sets joined on shingle within candidate
     blocks; Jaccard = |inter| / (|a|+|b|-|inter|).
+
+Caching contract: several operators here (and in dedup_extras_queries /
+late_r6_queries) `.persist()` a multi-consumer intermediate and do NOT
+unpersist it — the cached plan node is still referenced by the returned
+DataFrame, so unpersisting before the caller's terminal action would
+recompute the subtree per consumer. Library callers composing many of
+these in one long-lived session should call
+`spark.catalog.clearCache()` between logical jobs (exactly what
+tools/check_oracle.py and bench.py do per query); storage-memory
+pressure otherwise evicts blocks LRU, which is safe but silently
+recomputes.
 """
 
 from __future__ import annotations
@@ -496,7 +507,9 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def exact_substr_runs(corpus: DataFrame, window: int = 15) -> DataFrame:
+def exact_substr_runs(
+    corpus: DataFrame, window: int = 15, max_hash_df: int = 100
+) -> DataFrame:
     """Longest shared token RUN per duplicate-linked pair — the quantity
     the ExactSubstr paper actually removes (Lee et al. cut the shared
     substring itself, so its LENGTH is the decision variable;
@@ -540,7 +553,7 @@ def exact_substr_runs(corpus: DataFrame, window: int = 15) -> DataFrame:
     rare = (
         wins.groupBy("wh")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= 100)
+        .filter(F.col("_df") <= max_hash_df)
         .select("wh")
     )
     wins = wins.join(rare, "wh", "left_semi")

@@ -96,7 +96,16 @@ def int8_roundtrip_audit(emb: DataFrame) -> DataFrame:
 
 
 def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return int8_quantize(load_table(spark, sf_dir, "embeddings"))
+    # Registry surface serializes the codes array to CSV: the driver's
+    # pandas canonicalizer cannot sort/hash list cells (r06 red row), so
+    # every registered top-level column must be scalar. Library callers
+    # use int8_quantize() directly and keep the typed array.
+    return int8_quantize(load_table(spark, sf_dir, "embeddings")).selectExpr(
+        "vec_id",
+        "vmin_micro",
+        "vmax_micro",
+        "array_join(transform(codes, c -> CAST(c AS STRING)), ',') AS codes_csv",
+    )
 
 
 SQL_EMB_INT8_QUANTIZE = """
@@ -111,9 +120,10 @@ mm AS (
     FROM vm
 )
 SELECT vec_id, vmin_micro, vmax_micro,
-       list_transform(vm, x -> CAST(coalesce((x - vmin_micro) * 255
-                                             // nullif(vmax_micro - vmin_micro, 0),
-                                             0) AS INT)) AS codes
+       array_to_string(list_transform(vm,
+                x -> CAST(coalesce((x - vmin_micro) * 255
+                                   // nullif(vmax_micro - vmin_micro, 0),
+                                   0) AS INT)), ',') AS codes_csv
 FROM mm
 """
 

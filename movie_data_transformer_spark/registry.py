@@ -9,6 +9,15 @@ events documents embeddings). None -> rows-only check.
 
 Column-name discipline: the driver sorts columns by name before hashing,
 so every computed column is aliased identically on both sides.
+
+Scalar-schema discipline: the driver canonicalizes results with pandas
+`sort_values`, which raises `TypeError: unhashable type: 'list'` on
+list/dict cells (r01 agg_approx_sketches + r06 emb_int8_quantize both
+failed this way). NO registered query may expose a top-level
+ArrayType/MapType/StructType column — serialize containers at the
+registry surface (`array_join(...)` / `to_json(...)`) and keep typed
+arrays on the library functions. Enforced by
+`tests/test_registry_contract.py::test_no_registered_query_returns_container_columns`.
 """
 
 from __future__ import annotations
@@ -24,16 +33,37 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-6 window (exactly 50, verified by import), per the NOTES.md ledger /
-# round-5 VERDICT advice #1: relational_queries 30 (head re-green + the
-# 28-entry r02 tail incl. the 5 never-checked r05 additions:
-# join_bloom_prune, agg_hll_mergeable, hll_union_gate, agg_cms_heavy_hitters,
-# agg_quantile_sketch) + recall 3 (2 never: ann_ivf_incremental_assign /
-# stream_ann_ingest + sim_ann_recall re-green) + mm_decode 5 (never) +
-# embedding 2 (never) + format 4 (never) + sql_surface 4 (never) +
-# udf_surface 2 (never) = 50. The r07/r08 windows are committed in
-# NOTES.md's ledger; after r08 no entry's driver row is >4 rounds old.
+# Round-7 window (exactly 50, verified by import), per r06 VERDICT advice
+# #2 (which supersedes the NOTES.md pre-committed r07 plan): the §2 movie
+# core re-green — movie 8 + merge 1 + jsonl 2 + reliability 2 = 13 (driver
+# evidence was r03 while the code changed r4–r6; also starts the "no §2
+# row older than 3 rounds" cadence, advice #8) — plus the 13 never-checked
+# late_r6 entries (advice #2a: newest code, least evidence) plus the
+# longest-waiting never-checked r05 modules: stateful 2 + streaming_extras
+# 2 + layout 2 + text_cleaning 3 + datasketches 5 + privacy 1 + robustness
+# 2 + geo 1 + cogroup 1 + udtf_poly 1 + ml 4 = 24. 13+13+24 = 50. Every
+# rows-only entry in the window rides with its full-oracle gate in the
+# SAME window (advice #7): movies_incremental_merge/movies_merge_upsert,
+# lr_train_quality/lr_train_gate, agg_kll_quantiles/kll_rank_gate.
+# The r08/r09 windows are committed in NOTES.md's ledger.
 _MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.movie_queries",
+    "movie_data_transformer_spark.operators.merge_queries",
+    "movie_data_transformer_spark.operators.jsonl_queries",
+    "movie_data_transformer_spark.operators.reliability_queries",
+    "movie_data_transformer_spark.operators.late_r6_queries",
+    "movie_data_transformer_spark.operators.stateful_queries",
+    "movie_data_transformer_spark.operators.streaming_extras_queries",
+    "movie_data_transformer_spark.operators.layout_queries",
+    "movie_data_transformer_spark.operators.text_cleaning_queries",
+    "movie_data_transformer_spark.operators.datasketches_queries",
+    "movie_data_transformer_spark.operators.privacy_queries",
+    "movie_data_transformer_spark.operators.robustness_queries",
+    "movie_data_transformer_spark.operators.geo_queries",
+    "movie_data_transformer_spark.operators.cogroup_queries",
+    "movie_data_transformer_spark.operators.udtf_poly_queries",
+    "movie_data_transformer_spark.operators.ml_queries",
+    # ---- end of the 50-entry r07 window ----
     "movie_data_transformer_spark.operators.relational_queries",
     "movie_data_transformer_spark.operators.recall_queries",
     "movie_data_transformer_spark.operators.mm_decode_queries",
@@ -56,22 +86,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.analytics_queries",
     "movie_data_transformer_spark.operators.timeseries_queries",
     "movie_data_transformer_spark.operators.grouped_extras_queries",
-    "movie_data_transformer_spark.operators.movie_queries",
-    "movie_data_transformer_spark.operators.merge_queries",
-    "movie_data_transformer_spark.operators.jsonl_queries",
-    "movie_data_transformer_spark.operators.reliability_queries",
     "movie_data_transformer_spark.operators.tpch_queries",
-    "movie_data_transformer_spark.operators.stateful_queries",
-    "movie_data_transformer_spark.operators.streaming_extras_queries",
-    "movie_data_transformer_spark.operators.layout_queries",
-    "movie_data_transformer_spark.operators.text_cleaning_queries",
-    "movie_data_transformer_spark.operators.datasketches_queries",
-    "movie_data_transformer_spark.operators.privacy_queries",
-    "movie_data_transformer_spark.operators.robustness_queries",
-    "movie_data_transformer_spark.operators.geo_queries",
-    "movie_data_transformer_spark.operators.cogroup_queries",
-    "movie_data_transformer_spark.operators.udtf_poly_queries",
-    "movie_data_transformer_spark.operators.ml_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
     "movie_data_transformer_spark.operators.snapshot_queries",
     "movie_data_transformer_spark.operators.mm_video_queries",
@@ -79,8 +94,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.sql_lang_queries",
     "movie_data_transformer_spark.operators.pipeline_queries",
     "movie_data_transformer_spark.operators.embedding_extras_queries",
-    # round-6 additions register BEHIND every committed window (r07/r08
-    # fronts are fixed in NOTES.md); they queue for the r09+ rotation
     "movie_data_transformer_spark.operators.sql_udf_queries",
     "movie_data_transformer_spark.operators.linalg_queries",
     "movie_data_transformer_spark.operators.dedup_extras_queries",
@@ -102,7 +115,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.privacy_extras_queries",
     "movie_data_transformer_spark.operators.skew_extras_queries",
     "movie_data_transformer_spark.operators.search_extras_queries",
-    "movie_data_transformer_spark.operators.late_r6_queries",
 ]
 
 

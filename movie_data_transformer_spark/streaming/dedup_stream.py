@@ -142,6 +142,15 @@ class AppendOnlyStore:
             leftover = self._subdir(iid)
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
+        # and uncommitted compaction attempts: a crash after the data
+        # write but before the _FOLDED rename leaves a manifest-less
+        # ingest=compact-<n> dir that reads skip but nothing referenced —
+        # uncommitted by definition, safe (and necessary) to delete here
+        for name in os.listdir(self.root):
+            if name.startswith("ingest=compact-") and not os.path.exists(
+                os.path.join(self.root, name, "_FOLDED")
+            ):
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         live = [i for i in self.ingest_ids() if i != exclude]
         if len(live) <= max_ingests:
             return 0

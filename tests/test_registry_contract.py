@@ -118,3 +118,23 @@ def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     for name, fn in e.queries().items():
         cols = fn(spark, sf_dir).columns
         assert len(cols) == len({c.lower() for c in cols}), f"{name}: {cols}"
+
+
+def test_no_registered_query_returns_container_columns(spark, sf_dir):
+    """Driver-canon schema contract (r06 VERDICT item 1): the driver
+    canonicalizes results with pandas `sort_values`, which raises
+    `TypeError: unhashable type: 'list'` on list/dict cells — proven
+    twice (r01 agg_approx_sketches, r06 emb_int8_quantize). So NO
+    registered query may expose a top-level ArrayType/MapType/StructType
+    column: serialize containers (array_join / to_json) at the registry
+    surface and keep typed arrays on the library functions."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as e
+
+    bad = []
+    for name, fn in e.queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad

@@ -45,6 +45,10 @@ def test_fingerprint_normalization_invariance(spark):
 
 
 def test_decode_stub_raises_without_fake():
+    from movie_data_transformer_spark.operators.multimodal import codec_available
+
+    if codec_available("png"):
+        pytest.skip("Pillow probe lights up here; the stub branch is dead")
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "png", fake=False)
 
@@ -704,9 +708,13 @@ def test_real_codec_flag_routes_and_names_missing_deps(monkeypatch):
 
 
 @pytest.mark.skipif(
-    "SPARK_GRAFT_REAL_CODECS" not in __import__("os").environ,
-    reason="real-codec integration: set SPARK_GRAFT_REAL_CODECS=1 in an "
-    "environment with Pillow/ffmpeg to exercise compressed-tier decode",
+    not __import__(
+        "movie_data_transformer_spark.operators.multimodal", fromlist=["x"]
+    ).codec_available("png")
+    and "SPARK_GRAFT_REAL_CODECS" not in __import__("os").environ,
+    reason="real-codec integration: runs automatically wherever the "
+    "Pillow probe lights up (r6 advice #5), or force with "
+    "SPARK_GRAFT_REAL_CODECS=1",
 )
 def test_real_codec_png_roundtrip():
     """Skipped by default: in a Pillow-equipped environment the PNG route
