@@ -115,6 +115,12 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.privacy_extras_queries",
     "movie_data_transformer_spark.operators.skew_extras_queries",
     "movie_data_transformer_spark.operators.search_extras_queries",
+    # round-7 additions register BEHIND the committed r07/r08/r09 fronts
+    # (NOTES.md); they queue for the r10 rotation
+    "movie_data_transformer_spark.operators.recsys_queries",
+    "movie_data_transformer_spark.operators.sampling_queries",
+    "movie_data_transformer_spark.operators.mixing_queries",
+    "movie_data_transformer_spark.operators.cluster_eval_queries",
 ]
 
 

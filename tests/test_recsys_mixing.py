@@ -1,0 +1,93 @@
+"""Semantic gates for the r7 additions: item-CF recommendations,
+hash sampling/splitting, token-budget mixing, centroid silhouette.
+(The value-exactness of each entry is already bound by its DuckDB
+oracle; these pin the PROPERTIES an oracle mismatch wouldn't name.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.cluster_eval_queries import (
+    q_kmeans_silhouette_fixed,
+)
+from movie_data_transformer_spark.operators.mixing_queries import (
+    _BUDGET,
+    q_mix_token_budget_apportion,
+)
+from movie_data_transformer_spark.operators.recsys_queries import (
+    interactions,
+    q_movies_item_item_topk,
+    q_movies_recommend_user_topk,
+)
+from movie_data_transformer_spark.operators.sampling_queries import (
+    q_sample_stratified_exact_quota,
+    q_split_group_holdout,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_recommendations_exclude_watched(spark, sf_dir):
+    recs = q_movies_recommend_user_topk(spark, sf_dir)
+    watched = interactions(spark, sf_dir).withColumnRenamed("movieId", "movie_id")
+    leaked = recs.join(watched, ["customerId", "movie_id"], "inner").count()
+    assert leaked == 0
+    # and every customer gets at most 3, ranked 1..n contiguously
+    per_cust = recs.groupBy("customerId").agg(
+        F.count("*").alias("n"), F.max("rec_rank").alias("mx")
+    )
+    bad = per_cust.filter("n > 3 OR mx != n").count()
+    assert bad == 0
+    assert recs.count() > 0
+
+
+def test_item_item_topk_is_topk(spark, sf_dir):
+    topk = q_movies_item_item_topk(spark, sf_dir)
+    per_movie = topk.groupBy("movie_id").agg(
+        F.count("*").alias("n"), F.max("sim_rank").alias("mx")
+    )
+    assert per_movie.filter("n > 3 OR mx != n").count() == 0
+    # the cohort construction guarantees every movie has >=3 co-watched
+    # neighbors (slots within distance 2 share watchers)
+    assert per_movie.filter("n < 3").count() == 0
+
+
+def test_mix_apportionment_spends_budget_exactly(spark, sf_dir):
+    mix = q_mix_token_budget_apportion(spark, sf_dir).collect()
+    assert sum(r.alloc_tokens for r in mix) == _BUDGET
+    assert all(r.alloc_tokens >= 0 for r in mix)
+    # proportionality within 1 token of the real quota (Hamilton bound)
+    total_w = sum(r.weight for r in mix)
+    for r in mix:
+        exact = _BUDGET * r.weight / total_w
+        assert abs(r.alloc_tokens - exact) < 1.0
+
+
+def test_stratified_quota_is_exact_ceil(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = q_sample_stratified_exact_quota(spark, sf_dir)
+    kept_by_lang = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in n_by_lang.items():
+        assert kept_by_lang.get(lang, 0) == -(-n // 5)  # ceil(n/5)
+
+
+def test_group_split_has_no_leakage_and_partitions_orders(spark, sf_dir):
+    rows = q_split_group_holdout(spark, sf_dir).collect()
+    assert {r.split for r in rows} == {"train", "holdout"}
+    assert all(r.leak_customers == 0 for r in rows)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+
+
+def test_silhouette_bounds_and_cohesion(spark, sf_dir):
+    rows = q_kmeans_silhouette_fixed(spark, sf_dir).collect()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == emb_n
+    for r in rows:
+        assert -1_000_000 <= r.min_s_micro <= 1_000_000
+        assert -1_000_000 <= r.avg_s_micro <= 1_000_000
+    # the embeddings' label clusters are real: positive mean silhouette
+    # in every cell (observed ~0.02 at sf0.001)
+    assert all(r.avg_s_micro > 0 for r in rows)
