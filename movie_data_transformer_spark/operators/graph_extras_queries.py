@@ -1,0 +1,156 @@
+"""k-core decomposition of the user co-watch graph — the classic
+"dense-community extraction" graph operator (Seidman 1983): repeatedly
+peel nodes of degree < k until the remaining subgraph has minimum degree
+>= k. Used in practice to find the stable heavy-engagement cohort (and,
+in corpus curation, the tightly-linked document clusters worth manual
+review).
+
+Determinism contract: BOTH engines run the SAME bounded peel — K=3,
+MAX_PEELS=6 — so the entry carries a FULL oracle (the DuckDB side is
+the peel unrolled into 6 MATERIALIZED CTE stages; recursive CTEs can't
+self-join the working table, so unrolling is the portable form, and the
+MATERIALIZED hint stops the chained stages from inlining exponentially. Peeling is monotone,
+so once the node set is stable every further round is a no-op: the
+Spark loop early-exits on convergence and still equals the oracle's
+fixed 6 rounds. `test_kcore_converges_within_bound` pins that 6 rounds
+ARE a fixpoint at every test SF (the cohort graph peels in <=2), so the
+bound is a proven invariant, not silent truncation.
+
+Graph fixture: recsys_queries.interactions' taste-cohort watch table —
+users are adjacent when they share >= 2 titles (cohorts within distance
+2 share slots, so the graph has real block structure and scales with
+users). Edge generation is pairs-within-movie-group, bounded by
+watchlist sizes; a promiscuous blockbuster title would be df-capped the
+same way dedup caps promiscuous buckets.
+
+The cohort graph is deliberately dense (every user has degree >= 3), so
+a PLANTED pendant chain c0 - p:0 - p:1 - ... - p:4 is unioned in (the
+repo's planted-truth pattern): round r peels exactly p:{5-r}, so all
+five peel rounds do real verified work, and round 6 is the proven no-op
+that makes the convergence gate honest rather than vacuous.
+
+Scale: each peel round = one degree agg (shuffle on node) + one
+semi-join of edges against survivors; MAX_PEELS bounds the rounds, and
+the edge set is localCheckpoint'd once (feeds every round) then
+shrunk per round — the standard iterative-graph pattern here
+(graph_pagerank's loop discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.recsys_queries import (
+    INTERACTIONS_CTE,
+    interactions,
+)
+
+K_CORE = 3
+MAX_PEELS = 6
+
+
+def cowatch_user_edges(watched: DataFrame) -> DataFrame:
+    """Undirected (u < v) user edges: >= 2 shared titles."""
+    a = watched.select(F.col("customerId").alias("u"), "movieId")
+    b = watched.select(F.col("customerId").alias("v"), "movieId")
+    return (
+        a.join(b, "movieId")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("u", "v")
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int = K_CORE, max_peels: int = MAX_PEELS) -> DataFrame:
+    """Surviving (customerId, core_degree) after the bounded k-core peel.
+    Early-exits when a round removes nothing (== the oracle's fixed
+    max_peels rounds, since further rounds are no-ops)."""
+    live = edges.localCheckpoint()  # feeds every round
+    for _ in range(max_peels):
+        deg = (
+            live.select(F.col("u").alias("node"))
+            .union(live.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            live.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if nxt.count() == live.count():  # monotone => equal count = fixpoint
+            live = nxt
+            break
+        live = nxt
+    return (
+        live.select(F.col("u").alias("customerId"))
+        .union(live.select(F.col("v").alias("customerId")))
+        .groupBy("customerId")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+#: pendant chain planted below the co-watch graph: peels one node per
+#: round (p:4 in round 1 ... p:0 in round 5; round 6 is the no-op that
+#: proves the fixpoint). 'c0' = user_id 0, present at every SF.
+PENDANT_CHAIN = [("c0", "p:0"), ("p:0", "p:1"), ("p:1", "p:2"), ("p:2", "p:3"), ("p:3", "p:4")]
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = spark.createDataFrame(PENDANT_CHAIN, "u string, v string")
+    edges = cowatch_user_edges(interactions(spark, sf_dir)).unionAll(chain)
+    return kcore_peel(edges)
+
+
+def _unrolled_peel_sql(k: int, rounds: int) -> str:
+    """The peel unrolled into `rounds` CTE stages (edges0 -> edgesN)."""
+    stages = []
+    for i in range(rounds):
+        stages.append(
+            f"""deg{i} AS MATERIALIZED (
+    SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM edges{i} UNION ALL SELECT v FROM edges{i}
+    ) GROUP BY node
+),
+keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= {k}),
+edges{i + 1} AS MATERIALIZED (
+    SELECT e.u, e.v FROM edges{i} e
+    JOIN keep{i} ku ON ku.node = e.u
+    JOIN keep{i} kv ON kv.node = e.v
+)"""
+        )
+    return ",\n".join(stages)
+
+
+SQL_GRAPH_KCORE = f"""
+WITH {INTERACTIONS_CTE},
+prs AS (
+    SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
+    FROM watched a
+    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    GROUP BY 1, 2
+),
+chain(u, v) AS (VALUES ('c0', 'p:0'), ('p:0', 'p:1'), ('p:1', 'p:2'),
+                       ('p:2', 'p:3'), ('p:3', 'p:4')),
+edges0 AS MATERIALIZED (
+    SELECT u, v FROM prs WHERE shared >= 2
+    UNION ALL SELECT u, v FROM chain
+),
+{_unrolled_peel_sql(K_CORE, MAX_PEELS)}
+SELECT customerId, CAST(count(*) AS BIGINT) AS core_degree
+FROM (
+    SELECT u AS customerId FROM edges{MAX_PEELS}
+    UNION ALL SELECT v FROM edges{MAX_PEELS}
+)
+GROUP BY customerId
+"""
+
+
+QUERIES = {
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+}

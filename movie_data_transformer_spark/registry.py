@@ -121,6 +121,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.sampling_queries",
     "movie_data_transformer_spark.operators.mixing_queries",
     "movie_data_transformer_spark.operators.cluster_eval_queries",
+    "movie_data_transformer_spark.operators.graph_extras_queries",
+    "movie_data_transformer_spark.operators.storage_queries",
 ]
 
 

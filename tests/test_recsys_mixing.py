@@ -81,6 +81,70 @@ def test_group_split_has_no_leakage_and_partitions_orders(spark, sf_dir):
     assert sum(r.n_orders for r in rows) == total
 
 
+def test_kcore_converges_within_bound_and_peels_the_chain(spark, sf_dir):
+    from movie_data_transformer_spark.operators.graph_extras_queries import (
+        MAX_PEELS,
+        cowatch_user_edges,
+        kcore_peel,
+        q_graph_kcore,
+    )
+
+    core = {r.customerId: r.core_degree for r in q_graph_kcore(spark, sf_dir).collect()}
+    # every planted pendant node peels out; the anchor survives
+    assert not any(c.startswith("p:") for c in core)
+    assert "c0" in core
+    # MAX_PEELS is a true fixpoint: one extra round changes nothing
+    chain = spark.createDataFrame(
+        [("c0", "p:0"), ("p:0", "p:1"), ("p:1", "p:2"), ("p:2", "p:3"), ("p:3", "p:4")],
+        "u string, v string",
+    )
+    from movie_data_transformer_spark.operators.recsys_queries import interactions
+
+    edges = cowatch_user_edges(interactions(spark, sf_dir)).unionAll(chain)
+    more = {
+        r.customerId: r.core_degree
+        for r in kcore_peel(edges, max_peels=MAX_PEELS + 1).collect()
+    }
+    assert more == core
+
+
+def test_compaction_bins_cover_all_files_within_target(spark, sf_dir):
+    from movie_data_transformer_spark.operators.format_queries import (
+        WAV_SUBSET_MOD,
+        binaryfile_fixture_dir,
+    )
+    from movie_data_transformer_spark.operators.storage_queries import (
+        TARGET_BIN_BYTES,
+        q_compaction_plan_bins,
+    )
+
+    binaryfile_fixture_dir(spark, sf_dir)  # ensure the fixture exists
+    rows = q_compaction_plan_bins(spark, sf_dir).collect()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(f"doc_id % {WAV_SUBSET_MOD} = 0")
+        .count()
+    )
+    assert sum(r.n_files for r in rows) == n_docs
+    # next-fit bound: a bin exceeds target by at most one file
+    for r in rows:
+        assert r.total_bytes < TARGET_BIN_BYTES + r.max_bytes
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    from movie_data_transformer_spark.operators.storage_queries import (
+        N_HIST_BUCKETS,
+        q_stats_equidepth_histogram,
+    )
+
+    rows = sorted(q_stats_equidepth_histogram(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, N_HIST_BUCKETS + 1))
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi_cents <= cur.lo_cents
+
+
 def test_silhouette_bounds_and_cohesion(spark, sf_dir):
     rows = q_kmeans_silhouette_fixed(spark, sf_dir).collect()
     emb_n = load_table(spark, sf_dir, "embeddings").count()
