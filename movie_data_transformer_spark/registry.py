@@ -123,6 +123,9 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.cluster_eval_queries",
     "movie_data_transformer_spark.operators.graph_extras_queries",
     "movie_data_transformer_spark.operators.storage_queries",
+    "movie_data_transformer_spark.operators.resample_queries",
+    "movie_data_transformer_spark.operators.matching_queries",
+    "movie_data_transformer_spark.operators.changelog_queries",
 ]
 
 

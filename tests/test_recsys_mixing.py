@@ -155,3 +155,78 @@ def test_silhouette_bounds_and_cohesion(spark, sf_dir):
     # the embeddings' label clusters are real: positive mean silhouette
     # in every cell (observed ~0.02 at sf0.001)
     assert all(r.avg_s_micro > 0 for r in rows)
+
+
+def test_resample_reconstructs_planted_outage_days(spark, sf_dir):
+    from movie_data_transformer_spark.operators.resample_queries import (
+        q_events_resample_interpolate,
+    )
+
+    rows = sorted(q_events_resample_interpolate(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert len(rows) == 31
+    outage = [r for r in rows if r.day.day % 4 == 1]
+    assert len(outage) == 8 and all(r.is_interpolated for r in outage)
+    assert all(r.filled_cents is not None and r.filled_cents >= 0 for r in rows)
+    # interpolated values sit within the neighboring observed envelope
+    obs = [r.filled_cents for r in rows if not r.is_interpolated]
+    if obs:
+        lo, hi = min(obs), max(obs)
+        assert all(lo <= r.filled_cents <= hi for r in rows if r.is_interpolated)
+
+
+def test_fifo_match_equals_greedy_scan(spark, sf_dir):
+    from movie_data_transformer_spark.operators.matching_queries import (
+        q_events_fifo_match,
+    )
+
+    got = {r.user_id: (r.n_views, r.n_purchases, r.n_matched)
+           for r in q_events_fifo_match(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('view','purchase')")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        seqs[r.user_id].append(r.event_type)
+    for uid, seq in seqs.items():
+        avail = matched = 0
+        for t in seq:
+            if t == "view":
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                matched += 1
+        nv, np_ = seq.count("view"), seq.count("purchase")
+        assert got[uid] == (nv, np_, matched), uid
+
+
+def test_cdc_apply_honors_trailing_tombstones(spark, sf_dir):
+    from movie_data_transformer_spark.operators.changelog_queries import (
+        q_cdc_apply_tombstones,
+    )
+
+    got = {r.user_id: r.last_cents for r in q_cdc_apply_tombstones(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('purchase','error')")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    last = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        last[r.user_id] = r
+    import math
+
+    expect = {
+        uid: int(math.floor(r.value * 100))
+        for uid, r in last.items()
+        if r.event_type == "purchase"
+    }
+    assert got == expect
+    # tombstoned keys really are erased
+    assert any(r.event_type == "error" for r in last.values())
