@@ -90,6 +90,15 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "source_token_tv_drift",
     "events_funnel_conversion",
+    # r7 additions: item-CF recommendation scoring, centroid silhouette,
+    # FIFO prefix-sum matching, hash sampling, compaction planning (new
+    # operator families; graph_kcore stays registry-only — its cost is
+    # the 800k-edge co-watch build, profiled in SCALE.md)
+    "movies_recommend_user_topk",
+    "kmeans_silhouette_fixed",
+    "events_fifo_match",
+    "sample_hash_threshold_report",
+    "compaction_plan_bins",
 ]
 
 
