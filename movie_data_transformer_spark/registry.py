@@ -126,6 +126,10 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.resample_queries",
     "movie_data_transformer_spark.operators.matching_queries",
     "movie_data_transformer_spark.operators.changelog_queries",
+    "movie_data_transformer_spark.operators.ivm_queries",
+    "movie_data_transformer_spark.operators.robust_stats_queries",
+    "movie_data_transformer_spark.operators.corpus_stats_queries",
+    "movie_data_transformer_spark.operators.skyline_queries",
 ]
 
 

@@ -230,3 +230,75 @@ def test_cdc_apply_honors_trailing_tombstones(spark, sf_dir):
     assert got == expect
     # tombstoned keys really are erased
     assert any(r.event_type == "error" for r in last.values())
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    from movie_data_transformer_spark.operators.ivm_queries import (
+        _partial,
+        q_ivm_incremental_agg,
+    )
+
+    merged = q_ivm_incremental_agg(spark, sf_dir)
+    full = _partial(load_table(spark, sf_dir, "orders"))
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_winsorize_identities(spark, sf_dir):
+    from movie_data_transformer_spark.operators.robust_stats_queries import (
+        q_orders_winsorize,
+    )
+
+    r = q_orders_winsorize(spark, sf_dir).collect()[0]
+    assert r.lo_cents <= r.hi_cents
+    assert r.n * r.lo_cents <= r.sum_cents_winsorized <= r.n * r.hi_cents
+    # ~1% clipped each side (rank-exact: at most ceil(n/100))
+    assert r.n_clipped_low <= -(-r.n // 100)
+    assert r.n_clipped_high <= -(-r.n // 100)
+
+
+def test_heaps_curve_is_monotone_and_exact_at_the_end(spark, sf_dir):
+    from movie_data_transformer_spark.operators.corpus_stats_queries import (
+        q_text_heaps_law_curve,
+    )
+
+    rows = sorted(q_text_heaps_law_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.docs_cum < b.docs_cum and a.vocab_cum <= b.vocab_cum
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    true_vocab = (
+        docs.selectExpr(r"explode(split(trim(text), '\\s+')) AS tok")
+        .select("tok").distinct().count()
+    )
+    assert rows[-1].docs_cum == n_docs
+    assert rows[-1].vocab_cum == true_vocab
+
+
+def test_skyline_is_an_antichain(spark, sf_dir):
+    from movie_data_transformer_spark.operators.skyline_queries import (
+        q_orders_skyline,
+    )
+
+    pts = sorted(
+        ((r.cents, r.day) for r in q_orders_skyline(spark, sf_dir).collect()),
+        reverse=True,
+    )
+    assert pts
+    # strictly decreasing cents => strictly increasing days (no mutual
+    # dominance anywhere on the frontier)
+    for (c1, d1), (c2, d2) in zip(pts, pts[1:]):
+        assert c1 > c2 and d1 < d2
+
+
+def test_mad_outliers_bounds(spark, sf_dir):
+    from movie_data_transformer_spark.operators.robust_stats_queries import (
+        q_stats_mad_outliers,
+    )
+
+    rows = q_stats_mad_outliers(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mad_cents >= 0 and 0 <= r.n_outliers < r.n // 2
