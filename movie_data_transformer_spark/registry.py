@@ -130,6 +130,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.robust_stats_queries",
     "movie_data_transformer_spark.operators.corpus_stats_queries",
     "movie_data_transformer_spark.operators.skyline_queries",
+    "movie_data_transformer_spark.operators.redaction_queries",
 ]
 
 

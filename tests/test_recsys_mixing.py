@@ -302,3 +302,52 @@ def test_mad_outliers_bounds(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r.mad_cents >= 0 and 0 <= r.n_outliers < r.n // 2
+
+
+def test_stream_cdc_apply_equals_batch_form(spark, sf_dir):
+    from movie_data_transformer_spark.operators.changelog_queries import (
+        q_cdc_apply_tombstones,
+        q_stream_cdc_apply,
+    )
+
+    batch = {tuple(r) for r in q_cdc_apply_tombstones(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in q_stream_cdc_apply(spark, sf_dir).collect()}
+    assert stream == batch and batch
+
+
+def test_pii_planted_recall_and_no_leak(spark, sf_dir):
+    from movie_data_transformer_spark.operators.redaction_queries import (
+        q_pii_detect_redact,
+    )
+
+    rows = q_pii_detect_redact(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # exact planted recall: every %5 doc has its email, every %7 its phone
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 5 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 7 == 0 else 0)
+    planted = {d for d in range(n_docs) if d % 5 == 0 or d % 7 == 0}
+    docs_ids = {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert set(by_id) == {d for d in docs_ids if d % 5 == 0 or d % 7 == 0}
+    # and the redacted text truly contains no address (spot-check one doc)
+    from movie_data_transformer_spark.operators.redaction_queries import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 35 = 0")
+    red = docs.selectExpr(
+        "concat(text, ' contact user', doc_id, '@example.com',"
+        " ' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS t"
+    ).selectExpr(
+        f"regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]'),"
+        f" '{_PHONE_RE}', '[PHONE]') AS t"
+    )
+    leaks = red.filter(
+        F2.expr(f"t rlike '{_EMAIL_RE}' OR t rlike '{_PHONE_RE}'")
+    ).count()
+    assert leaks == 0
