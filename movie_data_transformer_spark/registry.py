@@ -131,6 +131,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.corpus_stats_queries",
     "movie_data_transformer_spark.operators.skyline_queries",
     "movie_data_transformer_spark.operators.redaction_queries",
+    "movie_data_transformer_spark.operators.sketch_extras_queries",
 ]
 
 
