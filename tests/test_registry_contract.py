@@ -109,6 +109,22 @@ def test_plan_shapes_hold(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("SortMergeJoin") == 0
 
+    # r7 single-exchange operators: skyline (sort + windows, NO join),
+    # FIFO matching (the window and the agg REUSE the user_id
+    # partitioning — one exchange total), CDC apply (one sort-free
+    # max_by fold), hash sampling (map-side predicate + one report agg).
+    # A second Exchange creeping in means the partitioning reuse broke.
+    for name in (
+        "orders_skyline",
+        "events_fifo_match",
+        "cdc_apply_tombstones",
+        "sample_hash_threshold_report",
+    ):
+        p = plan_of(name)
+        assert p.count("Exchange") == 1, name
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert bad not in p, (name, bad)
+
 
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
