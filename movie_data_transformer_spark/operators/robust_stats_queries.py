@@ -179,7 +179,94 @@ FROM ranked, cuts
 """
 
 
+def q_stats_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-7 (numpy/R default) INTERPOLATED quantiles per event_type, in
+    exact micro-cents: h = (n-1)*q lands between order statistics x_lo
+    and x_hi, result = x_lo + frac*(x_hi - x_lo). With q in tenths the
+    fraction is k/10, so the interpolation is exact integer arithmetic —
+    the estimator every float implementation approximates, here bit-
+    exact and oracle-checked. Complements the crossing-row medians
+    (discontinuous type-1) and the KLL sketch (approximate)."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "event_id", "CAST(floor(value * 100) AS BIGINT) AS cents"
+    )
+    ranked = ev.selectExpr(
+        "event_type",
+        "cents",
+        "row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)"
+        " AS rn",
+        "count(*) OVER (PARTITION BY event_type) AS n",
+    )
+    out = ranked.groupBy("event_type").agg(F.max("n").alias("n"))
+    for q, name in ((5, "p50"), (9, "p90")):
+        picks = (
+            ranked.groupBy("event_type")
+            .agg(
+                F.expr(
+                    f"max(CASE WHEN rn = (n - 1) * {q} div 10 + 1"
+                    " THEN cents END)"
+                ).alias("lo"),
+                F.expr(
+                    f"max(CASE WHEN rn = least((n - 1) * {q} div 10 + 2, n)"
+                    " THEN cents END)"
+                ).alias("hi"),
+                F.expr(f"max((n - 1) * {q} % 10)").alias("frac10"),
+            )
+            .selectExpr(
+                "event_type",
+                "CAST(lo * 1000000 + (hi - lo) * frac10 * 100000 AS BIGINT)"
+                f" AS {name}_cents_micro",
+            )
+        )
+        out = out.join(picks, "event_type")
+    return out.selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n",
+        "p50_cents_micro", "p90_cents_micro"
+    )
+
+
+def _sql_quantile_interp() -> str:
+    def pick(q: int, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT event_type,
+           CAST(max(lo) * 1000000 + (max(hi) - max(lo)) * max(frac10) * 100000
+                AS BIGINT) AS {name}_cents_micro
+    FROM (
+        SELECT event_type,
+               max(CASE WHEN rn = (n - 1) * {q} // 10 + 1 THEN cents END) AS lo,
+               max(CASE WHEN rn = least((n - 1) * {q} // 10 + 2, n)
+                   THEN cents END) AS hi,
+               max((n - 1) * {q} % 10) AS frac10
+        FROM ranked GROUP BY event_type
+    ) GROUP BY event_type
+)"""
+
+    return f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ev
+),{pick(5, "p50")},{pick(9, "p90")}
+SELECT r.event_type, CAST(max(r.n) AS BIGINT) AS n,
+       max(p50.p50_cents_micro) AS p50_cents_micro,
+       max(p90.p90_cents_micro) AS p90_cents_micro
+FROM ranked r
+JOIN p50 ON p50.event_type = r.event_type
+JOIN p90 ON p90.event_type = r.event_type
+GROUP BY r.event_type
+"""
+
+
 QUERIES = {
     "stats_mad_outliers": (q_stats_mad_outliers, SQL_STATS_MAD_OUTLIERS),
     "orders_winsorize_p1_p99": (q_orders_winsorize, SQL_ORDERS_WINSORIZE),
+    "stats_quantile_interp_by_type": (q_stats_quantile_interp, _sql_quantile_interp()),
 }

@@ -132,6 +132,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.skyline_queries",
     "movie_data_transformer_spark.operators.redaction_queries",
     "movie_data_transformer_spark.operators.sketch_extras_queries",
+    "movie_data_transformer_spark.operators.version_diff_queries",
 ]
 
 

@@ -351,3 +351,40 @@ def test_pii_planted_recall_and_no_leak(spark, sf_dir):
         F2.expr(f"t rlike '{_EMAIL_RE}' OR t rlike '{_PHONE_RE}'")
     ).count()
     assert leaks == 0
+
+
+def test_type7_quantile_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from movie_data_transformer_spark.operators.robust_stats_queries import (
+        q_stats_quantile_interp,
+    )
+
+    got = {r.event_type: r for r in q_stats_quantile_interp(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+    ).collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in ev:
+        vals[r.event_type].append(r.cents)
+    for t, xs in vals.items():
+        a = np.asarray(sorted(xs), dtype=np.float64)
+        assert got[t].p50_cents_micro == round(float(np.quantile(a, 0.5)) * 1e6)
+        assert got[t].p90_cents_micro == round(float(np.quantile(a, 0.9)) * 1e6)
+
+
+def test_version_diff_accounts_for_every_key(spark, sf_dir):
+    from movie_data_transformer_spark.operators.version_diff_queries import (
+        q_table_version_diff,
+    )
+
+    rows = {r.status: r for r in q_table_version_diff(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    assert rows["removed"].n_keys == 0  # additive merge never removes
+    # at least one key changed and the deltas are non-negative (additive)
+    assert rows["changed"].n_keys > 0
+    assert rows["changed"].total_e4_delta_sum > 0
+    assert rows["added"].total_e4_delta_sum >= 0
+    assert rows["unchanged"].total_e4_delta_sum == 0
