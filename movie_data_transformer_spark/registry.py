@@ -133,6 +133,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.redaction_queries",
     "movie_data_transformer_spark.operators.sketch_extras_queries",
     "movie_data_transformer_spark.operators.version_diff_queries",
+    "movie_data_transformer_spark.operators.linkage_queries",
+    "movie_data_transformer_spark.operators.backtest_queries",
 ]
 
 
