@@ -219,10 +219,133 @@ WHERE rec_rank <= 3
 """
 
 
+def q_recsys_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed recommender EVALUATION, end-to-end with leave-one-out
+    holdout: per customer, hold out the lexicographically-last watched
+    title (deterministic), rebuild the similarity model on the TRAIN
+    watch table only (no leakage — the evaluated interaction never
+    touches the model), recommend top-3 unwatched-in-train titles, and
+    score hit@3 against the holdout. One row: evaluated users, hits,
+    hit-rate in micro units. The offline-eval loop every recommender
+    team runs, as one oracle-checked dataflow.
+
+    Scale: same plan as the model+serve entries (pair agg bounded by
+    watchlists, broadcastable truncated model) plus a per-user argmax
+    for the holdout — nothing new shuffles; the eval join is
+    1-row-per-user against the top-3 table."""
+    watched = interactions(spark, sf_dir)
+    holdout = watched.groupBy("customerId").agg(
+        F.max("movieId").alias("held_movie"),
+        F.count("*").alias("_n"),
+    ).filter("_n >= 2").select("customerId", "held_movie")
+    train = watched.join(
+        holdout.withColumnRenamed("held_movie", "movieId"),
+        ["customerId", "movieId"],
+        "left_anti",
+    )
+    sims = item_similarities(train)
+    scored = (
+        train.join(sims, train.movieId == sims.movie_src)
+        .groupBy("customerId", "movie_dst")
+        .agg(F.sum("jaccard_micro").alias("score_micro"))
+    )
+    unseen = scored.join(
+        train.withColumnRenamed("movieId", "movie_dst"),
+        ["customerId", "movie_dst"],
+        "left_anti",
+    )
+    top3 = unseen.selectExpr(
+        "customerId",
+        "movie_dst",
+        "row_number() OVER (PARTITION BY customerId"
+        " ORDER BY score_micro DESC, movie_dst ASC) AS rec_rank",
+    ).filter("rec_rank <= 3")
+    hits = holdout.join(
+        top3.withColumnRenamed("movie_dst", "held_movie"),
+        ["customerId", "held_movie"],
+        "left",
+    ).selectExpr(
+        "customerId", "CASE WHEN rec_rank IS NOT NULL THEN 1 ELSE 0 END AS hit"
+    )
+    return hits.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_users_eval",
+        "CAST(sum(hit) AS BIGINT) AS n_hits_at3",
+        "CAST(sum(hit) * 1000000 div count(*) AS BIGINT) AS hit_rate_micro",
+    )
+
+
+SQL_RECSYS_PIPELINE_E2E = f"""
+WITH {INTERACTIONS_CTE},
+holdout AS (
+    SELECT customerId, max(movieId) AS held_movie
+    FROM watched GROUP BY customerId HAVING count(*) >= 2
+),
+train AS (
+    SELECT w.customerId, w.movieId FROM watched w
+    WHERE NOT EXISTS (SELECT 1 FROM holdout h
+                      WHERE h.customerId = w.customerId
+                        AND h.held_movie = w.movieId)
+),
+sizes AS (SELECT movieId, count(*) AS n FROM train GROUP BY movieId),
+co AS (
+    SELECT a.movieId AS movie_a, b.movieId AS movie_b, count(*) AS n_co
+    FROM train a JOIN train b
+      ON a.customerId = b.customerId AND a.movieId < b.movieId
+    GROUP BY 1, 2
+),
+prs AS (
+    SELECT movie_a, movie_b,
+           CAST(n_co * 1000000 // (na.n + nb.n - n_co) AS BIGINT)
+               AS jaccard_micro
+    FROM co
+    JOIN sizes na ON na.movieId = movie_a
+    JOIN sizes nb ON nb.movieId = movie_b
+),
+sims AS (
+    SELECT movie_a AS movie_src, movie_b AS movie_dst, jaccard_micro FROM prs
+    UNION ALL SELECT movie_b, movie_a, jaccard_micro FROM prs
+),
+scored AS (
+    SELECT t.customerId, s.movie_dst,
+           CAST(sum(s.jaccard_micro) AS BIGINT) AS score_micro
+    FROM train t JOIN sims s ON t.movieId = s.movie_src
+    GROUP BY 1, 2
+),
+unseen AS (
+    SELECT sc.* FROM scored sc
+    WHERE NOT EXISTS (SELECT 1 FROM train t
+                      WHERE t.customerId = sc.customerId
+                        AND t.movieId = sc.movie_dst)
+),
+top3 AS (
+    SELECT customerId, movie_dst
+    FROM (SELECT customerId, movie_dst,
+                 row_number() OVER (PARTITION BY customerId
+                                    ORDER BY score_micro DESC, movie_dst ASC)
+                     AS rec_rank
+          FROM unseen)
+    WHERE rec_rank <= 3
+),
+hits AS (
+    SELECT h.customerId,
+           CASE WHEN EXISTS (SELECT 1 FROM top3 t
+                             WHERE t.customerId = h.customerId
+                               AND t.movie_dst = h.held_movie)
+                THEN 1 ELSE 0 END AS hit
+    FROM holdout h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users_eval,
+       CAST(sum(hit) AS BIGINT) AS n_hits_at3,
+       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_rate_micro
+FROM hits
+"""
+
+
 QUERIES = {
     "movies_item_item_topk": (q_movies_item_item_topk, SQL_MOVIES_ITEM_ITEM_TOPK),
     "movies_recommend_user_topk": (
         q_movies_recommend_user_topk,
         SQL_MOVIES_RECOMMEND_USER_TOPK,
     ),
+    "recsys_pipeline_e2e": (q_recsys_pipeline_e2e, SQL_RECSYS_PIPELINE_E2E),
 }

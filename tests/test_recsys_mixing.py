@@ -388,3 +388,32 @@ def test_version_diff_accounts_for_every_key(spark, sf_dir):
     assert rows["changed"].total_e4_delta_sum > 0
     assert rows["added"].total_e4_delta_sum >= 0
     assert rows["unchanged"].total_e4_delta_sum == 0
+
+
+def test_recsys_e2e_beats_zero_and_counts_all_users(spark, sf_dir):
+    from movie_data_transformer_spark.operators.recsys_queries import (
+        q_recsys_pipeline_e2e,
+    )
+
+    r = q_recsys_pipeline_e2e(spark, sf_dir).collect()[0]
+    n_users = interactions(spark, sf_dir).select("customerId").distinct().count()
+    # every fixture user has >= 2 watches, so all are evaluated
+    assert r.n_users_eval == n_users
+    # the model carries real signal (observed 27% at sf0.001, 57% at
+    # sf0.01; random over the candidate pool is ~15%)
+    assert r.n_hits_at3 > 0
+    assert r.hit_rate_micro == r.n_hits_at3 * 1_000_000 // r.n_users_eval
+
+
+def test_kendall_pair_accounting(spark, sf_dir):
+    from movie_data_transformer_spark.operators.kendall_queries import (
+        q_stats_kendall_by_year,
+    )
+
+    for r in q_stats_kendall_by_year(spark, sf_dir).collect():
+        assert r.concordant >= 0 and r.discordant >= 0 and r.tied >= 0
+        total = r.concordant + r.discordant + r.tied
+        assert -1_000_000 <= r.tau_a_micro <= 1_000_000
+        num = (r.concordant - r.discordant) * 1_000_000
+        trunc = abs(num) // total * (1 if num >= 0 else -1)  # Spark div truncates
+        assert trunc == r.tau_a_micro
