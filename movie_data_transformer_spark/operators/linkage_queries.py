@@ -71,15 +71,32 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(element_at(split(p_name, ' '), -1), '|',"
         f" CAST(({_PERTURB_SIZE}) div 8 AS STRING)) AS blk",
     )
+    # the name-weight table runs on DISTINCT label pairs (|labels|^2
+    # within noun, ~9k DP calls), not the 5.7M record pairs — the
+    # fuzzy_name_match discipline; record pairs then broadcast-look-up
+    # their name weight (names repeat heavily, so this is the whole
+    # levenshtein cost collapsed ~600x)
+    la = a.selectExpr(
+        "name_a", "element_at(split(name_a, ' '), -1) AS noun_l"
+    ).distinct()
+    lb = b.selectExpr(
+        "name_b", "element_at(split(name_b, ' '), -1) AS noun_l"
+    ).distinct()
+    lev_tab = la.join(F.broadcast(lb), "noun_l").selectExpr(
+        "name_a",
+        "name_b",
+        f"CASE WHEN name_a = name_b THEN {W_NAME_EXACT[0] + W_NAME_FUZZY[0]}"
+        f" WHEN levenshtein(name_a, name_b) <= 4"
+        f" THEN {W_NAME_EXACT[1] + W_NAME_FUZZY[0]}"
+        f" ELSE {W_NAME_EXACT[1] + W_NAME_FUZZY[1]} END AS name_w",
+    )
     scored = (
         a.join(b, "blk")
+        .join(F.broadcast(lev_tab), ["name_a", "name_b"])
         .selectExpr(
             "key_a",
             "key_b",
-            f"CASE WHEN name_a = name_b THEN {W_NAME_EXACT[0]}"
-            f" ELSE {W_NAME_EXACT[1]} END"
-            f" + CASE WHEN levenshtein(name_a, name_b) <= 4"
-            f" THEN {W_NAME_FUZZY[0]} ELSE {W_NAME_FUZZY[1]} END"
+            f"name_w"
             f" + CASE WHEN brand_a = brand_b THEN {W_BRAND[0]}"
             f" ELSE {W_BRAND[1]} END"
             f" + CASE WHEN size_a = size_b THEN {W_SIZE[0]}"
@@ -122,17 +139,28 @@ b AS (
                     // 8 AS VARCHAR) AS blk
     FROM part
 ),
+lev_tab AS (
+    SELECT la.name_a, lb.name_b,
+           CASE WHEN la.name_a = lb.name_b
+                THEN {W_NAME_EXACT[0] + W_NAME_FUZZY[0]}
+                WHEN levenshtein(la.name_a, lb.name_b) <= 4
+                THEN {W_NAME_EXACT[1] + W_NAME_FUZZY[0]}
+                ELSE {W_NAME_EXACT[1] + W_NAME_FUZZY[1]} END AS name_w
+    FROM (SELECT DISTINCT name_a,
+                 string_split(name_a, ' ')[-1] AS noun_l FROM a) la
+    JOIN (SELECT DISTINCT name_b,
+                 string_split(name_b, ' ')[-1] AS noun_l FROM b) lb
+      USING (noun_l)
+),
 scored AS (
     SELECT key_a, key_b,
-           CASE WHEN name_a = name_b THEN {W_NAME_EXACT[0]}
-                ELSE {W_NAME_EXACT[1]} END
-           + CASE WHEN levenshtein(name_a, name_b) <= 4
-                  THEN {W_NAME_FUZZY[0]} ELSE {W_NAME_FUZZY[1]} END
+           name_w
            + CASE WHEN brand_a = brand_b THEN {W_BRAND[0]}
                   ELSE {W_BRAND[1]} END
            + CASE WHEN size_a = size_b THEN {W_SIZE[0]}
                   ELSE {W_SIZE[1]} END AS score_milli
     FROM a JOIN b USING (blk)
+    JOIN lev_tab USING (name_a, name_b)
 )
 SELECT CASE WHEN score_milli >= {T_MATCH} THEN 'match'
             WHEN score_milli >= {T_POSSIBLE} THEN 'possible'
