@@ -1,0 +1,74 @@
+"""Iterator-form Pandas UDF (SCALAR_ITER) — the last Python-UDF variant
+missing from the repo's surface (scalar Arrow UDF, grouped-map,
+grouped-agg UDAF, mapInPandas/Arrow, cogrouped, stateful, UDTFs are all
+covered). The iterator form exists for exactly one production reason:
+EXPENSIVE PER-EXECUTOR INIT — the function receives an iterator of
+Arrow batches, so a model/lexicon/regex loads ONCE per partition before
+the loop instead of once per batch. That init-once behavior is what the
+entry demonstrates and what the pytest gate PINS (the init counter is
+observed to run once per partition, not once per batch).
+
+`udf_iter_stopword_ratio` (FULL oracle): per document, the stopword
+ratio in exact micro units — stopword count * 1e6 div token count —
+with the stopword set "loaded" inside the UDF before the batch loop.
+The DuckDB oracle recomputes the ratio relationally, so the Arrow
+round-trip, the init placement, and the integer math are all bound.
+
+Scale: Arrow-batched like every pandas UDF (10k-row batches), zero
+shuffle, and the init cost amortizes over the whole partition — the
+difference between loading a 500 MB model 12 times and 12,000 times on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+@pandas_udf("long")
+def _stopword_ratio_micro(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # per-executor init: build the lexicon ONCE, before the batch loop
+    # (a real pipeline loads a model / fastText bin / big regex here)
+    lexicon = frozenset(STOPWORDS)
+    for texts in batches:
+        toks = texts.fillna("").str.strip().str.split()
+        n = toks.str.len().clip(lower=1)
+        stops = toks.map(lambda ts: sum(1 for t in ts if t.lower() in lexicon))
+        yield (stops * 1_000_000 // n).astype("int64")
+
+
+def q_udf_iter_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _stopword_ratio_micro(F.col("text")).alias("stop_ratio_micro"),
+    )
+
+
+SQL_UDF_ITER_STOPWORD_RATIO = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> list_contains(['the','a','and','of','to',
+                                                'in','is','it','for','on'],
+                                               lower(t)))) * 1000000
+            // greatest(len(string_split_regex(trim(text), '\s+')), 1)
+            AS BIGINT) AS stop_ratio_micro
+FROM documents
+"""
+
+
+QUERIES = {
+    "udf_iter_stopword_ratio": (
+        q_udf_iter_stopword_ratio,
+        SQL_UDF_ITER_STOPWORD_RATIO,
+    ),
+}

@@ -5,6 +5,9 @@ oracle; these pin the PROPERTIES an oracle mismatch wouldn't name.)"""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.operators.cluster_eval_queries import (
@@ -417,3 +420,29 @@ def test_kendall_pair_accounting(spark, sf_dir):
         num = (r.concordant - r.discordant) * 1_000_000
         trunc = abs(num) // total * (1 if num >= 0 else -1)  # Spark div truncates
         assert trunc == r.tau_a_micro
+
+
+def test_iter_udf_inits_once_per_partition(spark, tmp_path):
+    """The SCALAR_ITER form's whole reason to exist: init code before
+    the batch loop runs once per TASK, not once per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    marker = str(tmp_path / "inits")
+
+    @pandas_udf("long")
+    def probe(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        with open(marker, "a") as f:
+            f.write("init\n")
+        for b in batches:
+            yield b.str.len().astype("int64")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        df = spark.range(400).selectExpr("CAST(id AS STRING) AS s").repartition(4)
+        df.select(probe("s").alias("n")).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    inits = open(marker).read().count("init")
+    # 4 partitions x 10 batches each: per-batch init would write 40
+    assert inits == 4
