@@ -27,30 +27,41 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from movie_data_transformer_spark.sources.tables import load_table
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 
 
-@pandas_udf("long")
-def _stopword_ratio_micro(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    # per-executor init: build the lexicon ONCE, before the batch loop
-    # (a real pipeline loads a model / fastText bin / big regex here)
-    lexicon = frozenset(STOPWORDS)
-    for texts in batches:
-        toks = texts.fillna("").str.strip().str.split()
-        n = toks.str.len().clip(lower=1)
-        stops = toks.map(lambda ts: sum(1 for t in ts if t.lower() in lexicon))
-        yield (stops * 1_000_000 // n).astype("int64")
+def _make_stopword_ratio_udf():
+    """Built lazily: the @pandas_udf decorator parses its DDL return type
+    through the ACTIVE SparkContext, and the registry must stay importable
+    without a session (test_registry_consistent_without_session)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _stopword_ratio_micro(
+        batches: Iterator[pd.Series],
+    ) -> Iterator[pd.Series]:
+        # per-executor init: build the lexicon ONCE, before the batch
+        # loop (a real pipeline loads a model / big regex here)
+        lexicon = frozenset(STOPWORDS)
+        for texts in batches:
+            toks = texts.fillna("").str.strip().str.split()
+            n = toks.str.len().clip(lower=1)
+            stops = toks.map(
+                lambda ts: sum(1 for t in ts if t.lower() in lexicon)
+            )
+            yield (stops * 1_000_000 // n).astype("int64")
+
+    return _stopword_ratio_micro
 
 
 def q_udf_iter_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        _stopword_ratio_micro(F.col("text")).alias("stop_ratio_micro"),
+        _make_stopword_ratio_udf()(F.col("text")).alias("stop_ratio_micro"),
     )
 
 
