@@ -1,7 +1,11 @@
-"""PII detection + redaction over the document corpus — the scrub pass
-every training-data pipeline runs before export (emails/phones out,
-placeholder tokens in), with the detection COUNTS reported per document
-so the privacy audit has evidence, not just a cleaned corpus.
+"""PII scrubbing, the corpus-scale RECALL audit — complements
+llm_queries.text_pii_redact, which pins the redaction/count semantics on
+a handful of literal planted rows: this entry plants PII by FORMULA
+across the whole corpus (every doc_id %5 / %7, so the planted set scales
+with the data), binds the redacted TEXT itself per document (md5 — a
+redactor that counts right but leaks the address breaks the hash, which
+counts alone cannot catch), and carries a zero-leak pytest gate that
+re-scans the redacted output for any surviving match.
 
 Planted truth: deterministic contact lines are appended to a known doc
 subset (doc_id % 5 == 0 gets an email, % 7 == 0 a phone; %35 gets both)
