@@ -446,3 +446,33 @@ def test_iter_udf_inits_once_per_partition(spark, tmp_path):
     inits = open(marker).read().count("init")
     # 4 partitions x 10 batches each: per-batch init would write 40
     assert inits == 4
+
+
+def test_eval_extras_invariants(spark, sf_dir):
+    from movie_data_transformer_spark.operators.eval_extras_queries import (
+        q_conformal_interval_coverage,
+        q_lang_id_confusion,
+        q_stats_chi2_contingency,
+    )
+
+    conf = q_lang_id_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in conf) == n_docs
+    # zh has no heuristic class: it must appear as actual, never predicted
+    assert any(r.actual_lang == "zh" for r in conf)
+    assert not any(r.pred_lang == "zh" for r in conf)
+    # the heuristic carries signal: diagonal beats the uniform-random
+    # baseline over the 5 actual classes (observed ~37%; the 15% zh
+    # share is unclassifiable by construction)
+    diag = sum(r.n for r in conf if r.actual_lang == r.pred_lang)
+    assert diag > n_docs // 5
+
+    cv = q_conformal_interval_coverage(spark, sf_dir).collect()[0]
+    assert cv.q_abs > 0 and cv.n_eval > 0
+    assert cv.n_covered <= cv.n_eval
+    # distribution-free guarantee holds in expectation at 90%; with ~14
+    # eval days allow generous finite-sample slack (observed >= 71%)
+    assert cv.coverage_micro >= 500_000
+
+    chi = q_stats_chi2_contingency(spark, sf_dir).collect()[0]
+    assert chi.n_cells == 25 and chi.chi2_micro >= 0
