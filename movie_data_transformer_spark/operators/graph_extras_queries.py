@@ -163,6 +163,91 @@ GROUP BY customerId
 """
 
 
+MAX_HOPS = 6
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
+    """(customerId, dist) — unweighted shortest-path levels from the seed
+    set, bounded at max_hops (the oracle's unrolled depth). Frontier
+    iteration keeps O(reached nodes) state per round (the kcore alive-set
+    discipline): the edge table is materialized once; each round expands
+    the FRONTIER only (not the whole reached set) through one semi-join +
+    distinct, and early-exits when the frontier empties."""
+    edges = edges.localCheckpoint()
+    both = edges.unionAll(edges.selectExpr("v AS u", "u AS v"))
+    reached = seeds.selectExpr("node", "CAST(0 AS INT) AS dist").localCheckpoint()
+    frontier = reached.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            both.join(frontier.withColumnRenamed("node", "u"), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionAll(
+            nxt.selectExpr("node", f"CAST({hop} AS INT) AS dist")
+        ).localCheckpoint()
+        frontier = nxt
+    return reached.selectExpr("node AS customerId", "dist")
+
+
+def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels from seed 'c0' over the co-watch graph + pendant chain.
+    The dense cohort graph collapses to level <= 2 for real users; the
+    planted chain contributes one node per level 1..5, so every hop of
+    the bounded expansion does verified work (the kcore chain rationale).
+    FULL oracle: the expansion unrolled into MAX_HOPS MATERIALIZED CTE
+    stages."""
+    chain = spark.createDataFrame(PENDANT_CHAIN, "u string, v string")
+    edges = cowatch_user_edges(interactions(spark, sf_dir)).unionAll(chain)
+    seeds = spark.createDataFrame([("c0",)], "node string")
+    return bfs_distances(edges, seeds)
+
+
+def _unrolled_bfs_sql(hops: int) -> str:
+    stages = []
+    for i in range(hops):
+        stages.append(
+            f"""reach{i + 1} AS MATERIALIZED (
+    SELECT node, dist FROM reach{i}
+    UNION ALL
+    SELECT v AS node, {i + 1} AS dist
+    FROM (SELECT DISTINCT b.v
+          FROM undirected b JOIN reach{i} r ON r.node = b.u AND r.dist = {i})
+    WHERE v NOT IN (SELECT node FROM reach{i})
+)"""
+        )
+    return ",\n".join(stages)
+
+
+SQL_GRAPH_BFS_DISTANCES = f"""
+WITH {INTERACTIONS_CTE},
+prs AS (
+    SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
+    FROM watched a
+    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    GROUP BY 1, 2
+),
+chain(u, v) AS (VALUES ('c0', 'p:0'), ('p:0', 'p:1'), ('p:1', 'p:2'),
+                       ('p:2', 'p:3'), ('p:3', 'p:4')),
+edges AS MATERIALIZED (
+    SELECT u, v FROM prs WHERE shared >= 2
+    UNION ALL SELECT u, v FROM chain
+),
+undirected AS MATERIALIZED (
+    SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+reach0 AS MATERIALIZED (SELECT 'c0' AS node, 0 AS dist),
+{_unrolled_bfs_sql(MAX_HOPS)}
+SELECT node AS customerId, CAST(dist AS INT) AS dist
+FROM reach{MAX_HOPS}
+"""
+
+
 QUERIES = {
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "graph_bfs_distances": (q_graph_bfs_distances, SQL_GRAPH_BFS_DISTANCES),
 }

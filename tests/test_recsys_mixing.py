@@ -476,3 +476,17 @@ def test_eval_extras_invariants(spark, sf_dir):
 
     chi = q_stats_chi2_contingency(spark, sf_dir).collect()[0]
     assert chi.n_cells == 25 and chi.chi2_micro >= 0
+
+
+def test_bfs_levels_walk_the_planted_chain(spark, sf_dir):
+    from movie_data_transformer_spark.operators.graph_extras_queries import (
+        q_graph_bfs_distances,
+    )
+
+    dist = {r.customerId: r.dist for r in q_graph_bfs_distances(spark, sf_dir).collect()}
+    assert dist["c0"] == 0
+    for i in range(5):
+        assert dist[f"p:{i}"] == i + 1  # one chain node per BFS level
+    n_users = interactions(spark, sf_dir).select("customerId").distinct().count()
+    # the dense cohort graph is fully reachable from c0 within the bound
+    assert len(dist) == n_users + 5
