@@ -163,10 +163,59 @@ FROM per_split, leak
 """
 
 
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample: top-200 documents by the rational
+    priority weight * 2^32 div (hash + 1) — the Efraimidis-Spirakis
+    "largest keys win" scheme with the float exponential key replaced by
+    an exact rational (heavier docs beat lighter ones at equal hash, and
+    the hash spreads ties uniformly). Weight = n_chars, i.e. a
+    length-weighted corpus subsample (longer docs proportionally more
+    likely — what token-budget-weighted subsampling wants).
+
+    Scale: top-k by priority is per-partition top-k then a k-row global
+    merge (Spark's TakeOrdered shape); no full sort materializes. The
+    rank window here is the oracle-comparable form; priorities are
+    partition-independent (pure hash arithmetic), so the sample is
+    stable under repartitioning like every sampler in this module."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"CAST(n_chars * 4294967296 div (({_DOC_BUCKET}) + 1) AS BIGINT)"
+        " AS priority",
+    )
+    return pri.selectExpr(
+        "doc_id",
+        "lang",
+        "priority",
+        "row_number() OVER (ORDER BY priority DESC, doc_id) AS pri_rank",
+    ).filter("pri_rank <= 200")
+
+
+SQL_SAMPLE_WEIGHTED_PRIORITY = f"""
+SELECT doc_id, lang, priority, pri_rank
+FROM (
+    SELECT doc_id, lang, priority,
+           row_number() OVER (ORDER BY priority DESC, doc_id) AS pri_rank
+    FROM (
+        SELECT doc_id, lang,
+               CAST(n_chars * 4294967296 // (({_DOC_BUCKET_SQL}) + 1) AS BIGINT)
+                   AS priority
+        FROM documents
+    )
+)
+WHERE pri_rank <= 200
+"""
+
+
 QUERIES = {
     "sample_hash_threshold_report": (
         q_sample_hash_threshold_report,
         SQL_SAMPLE_HASH_THRESHOLD_REPORT,
+    ),
+    "sample_weighted_priority": (
+        q_sample_weighted_priority,
+        SQL_SAMPLE_WEIGHTED_PRIORITY,
     ),
     "sample_stratified_exact_quota": (
         q_sample_stratified_exact_quota,
