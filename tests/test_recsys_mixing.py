@@ -490,3 +490,34 @@ def test_bfs_levels_walk_the_planted_chain(spark, sf_dir):
     n_users = interactions(spark, sf_dir).select("customerId").distinct().count()
     # the dense cohort graph is fully reachable from c0 within the bound
     assert len(dist) == n_users + 5
+
+
+def test_throttle_kept_chain_respects_ttl(spark, sf_dir):
+    from movie_data_transformer_spark.operators.throttle_queries import (
+        TTL_US,
+        q_events_throttle_ttl,
+    )
+
+    kept = q_events_throttle_ttl(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    for r in kept:
+        by_group[(r.user_id, r.event_type)].append(r.kept_ts_us)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us"
+    ).collect()
+    firsts = defaultdict(lambda: None)
+    for r in ev:
+        k = (r.user_id, r.event_type)
+        if firsts[k] is None or r.ts_us < firsts[k]:
+            firsts[k] = r.ts_us
+    for k, ts_list in by_group.items():
+        ts_list.sort()
+        # the group's first event is always kept
+        assert ts_list[0] == firsts[k]
+        # consecutive kept events are >= TTL apart
+        for a, b in zip(ts_list, ts_list[1:]):
+            assert b - a >= TTL_US
+    # every group with events has at least one kept row
+    assert set(by_group) == set(firsts)
