@@ -135,9 +135,88 @@ GROUP BY cell
 """
 
 
+def q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the exact squared-L2
+    micro-distance between the centroid of the FIRST half of the corpus
+    and the SECOND half (vec_id parity — the deterministic stand-in for
+    yesterday/today), plus both halves' sizes. The alarm a production
+    embedding pipeline keeps on its encoder: a re-deployed model or a
+    shifted upstream corpus moves the per-cell centroids, and this is
+    the cheapest exact statistic that sees it. Same truncating-division
+    micro-centroid derivation as frozen_centroids_micro, so the whole
+    monitor carries a FULL oracle.
+
+    Scale: two grain-sized centroid aggs (shuffle on (label, dim)) + a
+    k-row join; the drift compare never touches vector pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = []
+    for p in (0, 1):
+        halves.append(
+            frozen_centroids_micro(emb.filter(f"vec_id % 2 = {p}")).selectExpr(
+                "label", f"centroid_micro AS c{p}"
+            )
+        )
+    counts = emb.selectExpr("label", "vec_id % 2 AS p").groupBy("label").agg(
+        F.expr("CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_first"
+        ),
+        F.expr("CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_second"
+        ),
+    )
+    return (
+        halves[0]
+        .join(halves[1], "label")
+        .join(counts, "label")
+        .selectExpr(
+            "CAST(label AS INT) AS label",
+            "n_first",
+            "n_second",
+            "aggregate(zip_with(c0, c1, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS drift_l2sq_micro",
+        )
+    )
+
+
+SQL_EMB_CENTROID_DRIFT = """
+WITH dims AS (
+    SELECT label, vec_id % 2 AS p, dim,
+           CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS vm
+    FROM (SELECT label, vec_id, embedding,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings)
+),
+cents AS (
+    SELECT label, p, dim,
+           CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) AS cm
+    FROM dims GROUP BY 1, 2, 3
+),
+drift AS (
+    SELECT a.label,
+           CAST(sum((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT)
+               AS drift_l2sq_micro
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.dim = b.dim AND a.p = 0 AND b.p = 1
+    GROUP BY a.label
+),
+counts AS (
+    SELECT label,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_second
+    FROM embeddings GROUP BY label
+)
+SELECT CAST(label AS INT) AS label, n_first, n_second, drift_l2sq_micro
+FROM drift JOIN counts USING (label)
+"""
+
+
 QUERIES = {
     "kmeans_silhouette_fixed": (
         q_kmeans_silhouette_fixed,
         SQL_KMEANS_SILHOUETTE_FIXED,
     ),
+    "emb_centroid_drift": (q_emb_centroid_drift, SQL_EMB_CENTROID_DRIFT),
 }

@@ -88,6 +88,112 @@ SELECT user_id, event_type, kept_ts_us, kept_event_id FROM walk
 """
 
 
+def _throttle_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Publish (once per sf + source fingerprint) the event feed as 4
+    JSONL files sliced by TIME RANGE with ascending mtimes: greedy
+    throttling is order-sensitive, so the stream twin's contract is
+    in-order arrival (the log-shipping reality — files land in time
+    order). FileStreamSource schedules by (mtime, path), so explicit
+    ascending utimes make the 4 micro-batches deterministic."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
+        publish_fixture_dir,
+    )
+
+    d = fixture_cache_dir("mdt_throttle_feed_v1", sf_dir)
+    cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
+
+    def _build(out: str) -> None:
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "user_id",
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "event_id",
+            "CAST(ts AS DATE) AS d",
+        )
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = ev
+            if lo is not None:
+                part = part.filter(f"d >= DATE'{lo}'")
+            if hi is not None:
+                part = part.filter(f"d < DATE'{hi}'")
+            stage = os.path.join(out, f"_stage{i}")
+            (
+                part.drop("d")
+                .coalesce(1)
+                .selectExpr("to_json(struct(user_id, event_type, ts_us, event_id)) AS value")
+                .write.mode("overwrite")
+                .text(stage)
+            )
+            src = sorted(globmod.glob(os.path.join(stage, "part-*")))[0]
+            dst = os.path.join(out, f"feed_{i}.json")
+            shutil.move(src, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    return publish_fixture_dir(_build, d)
+
+
+def q_stream_throttle_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_throttle_ttl via applyInPandasWithState:
+    per-(user, type) state carries ONLY last_kept_ts_us; each time-sliced
+    micro-batch walks its slice greedily from the state and emits the
+    kept rows (append mode — a kept decision is final, the throttle never
+    retracts). With in-order arrival the cross-batch chain equals the
+    batch greedy walk, so the entry shares the batch form's recursive
+    DuckDB oracle — a FULLY oracle-checked stateful streaming operator.
+
+    Scale: O(batch keys) state touches per trigger; state is one bigint
+    per entity (RocksDB-spillable); emissions append distributed."""
+    from movie_data_transformer_spark.streaming.harness import (
+        run_availablenow_to_df,
+    )
+
+    input_dir = _throttle_jsonl_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts_us long, event_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.json")
+        .json(input_dir)
+    )
+
+    def _update(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        out = {"user_id": [], "event_type": [], "kept_ts_us": [], "kept_event_id": []}
+        for r in pdf.itertuples(index=False):
+            if last is None or r.ts_us >= last + TTL_US:
+                out["user_id"].append(key[0])
+                out["event_type"].append(key[1])
+                out["kept_ts_us"].append(r.ts_us)
+                out["kept_event_id"].append(r.event_id)
+                last = r.ts_us
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    kept = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=(
+            "user_id long, event_type string, kept_ts_us long, kept_event_id long"
+        ),
+        stateStructType="last_kept_ts_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_availablenow_to_df(kept, "append", "mdt_throttle_")
+
+
 QUERIES = {
     "events_throttle_ttl": (q_events_throttle_ttl, SQL_EVENTS_THROTTLE_TTL),
+    "stream_throttle_ttl": (q_stream_throttle_ttl, SQL_EVENTS_THROTTLE_TTL),
 }
