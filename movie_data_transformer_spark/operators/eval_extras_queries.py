@@ -208,8 +208,100 @@ GROUP BY tot.n
 """
 
 
+def q_classifier_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall components and F1 for the language-ID
+    heuristic, exact micro units — the multi-class eval summary that
+    completes the repo's metric family (AUC, calibration, kappa,
+    confusion live elsewhere). Per class c over the confusion matrix:
+    tp/fp/fn counts and f1 = 2tp / (2tp + fp + fn) as truncating micro
+    division. Classes are the ACTUAL label space (zh has tp=0 — its row
+    reports the undetectable class honestly rather than dropping it).
+
+    Scale: one agg over the predictor output + a classes-sized
+    reshape; the metric table is |classes| rows."""
+    from movie_data_transformer_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    conf = (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .selectExpr(
+            "actual_lang",
+            "pred_lang",
+            "CAST(actual_lang = pred_lang AS INT) AS hit",
+        )
+    )
+    tp_fn = conf.groupBy(F.col("actual_lang").alias("class")).agg(
+        F.sum("hit").cast("long").alias("tp"),
+        F.expr("CAST(sum(1 - hit) AS BIGINT)").alias("fn"),
+    )
+    fp = (
+        conf.filter("hit = 0")
+        .groupBy(F.col("pred_lang").alias("class"))
+        .agg(F.count("*").cast("long").alias("fp"))
+    )
+    return (
+        tp_fn.join(fp, "class", "left")
+        .selectExpr(
+            "class",
+            "tp",
+            "coalesce(fp, CAST(0 AS BIGINT)) AS fp",
+            "fn",
+        )
+        .selectExpr(
+            "class",
+            "tp",
+            "fp",
+            "fn",
+            "CAST(coalesce(2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0), 0)"
+            " AS BIGINT) AS f1_micro",
+        )
+    )
+
+
+SQL_CLASSIFIER_MACRO_F1 = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(t, w -> w IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de,
+           CAST(len(list_filter(t, w -> w IN ('the','and','of','to','a'))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(t, w -> w IN ('el','la','que','de','un'))) AS BIGINT) AS score_es,
+           CAST(len(list_filter(t, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+    FROM toks
+),
+pred AS (
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+),
+tp_fn AS (
+    SELECT actual_lang AS class,
+           CAST(sum(CASE WHEN actual_lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN actual_lang = pred_lang THEN 0 ELSE 1 END) AS BIGINT) AS fn
+    FROM pred GROUP BY 1
+),
+fp AS (
+    SELECT pred_lang AS class, CAST(count(*) AS BIGINT) AS fp
+    FROM pred WHERE actual_lang != pred_lang GROUP BY 1
+)
+SELECT t.class, t.tp, coalesce(fp.fp, 0) AS fp, t.fn,
+       CAST(coalesce(2 * t.tp * 1000000
+                     // nullif(2 * t.tp + coalesce(fp.fp, 0) + t.fn, 0), 0)
+            AS BIGINT) AS f1_micro
+FROM tp_fn t LEFT JOIN fp USING (class)
+"""
+
+
 QUERIES = {
     "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
+    "classifier_macro_f1": (q_classifier_macro_f1, SQL_CLASSIFIER_MACRO_F1),
     "conformal_interval_coverage": (
         q_conformal_interval_coverage,
         SQL_CONFORMAL_INTERVAL_COVERAGE,

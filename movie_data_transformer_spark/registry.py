@@ -139,6 +139,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.udf_iter_queries",
     "movie_data_transformer_spark.operators.eval_extras_queries",
     "movie_data_transformer_spark.operators.throttle_queries",
+    "movie_data_transformer_spark.operators.alerting_queries",
 ]
 
 

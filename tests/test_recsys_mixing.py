@@ -521,3 +521,30 @@ def test_throttle_kept_chain_respects_ttl(spark, sf_dir):
             assert b - a >= TTL_US
     # every group with events has at least one kept row
     assert set(by_group) == set(firsts)
+
+
+def test_hysteresis_transitions_alternate(spark, sf_dir):
+    from movie_data_transformer_spark.operators.alerting_queries import (
+        q_events_hysteresis_alerts,
+    )
+
+    rows = sorted(q_events_hysteresis_alerts(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows, "quantile watermarks must trip at every SF"
+    # transitions strictly alternate and start with alert_started
+    assert rows[0].transition == "alert_started"
+    for a, b in zip(rows, rows[1:]):
+        assert a.transition != b.transition
+
+
+def test_macro_f1_component_identities(spark, sf_dir):
+    from movie_data_transformer_spark.operators.eval_extras_queries import (
+        q_classifier_macro_f1,
+    )
+
+    rows = q_classifier_macro_f1(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.tp + r.fn for r in rows) == n_docs  # every doc has a class
+    assert sum(r.fp for r in rows) == sum(r.fn for r in rows)  # closed world
+    zh = next(r for r in rows if r.__getattr__("class") == "zh")
+    assert zh.tp == 0 and zh.f1_micro == 0  # the undetectable class
