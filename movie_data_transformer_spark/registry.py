@@ -140,6 +140,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.eval_extras_queries",
     "movie_data_transformer_spark.operators.throttle_queries",
     "movie_data_transformer_spark.operators.alerting_queries",
+    "movie_data_transformer_spark.operators.sql_semantics_queries",
 ]
 
 

@@ -548,3 +548,31 @@ def test_macro_f1_component_identities(spark, sf_dir):
     assert sum(r.fp for r in rows) == sum(r.fn for r in rows)  # closed world
     zh = next(r for r in rows if r.__getattr__("class") == "zh")
     assert zh.tp == 0 and zh.f1_micro == 0  # the undetectable class
+
+
+def test_not_in_null_trap_diverges(spark, sf_dir):
+    from movie_data_transformer_spark.operators.sql_semantics_queries import (
+        q_sql_not_in_null_trap,
+    )
+
+    r = q_sql_not_in_null_trap(spark, sf_dir).collect()[0]
+    # the planted NULL makes NOT IN return nothing, while NOT EXISTS
+    # performs the real anti-join — the divergence IS the semantics
+    assert r.n_not_in == 0
+    assert r.n_not_exists > 0
+    assert r.n_in == r.n_exists  # the positive forms agree
+
+
+def test_grouping_sets_rollup_grains_are_complete(spark, sf_dir):
+    from movie_data_transformer_spark.operators.sql_semantics_queries import (
+        q_events_time_grain_rollup,
+    )
+
+    rows = q_events_time_grain_rollup(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {3, 5, 6}
+    total = load_table(spark, sf_dir, "events").count()
+    for gid, grain_rows in by_gid.items():
+        assert sum(r.n_events for r in grain_rows) == total, gid
