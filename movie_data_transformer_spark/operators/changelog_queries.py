@@ -182,10 +182,18 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish_fixture_dir(_build, root)
     import glob as globmod
 
-    final = max(
-        globmod.glob(os.path.join(root, "state_*")),
-        key=lambda p: int(p.rsplit("_", 1)[1]),
-    )
+    states = globmod.glob(os.path.join(root, "state_*"))
+    if not states:
+        # r7 ADVICE #2: a zero-micro-batch stream (empty/missing feed)
+        # would otherwise surface as max()'s opaque ValueError; name the
+        # failure the way AppendOnlyStore.read names "no committed
+        # ingests" so the fixture dir is diagnosable.
+        raise RuntimeError(
+            f"stream_cdc_apply fixture at {root} produced no state_* "
+            "snapshots (the availableNow stream saw zero micro-batches); "
+            "delete the dir to rebuild, and check the changelog feed"
+        )
+    final = max(states, key=lambda p: int(p.rsplit("_", 1)[1]))
     return (
         spark.read.parquet(final)
         .filter("op = 'U'")

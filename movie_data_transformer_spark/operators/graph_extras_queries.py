@@ -19,9 +19,16 @@ bound is a proven invariant, not silent truncation.
 Graph fixture: recsys_queries.interactions' taste-cohort watch table —
 users are adjacent when they share >= 2 titles (cohorts within distance
 2 share slots, so the graph has real block structure and scales with
-users). Edge generation is pairs-within-movie-group, bounded by
-watchlist sizes; a promiscuous blockbuster title would be df-capped the
-same way dedup caps promiscuous buckets.
+users). Edge generation is pairs-within-movie-group; a promiscuous
+blockbuster title IS df-capped (`max_watchers` on
+`cowatch_user_edges`, default DEFAULT_MAX_WATCHERS): a title watched
+by w users contributes w^2 candidate edges, so titles over the cap are
+excluded from edge generation BEFORE the self-join — a
+watched-by-everyone blockbuster carries no community signal anyway
+(it connects everyone to everyone). Mirrored in both DuckDB oracles'
+`prs` CTEs and pinned by a planted-blockbuster pytest
+(tests/test_graph_analytics.py). Fixture max watchers is 641 at
+sf0.1, so the default never binds in driver runs.
 
 The cohort graph is deliberately dense (every user has degree >= 3), so
 a PLANTED pendant chain c0 - p:0 - p:1 - ... - p:4 is unioned in (the
@@ -49,9 +56,29 @@ from movie_data_transformer_spark.operators.recsys_queries import (
 K_CORE = 3
 MAX_PEELS = 6
 
+#: Blockbuster cap: a title watched by w users contributes w^2 candidate
+#: co-watch edges; beyond this many watchers the title is pure hub noise
+#: (it connects everyone) and quadratic cost, so it is dropped from edge
+#: generation. 10_000 => <= 1e8 candidate pairs per worst-case title,
+#: and far above the fixture max (641 watchers at sf0.1).
+DEFAULT_MAX_WATCHERS = 10_000
 
-def cowatch_user_edges(watched: DataFrame) -> DataFrame:
-    """Undirected (u < v) user edges: >= 2 shared titles."""
+
+def cowatch_user_edges(
+    watched: DataFrame, max_watchers: int = DEFAULT_MAX_WATCHERS
+) -> DataFrame:
+    """Undirected (u < v) user edges: >= 2 shared titles. Titles with
+    more than `max_watchers` distinct watchers are excluded before the
+    self-join (the dedup max_bucket_size pattern), bounding per-title
+    pair cost at max_watchers^2."""
+    watched = watched.join(
+        watched.groupBy("movieId")
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") <= max_watchers)
+        .select("movieId"),
+        "movieId",
+        "left_semi",
+    )
     a = watched.select(F.col("customerId").alias("u"), "movieId")
     b = watched.select(F.col("customerId").alias("v"), "movieId")
     return (
@@ -141,10 +168,16 @@ edges{i + 1} AS MATERIALIZED (
 
 SQL_GRAPH_KCORE = f"""
 WITH {INTERACTIONS_CTE},
+wcapped AS (
+    SELECT w.* FROM watched w
+    JOIN (SELECT movieId FROM watched GROUP BY movieId
+          HAVING count(*) <= {DEFAULT_MAX_WATCHERS}) ok
+      ON ok.movieId = w.movieId
+),
 prs AS (
     SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
-    FROM watched a
-    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    FROM wcapped a
+    JOIN wcapped b ON a.movieId = b.movieId AND a.customerId < b.customerId
     GROUP BY 1, 2
 ),
 chain(u, v) AS (VALUES ('c0', 'p:0'), ('p:0', 'p:1'), ('p:1', 'p:2'),
@@ -225,10 +258,16 @@ def _unrolled_bfs_sql(hops: int) -> str:
 
 SQL_GRAPH_BFS_DISTANCES = f"""
 WITH {INTERACTIONS_CTE},
+wcapped AS (
+    SELECT w.* FROM watched w
+    JOIN (SELECT movieId FROM watched GROUP BY movieId
+          HAVING count(*) <= {DEFAULT_MAX_WATCHERS}) ok
+      ON ok.movieId = w.movieId
+),
 prs AS (
     SELECT a.customerId AS u, b.customerId AS v, count(*) AS shared
-    FROM watched a
-    JOIN watched b ON a.movieId = b.movieId AND a.customerId < b.customerId
+    FROM wcapped a
+    JOIN wcapped b ON a.movieId = b.movieId AND a.customerId < b.customerId
     GROUP BY 1, 2
 ),
 chain(u, v) AS (VALUES ('c0', 'p:0'), ('p:0', 'p:1'), ('p:1', 'p:2'),

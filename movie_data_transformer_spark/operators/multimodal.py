@@ -96,7 +96,11 @@ def decode_media(content: bytes, fmt: str, fake: bool = False) -> bytes:
     External codecs — Pillow for images, stdlib wave for audio, ffmpeg
     for video — are used automatically when the PROBE finds them
     (`codec_available`, r6 VERDICT advice #5: an environment upgrade
-    lights up compressed-tier decode with no code change).
+    lights up compressed-tier decode with no code change). NOTE: wav is
+    ALWAYS decoded for real (stdlib wave exists everywhere), so with
+    fake=False there is no stub path for it — malformed bytes raise a
+    named ValueError after the RIFF/WAVE magic check rather than this
+    function's generic NotImplementedError.
     SPARK_GRAFT_REAL_CODECS=1 (r5 advice #8) additionally FORCES the
     external route, turning a missing dependency into a loud, named
     failure instead of this stub's generic one — set it on clusters that
@@ -153,6 +157,16 @@ def _decode_with_external_codecs(content: bytes, fmt: str) -> bytes:
     if fmt == "wav":
         import wave
 
+        # wav is the one format whose codec (stdlib wave) ALWAYS exists,
+        # so this path is unconditionally live (r7 ADVICE #1): validate
+        # the RIFF/WAVE container up front and fail with a named error
+        # instead of an opaque wave.Error deep in chunk parsing.
+        if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            raise ValueError(
+                "decode_media(fmt='wav'): payload is not a RIFF/WAVE "
+                "container (bad magic); pass fake=True for stand-in "
+                "payloads or fix the upstream format column"
+            )
         with wave.open(io.BytesIO(content), "rb") as wf:
             return wf.readframes(wf.getnframes())
     if fmt in ("mp4", "mkv", "avi", "webm"):

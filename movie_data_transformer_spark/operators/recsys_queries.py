@@ -29,8 +29,17 @@ Entries (EXACT integer micro-unit Jaccard, full DuckDB oracles):
 Scale design (the 100 TB story):
 - The pair table is generated per-customer ("pairs within group"):
   bounded by sum(|watchlist|^2), NEVER |catalog|^2; a skewed
-  mega-watcher would be capped the same way dedup caps promiscuous
-  buckets (max_bucket_size).
+  mega-watcher IS capped (`max_watchlist` on `item_similarities`,
+  default DEFAULT_MAX_WATCHLIST): customers whose distinct watchlist
+  exceeds the cap are excluded from MODEL building entirely (sizes,
+  co-counts and Jaccard are all computed on the capped universe, so
+  the capped model is self-consistent), exactly the dedup
+  max_bucket_size pattern. Whales still RECEIVE recommendations —
+  the serving join scores the full watch table against the capped
+  model. The cap is mirrored in every DuckDB oracle CTE and pinned
+  by a planted-whale pytest (tests/test_recsys_mixing.py). The
+  fixture max watchlist is 15 at every SF, so the default never
+  binds in driver runs.
 - The model table (item_item_topk) is top-k truncated per movie — k x
   |catalog| rows, small enough to BROADCAST into the serving-time
   scoring join; candidate generation shuffles once on movieId, the
@@ -71,10 +80,30 @@ watched AS (
 )"""
 
 
-def item_similarities(watched: DataFrame) -> DataFrame:
+#: Mega-watcher cap: a customer with w watched titles contributes w^2
+#: co-watch pairs; beyond this many titles the account is (a) quadratic
+#: cost and (b) taste-noise (bots, shared logins), so it is excluded
+#: from model building. 1000 => <= 1e6 pairs per worst-case customer.
+DEFAULT_MAX_WATCHLIST = 1000
+
+
+def item_similarities(
+    watched: DataFrame, max_watchlist: int = DEFAULT_MAX_WATCHLIST
+) -> DataFrame:
     """(movie_src, movie_dst, jaccard_micro), BOTH directions, exact
     integer micro-units. Pairs are generated within customer groups, so
-    cost is bounded by watchlist lengths, not catalog size."""
+    cost is bounded by sum(min(|watchlist|, max_watchlist)^2): customers
+    over `max_watchlist` distinct titles are dropped BEFORE the
+    self-join, and sizes/Jaccard are computed on the same capped
+    universe so the model is internally consistent."""
+    watched = watched.join(
+        watched.groupBy("customerId")
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") <= max_watchlist)
+        .select("customerId"),
+        "customerId",
+        "left_semi",
+    )
     sizes = watched.groupBy("movieId").agg(F.count("*").alias("n"))
     a = watched.select("customerId", F.col("movieId").alias("movie_a"))
     b = watched.select("customerId", F.col("movieId").alias("movie_b"))
@@ -108,11 +137,17 @@ def item_similarities(watched: DataFrame) -> DataFrame:
     )
 
 
-_SIMS_ORACLE_CTE = """
-sizes AS (SELECT movieId, count(*) AS n FROM watched GROUP BY movieId),
+_SIMS_ORACLE_CTE = f"""
+capped AS (
+    SELECT w.* FROM watched w
+    JOIN (SELECT customerId FROM watched GROUP BY customerId
+          HAVING count(*) <= {DEFAULT_MAX_WATCHLIST}) ok
+      ON ok.customerId = w.customerId
+),
+sizes AS (SELECT movieId, count(*) AS n FROM capped GROUP BY movieId),
 co AS (
     SELECT a.movieId AS movie_a, b.movieId AS movie_b, count(*) AS n_co
-    FROM watched a JOIN watched b
+    FROM capped a JOIN capped b
       ON a.customerId = b.customerId AND a.movieId < b.movieId
     GROUP BY 1, 2
 ),
@@ -286,10 +321,16 @@ train AS (
                       WHERE h.customerId = w.customerId
                         AND h.held_movie = w.movieId)
 ),
-sizes AS (SELECT movieId, count(*) AS n FROM train GROUP BY movieId),
+capped AS (
+    SELECT t.* FROM train t
+    JOIN (SELECT customerId FROM train GROUP BY customerId
+          HAVING count(*) <= {DEFAULT_MAX_WATCHLIST}) ok
+      ON ok.customerId = t.customerId
+),
+sizes AS (SELECT movieId, count(*) AS n FROM capped GROUP BY movieId),
 co AS (
     SELECT a.movieId AS movie_a, b.movieId AS movie_b, count(*) AS n_co
-    FROM train a JOIN train b
+    FROM capped a JOIN capped b
       ON a.customerId = b.customerId AND a.movieId < b.movieId
     GROUP BY 1, 2
 ),

@@ -1,0 +1,221 @@
+"""SemDeDup candidate generation routed through the frozen IVF index,
+with the recall-vs-brute-force report as the BINDING gate (r07 VERDICT
+advice #8): instead of k-means-ing per run (semdedup_pairs, rows-only),
+candidates come from the SAME frozen integer-micro coarse-centroid
+index the ANN ingest path maintains (similarity.frozen_centroids_micro
+/ ivf_assign_from_centroids — the ann_ivf_incremental_assign machinery,
+full-oracle since r05), so dedup and retrieval share ONE index at scale
+and the cell assignment is engine-exact.
+
+Entry `semdedup_ann_recall` (FULL DuckDB oracle): at two thresholds —
+0.9 (semantic near-duplicate: the planted +100000 copies) and 0.35
+(organic similarity tail, the dedup_embedding_cosine threshold) — report
+  thresh_micro, n_true_pairs, n_found, n_missed, recall
+where truth = brute-force ALL-PAIRS cosine >= thresh over the augmented
+embeddings and found = pairs generated WITHIN an IVF cell only, verified
+with the same exact cosine predicate (so found is a subset of truth and
+precision is 1.0 by construction — recall is the quantity that can
+degrade, exactly the dedup_minhash_recall_report pattern).
+
+Cross-engine determinism: the cell assignment is exact integer micro
+math (floor-micro quantization, truncating-division centroids, bigint
+L2, argmin with label tiebreak — the probed idioms from
+recall_queries.SQL_ANN_IVF_INCREMENTAL_ASSIGN); the cosine predicate is
+the repo's proven round(cos, 6) idiom (Spark fold == DuckDB
+list_cosine_similarity, driver-green on dedup_embedding_cosine since
+r02).
+
+Scale (the 100 TB story): the centroid table is tiny and BROADCAST;
+assignment is map-side (no shuffle); candidate pairs are generated
+within cells only (bounded by cell occupancy, never corpus^2); the
+brute-force truth side exists ONLY in this audit entry — production
+monitors recall on an audit sample while the IVF side is the shipping
+path (the standard recall-monitoring discipline, same note as
+dedup_minhash_recall_report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.sources.tables import load_table
+
+#: (threshold, micro form) — 0.9 catches the planted semantic copies,
+#: 0.35 the organic tail (dedup_embedding_cosine's threshold).
+THRESHOLDS = [(0.9, 900000), (0.35, 350000)]
+
+
+def _pair_report(
+    spark: SparkSession, truth: DataFrame, found: DataFrame, thresh_micro: int
+) -> DataFrame:
+    t = truth.persist()
+    n_true = t.count()
+    n_found = found.count()
+    n_missed = t.join(found, ["vec_a", "vec_b"], "left_anti").count()
+    t.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [
+            (
+                thresh_micro,
+                n_true,
+                n_found,
+                n_missed,
+                float(n_found * 1_000_000 // n_true) / 1_000_000 if n_true else 1.0,
+            )
+        ],
+        "thresh_micro long, n_true_pairs long, n_found long, n_missed long,"
+        " recall double",
+    )
+
+
+def q_semdedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+    from movie_data_transformer_spark.operators.similarity import (
+        augmented_embeddings,
+        cosine,
+        frozen_centroids_micro,
+        ivf_assign_from_centroids,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = augmented_embeddings(base)
+    # ONE frozen index for retrieval and dedup: centroids from the base
+    # corpus (the already-indexed vectors), assignment covers the
+    # augmented set (base + today's ingest) — map-side, broadcast cents.
+    cells = ivf_assign_from_centroids(frozen_centroids_micro(base), emb).select(
+        "vec_id", "cell"
+    )
+    wide = widen_for_compute(emb, "vec_id").join(cells, "vec_id")
+    a = wide.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = wide.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    # candidate pairs within a cell only; build side broadcast (a shuffle
+    # join on `cell` would run at |cells| parallelism and skew with cell
+    # occupancy — the semdedup_pairs rationale)
+    cand = (
+        a.join(F.broadcast(b), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cs")
+        )
+        .persist()
+    )
+    ta = wide.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    tb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    allp = (
+        ta.join(F.broadcast(tb))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cs")
+        )
+        .persist()
+    )
+    out = None
+    for thresh, micro in THRESHOLDS:
+        rep = _pair_report(
+            spark,
+            allp.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
+            cand.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
+            micro,
+        )
+        out = rep if out is None else out.unionAll(rep)
+    cand.unpersist(blocking=False)
+    allp.unpersist(blocking=False)
+    return out
+
+
+#: augmented embeddings + integer-micro cell assignment, shared CTE text
+#: (the SQL_ANN_IVF_INCREMENTAL_ASSIGN idioms, extended to assign the
+#: WHOLE augmented set, not just the ingest batch).
+_SEMDEDUP_CTES = """
+aug AS (
+    SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings)
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, dim,
+           CASE WHEN dim % 2 = 0
+                THEN CAST(embedding[dim + 1] AS DOUBLE) * 1.2
+                ELSE CAST(embedding[dim + 1] AS DOUBLE) * 1.0 END AS v
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(0, len(embedding))) AS dim
+          FROM embeddings WHERE vec_id < 50)
+),
+augv AS (
+    SELECT vec_id, list(v ORDER BY dim) AS v FROM aug GROUP BY vec_id
+),
+cmeans AS (
+    SELECT label, dim,
+           CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) AS cm
+    FROM (SELECT label, dim,
+                 CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS vm
+          FROM (SELECT label, embedding,
+                       unnest(range(0, len(embedding))) AS dim
+                FROM embeddings))
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT a.vec_id, c.label,
+           CAST(sum((a.vm - c.cm) * (a.vm - c.cm)) AS BIGINT) AS dist_micro
+    FROM (SELECT vec_id, dim,
+                 CAST(floor(v * 1000000) AS BIGINT) AS vm FROM aug) a
+    JOIN cmeans c USING (dim)
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, CAST(label AS INT) AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist_micro ASC, label ASC)
+                        AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+allp AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cs
+    FROM augv a JOIN augv b ON a.vec_id < b.vec_id
+),
+cand AS (
+    SELECT p.vec_a, p.vec_b, p.cs
+    FROM allp p
+    JOIN cells ca ON ca.vec_id = p.vec_a
+    JOIN cells cb ON cb.vec_id = p.vec_b AND cb.cell = ca.cell
+)"""
+
+
+def _recall_tier_sql(thresh: float, micro: int) -> str:
+    return f"""
+SELECT CAST({micro} AS BIGINT) AS thresh_micro,
+       CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_missed AS BIGINT) AS n_missed,
+       CASE WHEN n_true = 0 THEN 1.0
+            ELSE CAST(n_found * 1000000 // n_true AS DOUBLE) / 1000000
+       END AS recall
+FROM (
+    SELECT (SELECT count(*) FROM allp WHERE cs >= {thresh}) AS n_true,
+           (SELECT count(*) FROM cand WHERE cs >= {thresh}) AS n_found,
+           (SELECT count(*) FROM allp t
+            WHERE t.cs >= {thresh}
+              AND NOT EXISTS (SELECT 1 FROM cand c
+                              WHERE c.vec_a = t.vec_a
+                                AND c.vec_b = t.vec_b
+                                AND c.cs >= {thresh})) AS n_missed
+)"""
+
+
+SQL_SEMDEDUP_ANN_RECALL = f"""
+WITH {_SEMDEDUP_CTES}
+{" UNION ALL ".join(_recall_tier_sql(t, m) for t, m in THRESHOLDS)}
+"""
+
+
+QUERIES = {
+    "semdedup_ann_recall": (q_semdedup_ann_recall, SQL_SEMDEDUP_ANN_RECALL),
+}

@@ -165,8 +165,21 @@ def q_stream_throttle_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _update(key, pdfs, state):
-        last = state.get[0] if state.exists else None
+        last, max_seen = state.get if state.exists else (None, None)
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        # r7 ADVICE #3: the cross-batch == batch-greedy equivalence (and
+        # hence the shared recursive oracle) is load-bearing on IN-ORDER
+        # arrival (maxFilesPerTrigger=1 over ascending-mtime time slices).
+        # One comparison against state turns out-of-order delivery into a
+        # loud failure instead of a wrong-but-plausible kept set.
+        if len(pdf) and max_seen is not None and int(pdf["ts_us"].min()) < max_seen:
+            raise RuntimeError(
+                f"stream_throttle_ttl: out-of-order micro-batch for key "
+                f"{key}: batch min ts_us {int(pdf['ts_us'].min())} < "
+                f"previously seen max {max_seen}; the append-mode kept "
+                "set would silently diverge from the batch oracle "
+                "(check feed file mtimes / maxFilesPerTrigger)"
+            )
         out = {"user_id": [], "event_type": [], "kept_ts_us": [], "kept_event_id": []}
         for r in pdf.itertuples(index=False):
             if last is None or r.ts_us >= last + TTL_US:
@@ -175,8 +188,10 @@ def q_stream_throttle_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["kept_ts_us"].append(r.ts_us)
                 out["kept_event_id"].append(r.event_id)
                 last = r.ts_us
+        if len(pdf):
+            max_seen = max(int(pdf["ts_us"].max()), max_seen or 0)
         if last is not None:
-            state.update((int(last),))
+            state.update((int(last), int(max_seen)))
         yield pd.DataFrame(out)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -186,7 +201,7 @@ def q_stream_throttle_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputStructType=(
             "user_id long, event_type string, kept_ts_us long, kept_event_id long"
         ),
-        stateStructType="last_kept_ts_us long",
+        stateStructType="last_kept_ts_us long, max_seen_ts_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

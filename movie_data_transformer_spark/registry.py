@@ -33,60 +33,20 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-7 window (exactly 50, verified by import), per r06 VERDICT advice
-# #2 (which supersedes the NOTES.md pre-committed r07 plan): the §2 movie
-# core re-green — movie 8 + merge 1 + jsonl 2 + reliability 2 = 13 (driver
-# evidence was r03 while the code changed r4–r6; also starts the "no §2
-# row older than 3 rounds" cadence, advice #8) — plus the 13 never-checked
-# late_r6 entries (advice #2a: newest code, least evidence) plus the
-# longest-waiting never-checked r05 modules: stateful 2 + streaming_extras
-# 2 + layout 2 + text_cleaning 3 + datasketches 5 + privacy 1 + robustness
-# 2 + geo 1 + cogroup 1 + udtf_poly 1 + ml 4 = 24. 13+13+24 = 50. Every
-# rows-only entry in the window rides with its full-oracle gate in the
-# SAME window (advice #7): movies_incremental_merge/movies_merge_upsert,
-# lr_train_quality/lr_train_gate, agg_kll_quantiles/kll_rank_gate.
-# The r08/r09 windows are committed in NOTES.md's ledger.
+# Round-8 window (exactly 50, verified by import): the committed r08 front
+# from NOTES.md — the r05/r06-era never-checked remainder — amended per r07
+# VERDICT advice #1: embedding_queries (emb_int8_quantize, the project's
+# only red driver row ever, r06 canon error, fixed r07 + its roundtrip
+# gate) leads the window; keyword_queries (text_rake_keywords) and
+# geo_extras_queries (join_points_in_boxes_grid) are displaced to the r11
+# filler to keep the sum at 50. Window = embedding 2 + search_ranking 2 +
+# snapshot 2 + mm_video 2 + mm_transform 3 + sql_lang 4 + pipeline 1 +
+# embedding_extras 1 + sql_udf 2 + linalg 2 + dedup_extras 6 + mm_hash 3 +
+# ml_extras 1 + timeseries_extras 9 + calibration 1 + udtf_table_arg 1 +
+# interval 2 + dq_extras 3 + embedding_pipeline 3 = 50.
+# The r09/r10 windows are committed in NOTES.md's ledger.
 _MODULES: list[str] = [
-    "movie_data_transformer_spark.operators.movie_queries",
-    "movie_data_transformer_spark.operators.merge_queries",
-    "movie_data_transformer_spark.operators.jsonl_queries",
-    "movie_data_transformer_spark.operators.reliability_queries",
-    "movie_data_transformer_spark.operators.late_r6_queries",
-    "movie_data_transformer_spark.operators.stateful_queries",
-    "movie_data_transformer_spark.operators.streaming_extras_queries",
-    "movie_data_transformer_spark.operators.layout_queries",
-    "movie_data_transformer_spark.operators.text_cleaning_queries",
-    "movie_data_transformer_spark.operators.datasketches_queries",
-    "movie_data_transformer_spark.operators.privacy_queries",
-    "movie_data_transformer_spark.operators.robustness_queries",
-    "movie_data_transformer_spark.operators.geo_queries",
-    "movie_data_transformer_spark.operators.cogroup_queries",
-    "movie_data_transformer_spark.operators.udtf_poly_queries",
-    "movie_data_transformer_spark.operators.ml_queries",
-    # ---- end of the 50-entry r07 window ----
-    "movie_data_transformer_spark.operators.relational_queries",
-    "movie_data_transformer_spark.operators.recall_queries",
-    "movie_data_transformer_spark.operators.mm_decode_queries",
     "movie_data_transformer_spark.operators.embedding_queries",
-    "movie_data_transformer_spark.operators.format_queries",
-    "movie_data_transformer_spark.operators.sql_surface_queries",
-    "movie_data_transformer_spark.operators.udf_surface_queries",
-    "movie_data_transformer_spark.operators.behavior_queries",
-    "movie_data_transformer_spark.operators.search_queries",
-    "movie_data_transformer_spark.operators.source_queries",
-    "movie_data_transformer_spark.operators.gate_queries",
-    "movie_data_transformer_spark.operators.flagship_queries",
-    "movie_data_transformer_spark.streaming.streaming_queries",
-    "movie_data_transformer_spark.operators.llm_queries",
-    "movie_data_transformer_spark.operators.temporal_queries",
-    "movie_data_transformer_spark.operators.function_packs",
-    "movie_data_transformer_spark.operators.profile_queries",
-    "movie_data_transformer_spark.operators.curation_queries",
-    "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.analytics_queries",
-    "movie_data_transformer_spark.operators.timeseries_queries",
-    "movie_data_transformer_spark.operators.grouped_extras_queries",
-    "movie_data_transformer_spark.operators.tpch_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
     "movie_data_transformer_spark.operators.snapshot_queries",
     "movie_data_transformer_spark.operators.mm_video_queries",
@@ -103,10 +63,14 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.calibration_queries",
     "movie_data_transformer_spark.operators.udtf_table_arg_queries",
     "movie_data_transformer_spark.operators.interval_queries",
-    "movie_data_transformer_spark.operators.keyword_queries",
     "movie_data_transformer_spark.operators.dq_extras_queries",
     "movie_data_transformer_spark.operators.embedding_pipeline_queries",
+    # ---- end of the 50-entry r08 window ----
+    # displaced from the committed r08 front by the embedding swap
+    # (r07 VERDICT advice #1); queue for the r11 filler
+    "movie_data_transformer_spark.operators.keyword_queries",
     "movie_data_transformer_spark.operators.geo_extras_queries",
+    # r09 committed front modules (NOTES.md)
     "movie_data_transformer_spark.operators.mm_transform_extras_queries",
     "movie_data_transformer_spark.operators.sink_extras_queries",
     "movie_data_transformer_spark.operators.format_extras_queries",
@@ -115,8 +79,13 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.privacy_extras_queries",
     "movie_data_transformer_spark.operators.skew_extras_queries",
     "movie_data_transformer_spark.operators.search_extras_queries",
-    # round-7 additions register BEHIND the committed r07/r08/r09 fronts
-    # (NOTES.md); they queue for the r10 rotation
+    "movie_data_transformer_spark.operators.temporal_queries",
+    "movie_data_transformer_spark.operators.profile_queries",
+    "movie_data_transformer_spark.operators.curation_queries",
+    "movie_data_transformer_spark.operators.lm_queries",
+    "movie_data_transformer_spark.operators.function_packs",
+    # r10 committed front: the 23 round-7 addition modules + §2-core
+    # cadence re-green (movie 8 + merge 1 + jsonl 2)
     "movie_data_transformer_spark.operators.recsys_queries",
     "movie_data_transformer_spark.operators.sampling_queries",
     "movie_data_transformer_spark.operators.mixing_queries",
@@ -141,6 +110,47 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.throttle_queries",
     "movie_data_transformer_spark.operators.alerting_queries",
     "movie_data_transformer_spark.operators.sql_semantics_queries",
+    "movie_data_transformer_spark.operators.movie_queries",
+    "movie_data_transformer_spark.operators.merge_queries",
+    "movie_data_transformer_spark.operators.jsonl_queries",
+    # remainder (r11 re-green pool + round-8 additions register BEHIND
+    # all committed fronts; they queue for r12)
+    "movie_data_transformer_spark.operators.reliability_queries",
+    "movie_data_transformer_spark.operators.analytics_queries",
+    "movie_data_transformer_spark.operators.timeseries_queries",
+    "movie_data_transformer_spark.operators.late_r6_queries",
+    "movie_data_transformer_spark.operators.stateful_queries",
+    "movie_data_transformer_spark.operators.streaming_extras_queries",
+    "movie_data_transformer_spark.operators.layout_queries",
+    "movie_data_transformer_spark.operators.text_cleaning_queries",
+    "movie_data_transformer_spark.operators.datasketches_queries",
+    "movie_data_transformer_spark.operators.privacy_queries",
+    "movie_data_transformer_spark.operators.robustness_queries",
+    "movie_data_transformer_spark.operators.geo_queries",
+    "movie_data_transformer_spark.operators.cogroup_queries",
+    "movie_data_transformer_spark.operators.udtf_poly_queries",
+    "movie_data_transformer_spark.operators.ml_queries",
+    "movie_data_transformer_spark.operators.relational_queries",
+    "movie_data_transformer_spark.operators.recall_queries",
+    "movie_data_transformer_spark.operators.mm_decode_queries",
+    "movie_data_transformer_spark.operators.format_queries",
+    "movie_data_transformer_spark.operators.sql_surface_queries",
+    "movie_data_transformer_spark.operators.udf_surface_queries",
+    "movie_data_transformer_spark.operators.behavior_queries",
+    "movie_data_transformer_spark.operators.search_queries",
+    "movie_data_transformer_spark.operators.source_queries",
+    "movie_data_transformer_spark.operators.gate_queries",
+    "movie_data_transformer_spark.operators.flagship_queries",
+    "movie_data_transformer_spark.streaming.streaming_queries",
+    "movie_data_transformer_spark.operators.llm_queries",
+    "movie_data_transformer_spark.operators.grouped_extras_queries",
+    "movie_data_transformer_spark.operators.tpch_queries",
+    # round-8 additions (register BEHIND all committed fronts; queue r12)
+    "movie_data_transformer_spark.operators.semdedup_queries",
+    "movie_data_transformer_spark.operators.rater_eval_queries",
+    "movie_data_transformer_spark.operators.affinity_queries",
+    "movie_data_transformer_spark.operators.seqpattern_queries",
+    "movie_data_transformer_spark.operators.linkpred_queries",
 ]
 
 

@@ -336,3 +336,43 @@ def test_bootstrap_ci_brackets_mean_and_shrinks(spark, sf_dir):
     # spend sd ~ mean-scale; 95% CI width should be well under 20% of
     # the mean at n >= 1500 and nonzero always
     assert 0 < width < r.mean_micro_cents * 0.2
+
+
+def test_blockbuster_cap_excludes_hub_title_from_edges(spark):
+    """r07 VERDICT advice #2: the max_watchers cap on cowatch_user_edges
+    must be a REAL parameter — a planted blockbuster (watched by every
+    user) is dropped from edge generation when over the cap, and the
+    capped edge set equals the edge set built with the blockbuster's
+    rows removed up front."""
+    from movie_data_transformer_spark.operators.graph_extras_queries import (
+        cowatch_user_edges,
+    )
+
+    users = [f"u{i}" for i in range(10)]
+    rows = [(u, "BLOCKBUSTER") for u in users]  # 10 watchers: over cap 5
+    # two genuine 3-user communities sharing 2 niche titles each
+    for m in ("n1", "n2"):
+        rows += [(u, m) for u in users[0:3]]
+    for m in ("n3", "n4"):
+        rows += [(u, m) for u in users[5:8]]
+    watched = spark.createDataFrame(rows, "customerId string, movieId string")
+    no_hub = watched.filter("movieId != 'BLOCKBUSTER'")
+
+    capped = cowatch_user_edges(watched, max_watchers=5)
+    expected = cowatch_user_edges(no_hub, max_watchers=10**9)
+    assert capped.exceptAll(expected).count() == 0
+    assert expected.exceptAll(capped).count() == 0
+    # the two communities survive the cap
+    assert capped.count() == 6  # C(3,2) * 2
+
+    # without the cap the blockbuster alone creates no >=2-shared edges
+    # BUT it does combine with singles... here every user shares only
+    # the blockbuster across communities -> shared==1 -> still 6 edges;
+    # make the hub binding by pairing it with one cross-community title
+    rows2 = rows + [(u, "n5") for u in (users[0], users[5])]
+    watched2 = spark.createDataFrame(rows2, "customerId string, movieId string")
+    uncapped2 = cowatch_user_edges(watched2, max_watchers=10**9)
+    capped2 = cowatch_user_edges(watched2, max_watchers=5)
+    # u0-u5 share {BLOCKBUSTER, n5} -> edge only when hub is NOT capped
+    assert uncapped2.filter("u = 'u0' AND v = 'u5'").count() == 1
+    assert capped2.filter("u = 'u0' AND v = 'u5'").count() == 0

@@ -576,3 +576,31 @@ def test_grouping_sets_rollup_grains_are_complete(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     for gid, grain_rows in by_gid.items():
         assert sum(r.n_events for r in grain_rows) == total, gid
+
+
+def test_whale_cap_excludes_mega_watcher_from_model(spark):
+    """r07 VERDICT advice #2: the max_watchlist cap on item_similarities
+    must be a REAL parameter — a planted whale customer (watches every
+    title) is excluded from model building when over the cap, and the
+    capped model equals the model built with the whale's rows removed
+    up front (sizes/co/Jaccard all on the capped universe)."""
+    from movie_data_transformer_spark.operators.recsys_queries import (
+        item_similarities,
+    )
+
+    titles = [f"m{i}" for i in range(8)]
+    rows = []
+    for c, picks in (("c1", titles[0:3]), ("c2", titles[1:4]), ("c3", titles[2:5])):
+        rows += [(c, m) for m in picks]
+    rows += [("whale", m) for m in titles]  # 8 titles: over a cap of 5
+    watched = spark.createDataFrame(rows, "customerId string, movieId string")
+    no_whale = watched.filter("customerId != 'whale'")
+
+    capped = item_similarities(watched, max_watchlist=5)
+    expected = item_similarities(no_whale, max_watchlist=10**9)
+    assert capped.exceptAll(expected).count() == 0
+    assert expected.exceptAll(capped).count() == 0
+
+    # and without the cap the whale genuinely changes the model
+    uncapped = item_similarities(watched, max_watchlist=10**9)
+    assert uncapped.exceptAll(expected).count() > 0
