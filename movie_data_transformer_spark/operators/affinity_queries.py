@@ -56,16 +56,20 @@ def target_affinity_scores(
         sh.join(seed_ids, "doc_id", "left_semi").select("shingle").distinct()
     )
     cand_sh = sh.join(seed_ids, "doc_id", "left_anti")
-    hits = (
-        cand_sh.join(F.broadcast(vocab), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+    # one pass over the candidate shingles: a broadcast left join marks
+    # vocabulary membership, then a single agg yields size AND hits
+    # (two separate semi-join/agg consumers would re-tokenize the corpus
+    # twice — the dedup.py persist-vs-recompute note, resolved here by
+    # fusing instead of caching)
+    flagged = cand_sh.join(
+        F.broadcast(vocab.withColumn("_v", F.lit(1))), "shingle", "left"
     )
-    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    counts = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.expr("IF(_v IS NOT NULL, 1, 0)")).alias("n_hits"),
+    )
     return (
-        sizes.join(hits, "doc_id", "left")
-        .na.fill({"n_hits": 0})
-        .join(docs.select("doc_id", "source"), "doc_id")
+        counts.join(docs.select("doc_id", "source"), "doc_id")
         .selectExpr(
             "doc_id",
             "source",
