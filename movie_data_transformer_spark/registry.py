@@ -151,6 +151,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.affinity_queries",
     "movie_data_transformer_spark.operators.seqpattern_queries",
     "movie_data_transformer_spark.operators.linkpred_queries",
+    "movie_data_transformer_spark.operators.isotonic_queries",
+    "movie_data_transformer_spark.operators.blocking_queries",
 ]
 
 

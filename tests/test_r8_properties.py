@@ -176,3 +176,39 @@ def test_link_prediction_nonadjacent_and_hub_cap(spark, sf_dir):
         "title_a", "title_b", "n_common"
     ).filter("title_a != 'HUB' AND title_b != 'HUB'")
     assert uncapped.exceptAll(capped_core.select("title_a", "title_b", "n_common")).count() > 0
+
+
+def test_isotonic_fit_matches_python_minimax(spark, sf_dir):
+    from movie_data_transformer_spark.operators.isotonic_queries import (
+        q_calibration_isotonic_fit,
+    )
+
+    rows = sorted(
+        q_calibration_isotonic_fit(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    iso = [r.iso_rate_micro for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))  # monotone
+    assert any(r.rate_micro != r.iso_rate_micro for r in rows)  # real pooling
+    # python recompute of the minimax formula on the same bins
+    n = [r.n for r in rows]
+    p = [r.n_pos for r in rows]
+    B = len(rows)
+
+    def avg(j, k):  # floor micro, j..k inclusive, 0-based
+        return sum(p[j : k + 1]) * 1_000_000 // sum(n[j : k + 1])
+
+    for i in range(B):
+        want = max(min(avg(j, k) for k in range(i, B)) for j in range(i + 1))
+        assert iso[i] == want, (i, iso[i], want)
+    # and PAVA's defining property: the fit is the L2-closest monotone
+    # vector among a few hand-rolled monotone competitors (spot check)
+    raw = [r.rate_micro for r in rows]
+    w = n
+
+    def sse(v):
+        return sum(wi * (a - b) ** 2 for wi, a, b in zip(w, raw, v))
+
+    base = sse(iso)
+    flat = [sum(pi for pi in p) * 1_000_000 // sum(n)] * B
+    assert base <= sse(flat)
+    assert base <= sse(sorted(raw))
