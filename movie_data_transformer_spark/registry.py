@@ -153,6 +153,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.linkpred_queries",
     "movie_data_transformer_spark.operators.isotonic_queries",
     "movie_data_transformer_spark.operators.blocking_queries",
+    "movie_data_transformer_spark.operators.ranking_eval_queries",
 ]
 
 
