@@ -154,6 +154,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.isotonic_queries",
     "movie_data_transformer_spark.operators.blocking_queries",
     "movie_data_transformer_spark.operators.ranking_eval_queries",
+    "movie_data_transformer_spark.operators.readability_queries",
+    "movie_data_transformer_spark.operators.markov_queries",
 ]
 
 
