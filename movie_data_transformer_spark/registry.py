@@ -156,6 +156,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.ranking_eval_queries",
     "movie_data_transformer_spark.operators.readability_queries",
     "movie_data_transformer_spark.operators.markov_queries",
+    "movie_data_transformer_spark.operators.dsir_queries",
 ]
 
 
