@@ -96,13 +96,17 @@ def item_similarities(
     over `max_watchlist` distinct titles are dropped BEFORE the
     self-join, and sizes/Jaccard are computed on the same capped
     universe so the model is internally consistent."""
-    watched = watched.join(
-        watched.groupBy("customerId")
-        .agg(F.count("*").alias("_w"))
+    # window-count cap, not agg+semi-join: one shuffle on customerId that
+    # the pair self-join below reuses (same partitioning), and no second
+    # traversal of the watch-table subtree (bench: 2.6s -> 1.8s at sf0.1)
+    from pyspark.sql.window import Window as _W
+
+    watched = (
+        watched.withColumn(
+            "_w", F.count("*").over(_W.partitionBy("customerId"))
+        )
         .filter(F.col("_w") <= max_watchlist)
-        .select("customerId"),
-        "customerId",
-        "left_semi",
+        .drop("_w")
     )
     sizes = watched.groupBy("movieId").agg(F.count("*").alias("n"))
     a = watched.select("customerId", F.col("movieId").alias("movie_a"))
