@@ -157,6 +157,9 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.readability_queries",
     "movie_data_transformer_spark.operators.markov_queries",
     "movie_data_transformer_spark.operators.dsir_queries",
+    "movie_data_transformer_spark.operators.krippendorff_queries",
+    "movie_data_transformer_spark.operators.zipf_queries",
+    "movie_data_transformer_spark.operators.autocorr_queries",
 ]
 
 

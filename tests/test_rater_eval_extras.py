@@ -1,0 +1,113 @@
+"""Pins for the round-8 agreement/frequency/autocorr statistics:
+Krippendorff alpha recomputed from the Fleiss vote counts, hapax/Zipf
+recomputed in Python, autocorrelation against numpy.corrcoef."""
+
+from __future__ import annotations
+
+import math
+import re
+import sys
+from collections import Counter, defaultdict
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from movie_data_transformer_spark.operators.autocorr_queries import (
+    q_events_autocorr_daily,
+)
+from movie_data_transformer_spark.operators.krippendorff_queries import (
+    q_stats_krippendorff_alpha,
+)
+from movie_data_transformer_spark.operators.rater_eval_queries import _flags
+from movie_data_transformer_spark.operators.zipf_queries import (
+    q_text_hapax_stats,
+    q_text_zipf_fit,
+)
+from movie_data_transformer_spark.sources.tables import load_table
+
+
+def test_krippendorff_matches_vote_recompute(spark, sf_dir):
+    votes = [
+        int(r.r1) + int(r.r2) + int(r.r3) for r in _flags(spark, sf_dir).collect()
+    ]
+    n, m = len(votes), 3
+    do_num = sum(k * (m - k) for k in votes)
+    c1 = sum(votes)
+    c0 = n * m - c1
+    row = q_stats_krippendorff_alpha(spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.do_num, row.c1, row.c0) == (n, do_num, c1, c0)
+    if c1 == 0 or c0 == 0:
+        assert row.alpha_micro == 1_000_000
+    else:
+        want = 1_000_000 - do_num * (n * m - 1) * 1_000_000 // ((m - 1) * c1 * c0)
+        assert row.alpha_micro == want
+        # alpha <= 1 always; and for these correlated gates, above chance
+        assert row.alpha_micro <= 1_000_000
+
+
+def _lang_tokens(spark, sf_dir):
+    by_lang: dict[str, Counter] = defaultdict(Counter)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for t in re.split(r"\s+", r.text.strip().lower()):
+            by_lang[r.lang][t] += 1
+    return by_lang
+
+
+def test_hapax_and_zipf_match_python(spark, sf_dir):
+    by_lang = _lang_tokens(spark, sf_dir)
+    hap = {r.lang: r for r in q_text_hapax_stats(spark, sf_dir).collect()}
+    assert set(hap) == set(by_lang)
+    for lang, cnt in by_lang.items():
+        row = hap[lang]
+        assert row.n_tokens == sum(cnt.values())
+        assert row.vocab_size == len(cnt)
+        assert row.n_hapax == sum(1 for v in cnt.values() if v == 1)
+
+    zipf = {r.lang: r for r in q_text_zipf_fit(spark, sf_dir).collect()}
+    for lang, cnt in by_lang.items():
+        freqs = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = zipf[lang]
+        assert row.f1 == freqs[0][1]
+        if len(freqs) >= 10:
+            assert row.f10 == freqs[9][1]
+            want = math.floor(math.log10(row.f1 / row.f10) * 1_000_000)
+            assert row.zipf_s_micro == want
+            assert row.zipf_s_micro >= 0  # frequencies are non-increasing
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(to_date(ts) AS STRING) AS d"
+    )
+    daily: dict[str, dict[str, int]] = defaultdict(dict)
+    for r in (
+        ev.groupBy("event_type", "d").count().collect()
+    ):
+        daily[r.event_type][r.d] = r["count"]
+    import datetime
+
+    got = {
+        (r.event_type, r.lag): r
+        for r in q_events_autocorr_daily(spark, sf_dir).collect()
+    }
+    for et, series in daily.items():
+        days = {datetime.date.fromisoformat(d): c for d, c in series.items()}
+        for lag in (1, 7):
+            xs, ys = [], []
+            for d, c in days.items():
+                d2 = d + datetime.timedelta(days=lag)
+                if d2 in days:
+                    xs.append(c)
+                    ys.append(days[d2])
+            key = (et, lag)
+            if len(xs) < 2:
+                assert key not in got or got[key].corr_micro is None
+                continue
+            row = got[key]
+            assert row.n_pairs == len(xs)
+            if np.std(xs) == 0 or np.std(ys) == 0:
+                assert row.corr_micro is None
+                continue
+            want = np.corrcoef(xs, ys)[0, 1]
+            assert abs(row.corr_micro / 1_000_000 - want) < 2e-6
