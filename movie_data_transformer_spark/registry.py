@@ -160,6 +160,10 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.krippendorff_queries",
     "movie_data_transformer_spark.operators.zipf_queries",
     "movie_data_transformer_spark.operators.autocorr_queries",
+    "movie_data_transformer_spark.operators.ks_queries",
+    "movie_data_transformer_spark.operators.span_corruption_queries",
+    "movie_data_transformer_spark.operators.psi_queries",
+    "movie_data_transformer_spark.operators.preference_queries",
 ]
 
 
