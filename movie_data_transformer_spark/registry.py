@@ -164,6 +164,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.span_corruption_queries",
     "movie_data_transformer_spark.operators.psi_queries",
     "movie_data_transformer_spark.operators.preference_queries",
+    "movie_data_transformer_spark.operators.embnorm_queries",
+    "movie_data_transformer_spark.operators.psi_stream_queries",
 ]
 
 
