@@ -166,6 +166,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.preference_queries",
     "movie_data_transformer_spark.operators.embnorm_queries",
     "movie_data_transformer_spark.operators.psi_stream_queries",
+    "movie_data_transformer_spark.operators.datacard_queries",
 ]
 
 
