@@ -167,6 +167,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.embnorm_queries",
     "movie_data_transformer_spark.operators.psi_stream_queries",
     "movie_data_transformer_spark.operators.datacard_queries",
+    "movie_data_transformer_spark.operators.policy_eval_queries",
+    "movie_data_transformer_spark.operators.asof_nearest_queries",
 ]
 
 
