@@ -140,3 +140,27 @@ def test_dhash_banding_pigeonhole_property():
     # guarantee is tight at hamming <= 3)
     hi, lo = base_hi ^ (1 << 0) ^ (1 << 31), base_lo ^ (1 << 0) ^ (1 << 31)
     assert all(a != b for a, b in zip(bands(base_hi, base_lo), bands(hi, lo)))
+
+
+def test_avi_scene_cuts_cover_all_pairs_and_vary(spark, sf_dir):
+    from movie_data_transformer_spark.operators.scene_cut_queries import (
+        q_mm_avi_scene_cuts,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    rows = q_mm_avi_scene_cuts(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs
+    for doc_id, group in by_doc.items():
+        nf = 2 + doc_id % 4
+        assert sorted(r.frame_idx for r in group) == list(range(1, nf))
+        for r in group:
+            cells = (4 + doc_id % 8) * (4 + doc_id % 6) * 3
+            assert r.mean_delta_milli == r.delta_sum * 1000 // cells
+            assert r.is_cut == int(r.mean_delta_milli >= 100_000)
+    # the planted pixel walk produces BOTH cut and non-cut transitions
+    flags = {r.is_cut for r in rows}
+    assert flags == {0, 1}
