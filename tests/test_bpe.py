@@ -130,3 +130,36 @@ def test_ccnet_buckets_partition_corpus(spark, sf_dir):
     assert rows["middle"].min_score_micro >= rows["tail"].max_score_micro
     for r in rows.values():
         assert r.max_score_micro >= r.min_score_micro
+
+
+def test_fertility_consistent_with_encode(spark, sf_dir):
+    from collections import defaultdict
+
+    from movie_data_transformer_spark.operators.fertility_queries import (
+        q_bpe_fertility_by_lang,
+    )
+    from movie_data_transformer_spark.operators.lm_queries import (
+        q_bpe_encode_fixed,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in q_bpe_encode_fixed(spark, sf_dir).collect():
+        a = agg[langs[r.doc_id]]
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_subwords
+    got = {r.lang: r for r in q_bpe_fertility_by_lang(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (nd, nw, ns) in agg.items():
+        row = got[lang]
+        assert (row.n_docs, row.n_words, row.n_subwords) == (nd, nw, ns)
+        assert row.fertility_micro == ns * 1_000_000 // nw
+        # BPE merges only ever REDUCE symbol count: fertility is bounded
+        # above by chars-per-word and below by 1 (plus the </w> sentinel
+        # keeps every word >= 1 subword)
+        assert row.fertility_micro >= 1_000_000
