@@ -103,14 +103,32 @@ SELECT from_type, to_type, n_transitions, p_micro FROM matrix
 def q_events_markov_user_typicality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pairs = _pairs(spark, sf_dir)
-    matrix = _matrix(spark, sf_dir).select("from_type", "to_type", "p_micro")
-    joined = pairs.join(F.broadcast(matrix), ["from_type", "to_type"])
+    # ONE fact scan: reduce transitions to the (user, from, to) grain
+    # first; the global matrix then rolls up from THAT aggregate (never
+    # re-scanning events) and broadcasts back onto it.
+    ut = (
+        _pairs(spark, sf_dir)
+        .groupBy("user_id", "from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    counts = ut.groupBy("from_type", "to_type").agg(
+        F.sum("n").cast("bigint").alias("n_transitions")
+    )
+    w_row = Window.partitionBy("from_type")
+    matrix = counts.select(
+        "from_type",
+        "to_type",
+        F.expr("CAST(n_transitions * 1000000 AS BIGINT)").alias("_num"),
+        F.sum("n_transitions").over(w_row).alias("_den"),
+    ).selectExpr(
+        "from_type", "to_type", "CAST(_num DIV _den AS BIGINT) AS p_micro"
+    )
+    joined = ut.join(F.broadcast(matrix), ["from_type", "to_type"])
     return (
         joined.groupBy("user_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_transitions"),
-            F.sum("p_micro").cast("bigint").alias("_sum_p"),
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.sum(F.expr("n * p_micro")).cast("bigint").alias("_sum_p"),
         )
         .selectExpr(
             "user_id",
