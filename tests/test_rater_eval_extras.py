@@ -111,3 +111,43 @@ def test_autocorr_matches_numpy(spark, sf_dir):
                 continue
             want = np.corrcoef(xs, ys)[0, 1]
             assert abs(row.corr_micro / 1_000_000 - want) < 2e-6
+
+
+def test_entropy_rate_matches_python(spark, sf_dir):
+    import re
+    from collections import Counter, defaultdict
+
+    from movie_data_transformer_spark.operators.entropy_queries import (
+        q_text_entropy_rate_by_lang,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    uni = defaultdict(Counter)
+    big = defaultdict(Counter)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = re.split(r"\s+", r.text.strip().lower())
+        uni[r.lang].update(toks)
+        big[r.lang].update(zip(toks, toks[1:]))
+    got = {r.lang: r for r in q_text_entropy_rate_by_lang(spark, sf_dir).collect()}
+    assert set(got) == set(uni)
+    for lang in uni:
+        n = sum(uni[lang].values())
+        h1_sum = sum(
+            math.floor(-math.log(c / n) * c * 1_000_000)
+            for c in uni[lang].values()
+        )
+        firsts = Counter()
+        for (a, _), c in big[lang].items():
+            firsts[a] += c
+        n2 = sum(big[lang].values())
+        h2_sum = sum(
+            math.floor(-math.log(c / firsts[a]) * c * 1_000_000)
+            for (a, _), c in big[lang].items()
+        )
+        row = got[lang]
+        assert (row.n_tokens, row.n_bigrams) == (n, n2)
+        assert row.h1_micro_nats == h1_sum // n
+        assert row.h2_cond_micro_nats == h2_sum // n2
+        # conditioning never increases entropy
+        assert row.h2_cond_micro_nats <= row.h1_micro_nats
+        assert 0 <= row.redundancy_micro <= 1_000_000
