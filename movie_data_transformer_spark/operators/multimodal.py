@@ -1472,3 +1472,58 @@ def avi_scene_cuts(media: DataFrame, thresh_milli: int) -> DataFrame:
             )
 
     return media.mapInPandas(dec, SCENE_CUT_SCHEMA)
+
+
+CONTRAST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_luma", LongType()),
+        StructField("var_num", LongType()),
+        StructField("is_low_contrast", IntegerType()),
+    ]
+)
+
+
+def bmp_contrast_stats(media: DataFrame, var_milli_thresh: int) -> DataFrame:
+    """Image-quality screening over decoded BMP pixels: integer luma per
+    pixel (the BT.601-ish 2/5/1 rational weighting, x8 to stay integer:
+    luma8 = 2r + 5g + b), EXACT population-variance numerator
+    n*sum(luma8^2) - sum(luma8)^2, and the low-contrast flag
+    (var_num * 1000 < thresh * n^2 cross-multiplied — no division, no
+    doubles). One mapInPandas decode pass; media never shuffles."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                px = bmp_decode_pixels(bytes(blob))
+                luma = (
+                    2 * px[:, :, 0].astype(np.int64)
+                    + 5 * px[:, :, 1]
+                    + px[:, :, 2]
+                ).ravel()
+                n = int(luma.size)
+                s = int(luma.sum())
+                s2 = int((luma * luma).sum())
+                var_num = n * s2 - s * s
+                out.append(
+                    (
+                        int(doc_id),
+                        n,
+                        s,
+                        var_num,
+                        int(var_num * 1000 < var_milli_thresh * n * n),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_px", "sum_luma", "var_num",
+                    "is_low_contrast",
+                ],
+            )
+
+    return media.mapInPandas(dec, CONTRAST_SCHEMA)

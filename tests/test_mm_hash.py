@@ -164,3 +164,22 @@ def test_avi_scene_cuts_cover_all_pairs_and_vary(spark, sf_dir):
     # the planted pixel walk produces BOTH cut and non-cut transitions
     flags = {r.is_cut for r in rows}
     assert flags == {0, 1}
+
+
+def test_bmp_contrast_flags_balanced_and_exact(spark, sf_dir):
+    from movie_data_transformer_spark.operators.contrast_queries import (
+        VAR_MILLI_THRESH,
+        q_mm_bmp_contrast_stats,
+    )
+
+    rows = q_mm_bmp_contrast_stats(spark, sf_dir).collect()
+    assert rows
+    flags = [r.is_low_contrast for r in rows]
+    assert set(flags) == {0, 1}  # the median threshold splits the corpus
+    for r in rows:
+        # planted-formula recompute of one invariant: the flag is the
+        # cross-multiplied comparison, no hidden division
+        assert r.is_low_contrast == int(
+            r.var_num * 1000 < VAR_MILLI_THRESH * r.n_px * r.n_px
+        )
+        assert r.var_num >= 0
