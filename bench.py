@@ -99,6 +99,14 @@ HEADLINE = [
     "events_fifo_match",
     "sample_hash_threshold_report",
     "compaction_plan_bins",
+    # r8 additions: DSIR target-domain selection, ranking-quality eval,
+    # entropy-rate corpus QA, and video shot-boundary detection (new
+    # operator families; the stream_psi_monitor twin stays registry-only
+    # — its cost is fixture-build-once, profiled in SCALE.md)
+    "dsir_topk_selection",
+    "search_ndcg_at_k",
+    "text_entropy_rate_by_lang",
+    "mm_avi_scene_cuts",
 ]
 
 
