@@ -18,16 +18,16 @@ tie still emit a pair with margin 0 (chosen/rejected then differ only
 by event_id ordering — documented, pinned in pytest).
 
 Scale: filter pushes to the parquet scan (PushedFilters on
-event_type); ONE shuffle on user_id feeds both rank windows (same
-partition spec); WindowGroupLimit prunes to rank 1 map-side. Output is
-one row per user — bounded by the user dimension.
+event_type); ONE user-keyed shuffle feeds a sort-free max_by/min_by
+aggregate with map-side partials (no rank windows, no hi x lo join —
+plan-pinned at one exchange in test_plan_shapes_hold). Output is one
+row per user — bounded by the user dimension.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -35,41 +35,38 @@ _CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
 
 
 def q_pref_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort-free argmax/argmin fold: ONE user-keyed aggregate with
+    # map-side partials (the dedup_latest_maxby discipline) — no rank
+    # windows, no hi x lo self-join, one exchange total (plan-pinned in
+    # test_plan_shapes_hold). Tie-breaks ride the ordering structs:
+    # chosen = max by (cents, -event_id) => highest cents, lowest id;
+    # rejected = min by (cents, event_id) => lowest cents, lowest id.
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter("event_type = 'purchase'").selectExpr(
         "user_id", "event_id", f"{_CENTS} AS cents"
     )
-    w_hi = Window.partitionBy("user_id").orderBy(
-        F.col("cents").desc(), F.col("event_id")
-    )
-    w_lo = Window.partitionBy("user_id").orderBy(
-        F.col("cents").asc(), F.col("event_id")
-    )
-    ranked = purchases.select(
-        "user_id",
-        "event_id",
-        "cents",
-        F.row_number().over(w_hi).alias("rn_hi"),
-        F.row_number().over(w_lo).alias("rn_lo"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
-    ).filter("n >= 2")
-    hi = ranked.filter("rn_hi = 1").selectExpr(
-        "user_id",
-        "event_id AS chosen_event_id",
-        "cents AS chosen_cents",
-    )
-    lo = ranked.filter("rn_lo = 1").selectExpr(
-        "user_id",
-        "event_id AS rejected_event_id",
-        "cents AS rejected_cents",
-    )
-    return hi.join(lo, "user_id").selectExpr(
-        "user_id",
-        "chosen_event_id",
-        "rejected_event_id",
-        "chosen_cents",
-        "rejected_cents",
-        "chosen_cents - rejected_cents AS margin_cents",
+    return (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.expr(
+                "max_by(named_struct('e', event_id, 'c', cents),"
+                " named_struct('c', cents, 'e', -event_id))"
+            ).alias("hi"),
+            F.expr(
+                "min_by(named_struct('e', event_id, 'c', cents),"
+                " named_struct('c', cents, 'e', event_id))"
+            ).alias("lo"),
+        )
+        .filter("_n >= 2")
+        .selectExpr(
+            "user_id",
+            "hi.e AS chosen_event_id",
+            "lo.e AS rejected_event_id",
+            "hi.c AS chosen_cents",
+            "lo.c AS rejected_cents",
+            "hi.c - lo.c AS margin_cents",
+        )
     )
 
 

@@ -125,6 +125,33 @@ def test_plan_shapes_hold(spark, sf_dir):
         for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
             assert bad not in p, (name, bad)
 
+    # r8 single-exchange operators: ranking eval (BOTH rank windows and
+    # the per-query agg share the one source-keyed exchange), preference
+    # pairs (both rank windows + the self-join ride the user_id
+    # partitioning — the join of two rank-1 slices of the SAME
+    # partitioned frame must not re-shuffle), span corruption (one
+    # doc-keyed island window; the zero-mask left join is doc-grain on
+    # the same key).
+    p = plan_of("search_ndcg_at_k")
+    assert p.count("Exchange") == 1, "search_ndcg_at_k"
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in p, ("search_ndcg_at_k", bad)
+    p = plan_of("search_mrr_map")
+    assert p.count("Exchange") == 1, "search_mrr_map"
+    p = plan_of("pref_pairs_build")
+    assert p.count("Exchange hashpartitioning") == 1, "pref_pairs_build"
+    assert "CartesianProduct" not in p
+    # purchase filter must reach the parquet scan
+    assert "PushedFilters: [" in p and "purchase" in p, "pref_pairs_build"
+
+    # r8 map-side operators: readability scoring and PSI binning are
+    # scan + (at most) one small-domain agg — a join or window creeping
+    # in means the fused-projection design broke
+    for name in ("text_readability_scores", "score_psi_bins"):
+        p = plan_of(name)
+        for bad in ("SortMergeJoin", "CartesianProduct", "Window"):
+            assert bad not in p, (name, bad)
+
 
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
