@@ -151,3 +151,35 @@ def test_entropy_rate_matches_python(spark, sf_dir):
         # conditioning never increases entropy
         assert row.h2_cond_micro_nats <= row.h1_micro_nats
         assert 0 <= row.redundancy_micro <= 1_000_000
+
+
+def _sstem_py(tok: str) -> str:
+    if len(tok) > 4 and tok.endswith("ies") and not tok.endswith(("eies", "aies")):
+        return tok[:-3] + "y"
+    if len(tok) > 3 and tok.endswith("es") and not tok.endswith(("aes", "ees", "oes")):
+        return tok[:-1]
+    if len(tok) > 2 and tok.endswith("s") and not tok.endswith(("us", "ss")):
+        return tok[:-1]
+    return tok
+
+
+def test_sstem_vocab_reduction_matches_python(spark, sf_dir):
+    import re
+    from collections import defaultdict
+
+    from movie_data_transformer_spark.operators.stemming_queries import (
+        q_text_sstem_vocab_reduction,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    vocab = defaultdict(set)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        vocab[r.lang].update(re.split(r"\s+", r.text.strip().lower()))
+    got = {r.lang: r for r in q_text_sstem_vocab_reduction(spark, sf_dir).collect()}
+    assert set(got) == set(vocab)
+    for lang, toks in vocab.items():
+        stems = {_sstem_py(t) for t in toks}
+        row = got[lang]
+        assert row.vocab_before == len(toks)
+        assert row.vocab_after == len(stems)
+        assert row.folded == len(toks) - len(stems) >= 0
