@@ -1527,3 +1527,85 @@ def bmp_contrast_stats(media: DataFrame, var_milli_thresh: int) -> DataFrame:
             )
 
     return media.mapInPandas(dec, CONTRAST_SCHEMA)
+
+
+#: 8-point DCT-II cosine basis in micro units: COS8_MICRO[k][x] =
+#: round(cos(pi*(2x+1)*k/16) * 1e6) — planted identically in the DuckDB
+#: oracle so the whole pHash is exact integer arithmetic (the
+#: ranking_eval DISC_MICRO discipline; no transcendental at query time).
+COS8_MICRO = (
+    (1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000),
+    (980785, 831470, 555570, 195090, -195090, -555570, -831470, -980785),
+    (923880, 382683, -382683, -923880, -923880, -382683, 382683, 923880),
+    (831470, -195090, -980785, -555570, 555570, 980785, 195090, -831470),
+    (707107, -707107, -707107, 707107, 707107, -707107, -707107, 707107),
+    (555570, -980785, 195090, 831470, -831470, -195090, 980785, -555570),
+    (382683, -923880, 923880, -382683, -382683, 923880, -923880, 382683),
+    (195090, -555570, 831470, -980785, 980785, -831470, 555570, -195090),
+)
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("dc_coeff", LongType()),
+        StructField("median_coeff", LongType()),
+    ]
+)
+
+
+def bmp_phash_dct(media: DataFrame) -> DataFrame:
+    """Perceptual hash, DCT tier (the classic pHash recipe at 8x8):
+    nearest-resize the decoded image to 8x8 (floor index mapping
+    sx = tx*w DIV 8 — the mm_resize_nearest rule), integer luma8
+    (2r+5g+b), exact integer 8x8 DCT-II via the planted COS8_MICRO
+    basis, then the hash bit for each of the 15 lowest-frequency AC
+    coefficients (zigzag-free top-left 4x4 minus DC) is coeff > median
+    (median = mean of the 8th/9th order statistics of those 15 — exact
+    under integer-sum-of-two DIV 2). One mapInPandas pass."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cos = np.array(COS8_MICRO, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                px = bmp_decode_pixels(bytes(blob))
+                h, w = px.shape[0], px.shape[1]
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                small = px[np.ix_(sy, sx)]
+                luma = (
+                    2 * small[:, :, 0].astype(np.int64)
+                    + 5 * small[:, :, 1]
+                    + small[:, :, 2]
+                )
+                # D[k,l] = sum_{y,x} luma[y,x] * cos[k,y] * cos[l,x]
+                d = cos @ luma @ cos.T
+                ac = [
+                    int(d[k, l])
+                    for k in range(4)
+                    for l in range(4)
+                    if not (k == 0 and l == 0)
+                ]
+                s = sorted(ac)
+                median2 = s[7] + s[8]  # 15 values: median = 8th (idx 7);
+                # use the mean of idx 7 and 8 to match an even-split rule
+                # shared with the oracle (sum DIV 2, exact both engines)
+                median = median2 // 2 if median2 >= 0 else -((-median2) // 2)
+                bits = 0
+                pos = 0
+                for k in range(4):
+                    for l in range(4):
+                        if k == 0 and l == 0:
+                            continue
+                        if int(d[k, l]) > median:
+                            bits |= 1 << pos
+                        pos += 1
+                out.append((int(doc_id), bits, int(d[0, 0]), median))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "phash", "dc_coeff", "median_coeff"]
+            )
+
+    return media.mapInPandas(dec, PHASH_SCHEMA)

@@ -174,6 +174,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.entropy_queries",
     "movie_data_transformer_spark.operators.contrast_queries",
     "movie_data_transformer_spark.operators.stemming_queries",
+    "movie_data_transformer_spark.operators.phash_queries",
 ]
 
 

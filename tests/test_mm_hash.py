@@ -183,3 +183,31 @@ def test_bmp_contrast_flags_balanced_and_exact(spark, sf_dir):
             r.var_num * 1000 < VAR_MILLI_THRESH * r.n_px * r.n_px
         )
         assert r.var_num >= 0
+
+
+def test_phash_dct_structure(spark, sf_dir):
+    from movie_data_transformer_spark.operators.multimodal import COS8_MICRO
+    from movie_data_transformer_spark.operators.phash_queries import (
+        q_mm_bmp_phash_dct,
+    )
+
+    import math
+
+    # the planted basis IS the DCT-II basis at micro precision
+    for k in range(8):
+        for x in range(8):
+            want = round(math.cos(math.pi * (2 * x + 1) * k / 16) * 1_000_000)
+            assert COS8_MICRO[k][x] == want
+
+    rows = q_mm_bmp_phash_dct(spark, sf_dir).collect()
+    assert rows
+    hashes = set()
+    for r in rows:
+        assert 0 <= r.phash < (1 << 15)
+        # median splits the 15 AC coefficients: 7 strictly above at most
+        # (the > comparison), so popcount <= 7
+        assert bin(r.phash).count("1") <= 7
+        assert r.dc_coeff > 0  # luma is positive, k=l=0 basis is all +1e6
+        hashes.add(r.phash)
+    # the fixture's varied pixel walks produce many distinct fingerprints
+    assert len(hashes) > len(rows) // 10
