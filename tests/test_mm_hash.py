@@ -211,3 +211,44 @@ def test_phash_dct_structure(spark, sf_dir):
         hashes.add(r.phash)
     # the fixture's varied pixel walks produce many distinct fingerprints
     assert len(hashes) > len(rows) // 10
+
+
+def test_audio_silence_segments_consistent(spark, sf_dir):
+    from movie_data_transformer_spark.operators.mm_transform_queries import (
+        q_mm_audio_window_energy,
+    )
+    from movie_data_transformer_spark.operators.vad_queries import (
+        THRESH_SQ,
+        q_mm_audio_silence_segments,
+    )
+
+    wins = {}
+    for r in q_mm_audio_window_energy(spark, sf_dir).collect():
+        wins.setdefault(r.doc_id, []).append(
+            (r.window_idx, int(r.energy < THRESH_SQ * r.n_samples))
+        )
+    got = {r.doc_id: r for r in q_mm_audio_silence_segments(spark, sf_dir).collect()}
+    assert set(got) == set(wins)
+    saw_silent = saw_loud = False
+    for doc_id, ws in wins.items():
+        ws.sort()
+        flags = [f for _, f in ws]
+        n_silent = sum(flags)
+        runs = []
+        cur = 0
+        for f in flags:
+            if f:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        row = got[doc_id]
+        assert row.n_windows == len(flags)
+        assert row.n_silent == n_silent
+        assert row.n_segments == len(runs)
+        assert row.longest_silence == (max(runs) if runs else 0)
+        saw_silent |= n_silent > 0
+        saw_loud |= n_silent < len(flags)
+    assert saw_silent and saw_loud  # the threshold genuinely splits
