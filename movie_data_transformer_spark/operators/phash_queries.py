@@ -106,3 +106,41 @@ FROM bits b JOIN coef c ON c.doc_id = b.doc_id AND c.k = 0 AND c.l = 0
 QUERIES = {
     "mm_bmp_phash_dct": (q_mm_bmp_phash_dct, SQL_MM_BMP_PHASH_DCT),
 }
+
+
+def q_mm_phash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup GROUPS: bucket the corpus by its 15-bit DCT
+    fingerprint and report every bucket with more than one image — the
+    candidate groups an image-dedup pass reviews (the dhash banded-pairs
+    pattern, but at the group grain: one row per collision bucket, never
+    a pair explosion). Same plan as the hash pass plus one 15-bit-domain
+    aggregate — the grouping key space is FIXED (32768), so the agg is
+    map-side-combinable and skew-proof at any corpus size."""
+    hashes = q_mm_bmp_phash_dct(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        hashes.groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .filter("n_images > 1")
+    )
+
+
+SQL_MM_PHASH_DUP_GROUPS = f"""
+SELECT phash,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM ({SQL_MM_BMP_PHASH_DCT})
+GROUP BY phash
+HAVING count(*) > 1
+"""
+
+QUERIES["mm_phash_dup_groups"] = (
+    q_mm_phash_dup_groups,
+    SQL_MM_PHASH_DUP_GROUPS,
+)
