@@ -1,8 +1,12 @@
 """Autocorrelation of the daily event-count series, per event_type, at
-lags 1 and 7 — the seasonality/trend diagnostic a forecasting pipeline
-(forecast_backtest_daily, events_holt_linear already shipped) runs
-before choosing a model: lag-1 measures day-over-day persistence, lag-7
-weekly seasonality.
+lags 1 and 7 — PER EVENT TYPE, the series-by-series companion of
+events_daily_acf (timeseries_extras_queries.py), which measures the
+mean-centered ACF of the single TOTAL daily series at lags 1..7. The
+two answer different questions: daily_acf says "does the whole corpus
+have weekly seasonality"; this entry says "WHICH event stream is
+sticky/seasonal" (pairwise-complete Pearson per type) — the report a
+forecasting pipeline (forecast_backtest_daily, events_holt_linear)
+uses to pick per-stream models.
 
 Construction (exact where it can be): daily counts are INTEGERS, so all
 Pearson sufficient statistics over the lag-k pair set (n, Sx, Sy, Sxy,

@@ -1,16 +1,18 @@
-"""First-order Markov analysis of user event sequences — the transition
-matrix over `event_type` and a per-user typicality score against it.
-Session-path mining already ships (session_top_paths, sessionize_events,
-events_seq_regex_funnel); the Markov matrix is the standard generative
-summary of the same sequences (empirical MLE transition probabilities),
-and typicality (mean transition probability of a user's own sequence
+"""Per-user Markov typicality — scoring each user's OWN event sequence
+against the corpus-wide first-order transition matrix. The matrix
+itself already ships as `events_transition_matrix`
+(behavior_queries.py — same (ts, event_id) ordering, same micro
+row-stochastic form); this module deliberately registers ONLY the
+novel scoring entry on top of that semantics, so the registry carries
+no duplicate surface (an earlier `events_markov_transitions` entry was
+REMOVED for exactly that reason — registry hygiene note in NOTES.md).
+Typicality (mean transition probability of a user's consecutive pairs
 under the global matrix) is the cheap exact stand-in for sequence
-log-likelihood that needs no transcendentals.
+log-likelihood that needs no transcendentals — the per-user
+"how ordinary is this behavior" score bot/anomaly triage sorts by
+(complement: events_bot_score's burst features).
 
-Entries (both FULL DuckDB oracles, exact bigint micro units):
-- `events_markov_transitions`: per (from_type, to_type) — n_transitions
-  and p_micro = n * 1e6 DIV sum(n within from_type) (row-stochastic in
-  micro units, truncating).
+Entry (FULL DuckDB oracle, exact bigint micro units):
 - `events_markov_user_typicality`: per user — n_transitions and
   typicality_micro = sum of the global p_micro over the user's own
   consecutive pairs, DIV n_transitions. The global matrix (|types|^2
@@ -90,16 +92,6 @@ def _matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _matrix(spark, sf_dir)
-
-
-SQL_EVENTS_MARKOV_TRANSITIONS = f"""
-WITH {_PAIRS_CTE}
-SELECT from_type, to_type, n_transitions, p_micro FROM matrix
-"""
-
-
 def q_events_markov_user_typicality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -150,10 +142,6 @@ GROUP BY t.user_id
 
 
 QUERIES = {
-    "events_markov_transitions": (
-        q_events_markov_transitions,
-        SQL_EVENTS_MARKOV_TRANSITIONS,
-    ),
     "events_markov_user_typicality": (
         q_events_markov_user_typicality,
         SQL_EVENTS_MARKOV_USER_TYPICALITY,
