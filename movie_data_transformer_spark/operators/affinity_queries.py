@@ -6,7 +6,11 @@ n-gram mass the seed vocabulary covers, then keep the top-k per source.
 This is the standard "give me more data that looks like my eval set"
 selector every pretraining-data team runs; the exact-overlap form keeps
 the whole dataflow integer (no log-likelihood doubles), so the entry
-carries a FULL DuckDB oracle.
+carries a FULL DuckDB oracle. The paper's actual LLR estimator (hashed
+unigrams contrasted against the raw pool — down-weights ubiquitous
+tokens, needs no curated seed) ships separately as dsir_bucket_llr /
+dsir_topk_selection (dsir_queries.py); the docstring there states when
+to use which.
 
 Fixture: seed = documents with doc_id % 20 == 0 (a deterministic 5%
 "curated sample", present at every SF); candidates = the rest. Shingles

@@ -6,6 +6,17 @@ quality filtering (quality_classifier_scores) and mixing
 hashed unigram profile looks like a TARGET domain rather than the raw
 pool, then keep the top-k.
 
+Relationship to `curation_target_affinity_select` (affinity_queries.py,
+the log-free variant): affinity measures seed-VOCABULARY COVERAGE of a
+doc's shingles (how much of the doc the seed explains — integer-exact,
+needs a curated seed sample); THIS module is the paper's actual
+log-likelihood-ratio estimator — hashed features CONTRASTED against the
+raw pool, so common-everywhere tokens are down-weighted and no curated
+seed is needed (the target here is a whole labeled slice). Run affinity
+when you have a small trusted seed; run DSIR when you have a large
+target slice and need background contrast. Both ship so the trade is
+explicit.
+
 Fixture: target = the `lang = 'en'` slice of `documents` (a stand-in
 for "high-quality target domain"); raw = the whole corpus. Features are
 md5-hashed unigram buckets (B = 1024). Per bucket b the add-one-smoothed
