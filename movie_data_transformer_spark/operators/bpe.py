@@ -108,15 +108,22 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 12) -> DataFrame:
 
 
 def apply_bpe_merges(
-    docs: DataFrame, merges: list[tuple[str, str]], with_encoding: bool = False
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    with_encoding: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode the corpus with a FIXED learned merge list: (doc_id,
     n_words, n_subwords[, encoded]). Merges apply in learned order — one
     string replace each, all row-local. `with_encoding` adds the
     whitespace-normalized subword string itself (single spaces between
-    subwords, word boundaries visible as the '</w>' sentinel)."""
+    subwords, word boundaries visible as the '</w>' sentinel). `carry`
+    names extra input columns to ride the projection (so downstream
+    per-group reports need NO join back to the document table — the
+    fertility-by-lang caller)."""
     enc = docs.selectExpr(
         "doc_id",
+        *carry,
         "concat(' ', concat_ws(' </w>  ', transform(split(lower(trim(text)), '\\\\s+'), "
         "w -> concat_ws(' ', split(w, '')))), ' </w> ') AS s",
         "size(split(lower(trim(text)), '\\\\s+')) AS n_words",
@@ -128,6 +135,7 @@ def apply_bpe_merges(
     # blocks cross-word merges) must not produce empty tokens
     out = [
         F.col("doc_id"),
+        *[F.col(c) for c in carry],
         F.col("n_words"),
         F.size(F.split(F.trim(col), " +")).alias("n_subwords"),
     ]

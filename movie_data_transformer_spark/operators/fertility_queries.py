@@ -13,9 +13,10 @@ and chars_per_subword_micro (n_chars*1e6 DIV subwords, the compression
 view). Exact bigint micro units.
 
 Scale: the encode is map-side (one whole-stage-codegen replace chain per
-doc — the bpe_encode_fixed shape); lang rides the same projection so the
-per-lang reduce needs NO join, just one 5-key map-side-combinable agg.
-Scan-bound at 100 TB.
+doc — the bpe_encode_fixed shape); lang and n_chars CARRY through that
+projection (apply_bpe_merges' carry param), so the per-lang reduce is
+ONE scan + one 5-key map-side-combinable agg — zero joins (plan-pinned
+in test_plan_shapes_hold). Scan-bound at 100 TB.
 """
 
 from __future__ import annotations
@@ -33,13 +34,11 @@ from movie_data_transformer_spark.sources.tables import load_table
 
 def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    enc = apply_bpe_merges(docs, BPE_FIXED_MERGES)
-    # lang + n_chars ride a doc-grain join-free path: re-select them from
-    # the same scan and join on doc_id would shuffle; instead re-run the
-    # cheap projection WITH lang carried (documents is one scan either
-    # way, and Catalyst fuses the shared subtree)
-    facts = enc.join(
-        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    # lang + n_chars CARRY through the encode projection — ONE scan, no
+    # join back to the document table (a doc-grain join would broadcast
+    # or shuffle the whole dimension at 100 TB)
+    facts = apply_bpe_merges(
+        docs, BPE_FIXED_MERGES, carry=("lang", "n_chars")
     )
     return (
         facts.groupBy("lang")

@@ -18,7 +18,8 @@ ref_n, cur_n, and psi_term_micro; the headline PSI is the column sum
 (conventional alert threshold 0.2 => 200000 micro), pinned in pytest.
 
 Scale: one events scan, map-side CASE binning, an 8-row aggregate —
-scan-bound at 100 TB; no joins, no windows.
+scan-bound at 100 TB; the only join is the 1-row totals broadcast
+(no data-sized join, no windows — plan-pinned).
 """
 
 from __future__ import annotations

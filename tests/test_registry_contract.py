@@ -152,6 +152,21 @@ def test_plan_shapes_hold(spark, sf_dir):
         for bad in ("SortMergeJoin", "CartesianProduct", "Window"):
             assert bad not in p, (name, bad)
 
+    # nearest as-of: the sort-merge-asof shape — ONE user shuffle, both
+    # fill windows on it, and NO view x purchase join ever forms
+    p = plan_of("asof_nearest_view_purchase")
+    assert p.count("Exchange hashpartitioning") == 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in p, ("asof_nearest_view_purchase", bad)
+
+    # fertility: lang/n_chars carry through the encode projection — one
+    # scan, one agg, ZERO joins (a join back to documents would ship the
+    # whole dimension at scale)
+    p = plan_of("bpe_fertility_by_lang")
+    assert p.count("Scan parquet") == 1
+    for bad in ("Join", "Window"):
+        assert bad not in p, ("bpe_fertility_by_lang", bad)
+
 
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
