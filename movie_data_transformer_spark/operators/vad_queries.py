@@ -15,10 +15,12 @@ Entry `mm_audio_silence_segments` (FULL DuckDB oracle): per doc —
 n_windows, n_silent, n_segments, longest_silence (windows in the
 longest run), silence_rate_micro.
 
-Scale: the energy pass is the existing no-shuffle mapInPandas fan-out;
-the island window partitions by doc over window-grain rows (thousands
-of times smaller than samples); two doc-keyed aggs reuse that
-partitioning. Decode-bound at 100 TB.
+Scale: ONE energy pass (no-shuffle mapInPandas fan-out) feeds a
+running-count island window per doc over window-grain rows (thousands
+of times smaller than samples) and two stacked doc-keyed aggs on the
+same partitioning — the decode subtree is never duplicated and no join
+forms (loud windows fold into the NULL island, so clip totals ride the
+same aggregate). Decode-bound at 100 TB.
 """
 
 from __future__ import annotations
@@ -38,34 +40,53 @@ THRESH_SQ = 8192 * 8192
 def q_mm_audio_silence_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # SINGLE decode pass: the island id rides a running silent-count
+    # window over ALL windows (island = window_idx - running_count for
+    # silent rows, NULL for loud ones), so totals and segment stats fold
+    # from the same stream — no second decode branch, no join.
     wins = q_mm_audio_window_energy(spark, sf_dir).selectExpr(
         "doc_id",
         "window_idx",
         f"CAST(energy < {THRESH_SQ} * n_samples AS INT) AS silent",
     )
-    w = Window.partitionBy("doc_id").orderBy("window_idx")
-    islands = wins.filter("silent = 1").withColumn(
-        "island", F.col("window_idx") - F.row_number().over(w)
+    w = Window.partitionBy("doc_id").orderBy("window_idx").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    seg = islands.groupBy("doc_id", "island").agg(
+    tagged = wins.select(
+        "doc_id",
+        "silent",
+        (F.col("window_idx") - F.sum("silent").over(w)).alias("gap_key"),
+    ).selectExpr(
+        "doc_id",
+        "silent",
+        "IF(silent = 1, gap_key, NULL) AS island",
+    )
+    seg = tagged.groupBy("doc_id", "island").agg(
         F.count("*").cast("bigint").alias("run")
     )
-    per_doc_silent = seg.groupBy("doc_id").agg(
-        F.sum("run").cast("bigint").alias("n_silent"),
-        F.count("*").cast("bigint").alias("n_segments"),
-        F.max("run").cast("bigint").alias("longest_silence"),
-    )
-    totals = wins.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_windows")
-    )
-    return totals.join(per_doc_silent, "doc_id", "left").selectExpr(
-        "doc_id",
-        "n_windows",
-        "coalesce(n_silent, 0L) AS n_silent",
-        "coalesce(n_segments, 0L) AS n_segments",
-        "coalesce(longest_silence, 0L) AS longest_silence",
-        "CAST(coalesce(n_silent, 0L) * 1000000 DIV n_windows AS BIGINT)"
-        " AS silence_rate_micro",
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.sum("run").cast("bigint").alias("n_windows"),
+            F.sum(F.expr("IF(island IS NOT NULL, run, 0L)"))
+            .cast("bigint")
+            .alias("n_silent"),
+            F.sum(F.expr("IF(island IS NOT NULL, 1, 0)"))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.max(F.expr("IF(island IS NOT NULL, run, 0L)"))
+            .cast("bigint")
+            .alias("longest_silence"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_windows",
+            "n_silent",
+            "n_segments",
+            "longest_silence",
+            "CAST(n_silent * 1000000 DIV n_windows AS BIGINT)"
+            " AS silence_rate_micro",
+        )
     )
 
 
