@@ -176,6 +176,7 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.stemming_queries",
     "movie_data_transformer_spark.operators.phash_queries",
     "movie_data_transformer_spark.operators.vad_queries",
+    "movie_data_transformer_spark.operators.tailindex_queries",
 ]
 
 

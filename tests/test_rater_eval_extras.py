@@ -183,3 +183,33 @@ def test_sstem_vocab_reduction_matches_python(spark, sf_dir):
         assert row.vocab_before == len(toks)
         assert row.vocab_after == len(stems)
         assert row.folded == len(toks) - len(stems) >= 0
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from movie_data_transformer_spark.operators.tailindex_queries import (
+        K,
+        q_stats_hill_tail_index,
+    )
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    vals = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        vals[r.event_type].append(
+            (math.floor(r.value * 100 + 0.5), r.event_id)
+        )
+    got = {r.event_type: r for r in q_stats_hill_tail_index(spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        xk1 = xs[K][0]
+        s = sum(
+            math.floor(math.log(c / xk1) * 1_000_000) for c, _ in xs[:K]
+        )
+        row = got[et]
+        assert row.n == len(xs) > K  # fixture floor: every type has a tail
+        assert row.k == K
+        assert row.xk1_cents == xk1
+        assert row.hill_micro == s // K
+        assert row.alpha_micro is None or row.alpha_micro > 0
