@@ -196,3 +196,21 @@ def test_no_registered_query_returns_container_columns(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, bad
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Registry-WIDE scale guarantee: no entry's physical plan may
+    contain CartesianProduct — the one join shape that cannot survive a
+    100x scale-up (BroadcastNestedLoopJoin is deliberately allowed: the
+    brute-force ANN and scalar-bound theta joins broadcast a SMALL side
+    by design). Compiles every plan (~3.5 min); first run as an ad-hoc
+    sweep in r8, promoted to a contract test so a lost join condition
+    anywhere in the registry fails loudly rather than at 100 TB."""
+    import __spark_entry__ as e
+
+    bad = []
+    for name, fn in e.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert bad == []
