@@ -46,3 +46,40 @@ def test_stream_psi_equals_batch(spark, sf_dir):
         for r in q_stream_psi_monitor(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_psi_state_versions_monotone(spark, sf_dir):
+    """Every state_N is a prefix-fold of the feed: per-bin counts are
+    monotonically non-decreasing across versions and each version's
+    total equals the events consumed through that trigger."""
+    import glob
+    import os
+
+    from movie_data_transformer_spark.operators.jsonl_queries import (
+        fixture_cache_dir,
+    )
+
+    # materialize (or reuse) the fixture, then inspect its versions
+    q_stream_psi_monitor(spark, sf_dir).collect()
+    root = fixture_cache_dir("mdt_psistate_v1", sf_dir)
+    states = sorted(
+        glob.glob(os.path.join(root, "state_*")),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+    )
+    assert len(states) >= 2  # the feed is sliced into multiple triggers
+    prev = {}
+    prev_total = 0
+    for p in states:
+        cur = {
+            r.bin: (r.ref_n, r.cur_n)
+            for r in spark.read.parquet(p).collect()
+        }
+        for b, (r0, c0) in prev.items():
+            assert b in cur
+            assert cur[b][0] >= r0 and cur[b][1] >= c0, (p, b)
+        total = sum(r + c for r, c in cur.values())
+        assert total > prev_total
+        prev, prev_total = cur, total
+    from movie_data_transformer_spark.sources.tables import load_table
+
+    assert prev_total == load_table(spark, sf_dir, "events").count()
