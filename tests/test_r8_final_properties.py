@@ -140,3 +140,14 @@ def test_fkgl_monotone_in_syllable_density(pairs):
     g1 = _trunc_div(390000 * w, s) + _trunc_div(11800000 * y1, w) - 15590000
     g2 = _trunc_div(390000 * w, s) + _trunc_div(11800000 * y2, w) - 15590000
     assert g2 >= g1
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=12))
+def test_sstemmer_is_idempotent_and_never_lengthens(word):
+    from tests.test_rater_eval_extras import _sstem_py
+
+    once = _sstem_py(word)
+    assert len(once) <= len(word)
+    # every rule output ends in y/e/a-non-s char or a protected suffix,
+    # so a second pass can only be the identity
+    assert _sstem_py(once) == once
