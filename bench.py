@@ -134,14 +134,7 @@ def _wait_for_idle() -> None:
         time.sleep(15)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    _wait_for_idle()
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = spark_queries()
-
+def _run_suite(spark, qs, sf_dir: str) -> tuple[float, dict[str, float]]:
     # median of 3 warm timed runs per query (r4 VERDICT advice #4 — the
     # recorded BENCH_r04 was ~30% machine-load-inflated; medians shed
     # one-off host-noise spikes cheaply since the runs are warm), with
@@ -169,6 +162,33 @@ def main() -> None:
             df2.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+    return load_before, timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    _wait_for_idle()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+
+    load_before, timings = _run_suite(spark, qs, sf_dir)
+    passes = 1
+    # r08 VERDICT advice #2: the recorded artifact must BE settled, not
+    # merely labeled. If the settle-wait timed out and the first pass
+    # started load-inflated, the competing work (typically a straggler
+    # validation sweep) has usually finished during the ~5-min pass —
+    # wait for idle again and re-run the suite once. The second pass
+    # re-times the SAME warm plans, so it is strictly more comparable,
+    # and bench's own loadavg tail decays e^-t/60s well inside the
+    # 15-min wait cap. One retry only: if the machine is still busy
+    # after ~35 min total, record the inflated pass with settled=false.
+    if load_before > _SETTLE_LOAD and not os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        _wait_for_idle()
+        if os.getloadavg()[0] <= _SETTLE_LOAD:
+            load_before, timings = _run_suite(spark, qs, sf_dir)
+            passes = 2
 
     print(
         json.dumps(
@@ -183,9 +203,12 @@ def main() -> None:
                     "after": round(os.getloadavg()[0], 2),
                 },
                 # r07 VERDICT advice #4: self-describing settle state —
-                # False means the 15-min settle wait timed out and the
-                # numbers are machine-load-inflated (compare at idle).
+                # False means BOTH settle waits timed out and the numbers
+                # are machine-load-inflated (compare at idle).
                 "settled": load_before <= _SETTLE_LOAD,
+                # 2 = the first pass started unsettled and the suite was
+                # re-timed after a successful second settle-wait.
+                "passes": passes,
             }
         )
     )

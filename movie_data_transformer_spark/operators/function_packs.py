@@ -599,7 +599,19 @@ GROUP BY e.event_type
 """
 
 
+# Dict order is load-bearing for the driver's 50-entry window (registry
+# module order x dict order = entry order). r09 rotation: the SIX entries
+# that have never had a driver row (added r05, after this module's r04
+# window) lead the dict so the window boundary (function_packs is the
+# truncated final r09 module, slots 41-50 = first 10 entries) covers all
+# six plus the four oldest r04 re-greens.
 QUERIES = {
+    "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
+    "union_by_name_evolution": (q_union_by_name_evolution, SQL_UNION_BY_NAME),
+    "agg_ansi_pack": (q_agg_ansi_pack, SQL_AGG_ANSI_PACK),
+    "url_functions_pack": (q_url_functions_pack, SQL_URL_FUNCTIONS_PACK),
+    "expr_try_pack": (q_expr_try_pack, SQL_EXPR_TRY_PACK),
+    "window_running_distinct": (q_window_running_distinct, SQL_WINDOW_RUNNING_DISTINCT),
     "array_functions": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     "agg_ordered_concat": (q_agg_ordered_concat, SQL_AGG_ORDERED_CONCAT),
     "date_spine_gap_fill": (q_date_spine_gap_fill, SQL_DATE_SPINE_GAP_FILL),
@@ -612,10 +624,4 @@ QUERIES = {
     "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
-    "union_by_name_evolution": (q_union_by_name_evolution, SQL_UNION_BY_NAME),
-    "agg_ansi_pack": (q_agg_ansi_pack, SQL_AGG_ANSI_PACK),
-    "url_functions_pack": (q_url_functions_pack, SQL_URL_FUNCTIONS_PACK),
-    "expr_try_pack": (q_expr_try_pack, SQL_EXPR_TRY_PACK),
-    "window_running_distinct": (q_window_running_distinct, SQL_WINDOW_RUNNING_DISTINCT),
 }

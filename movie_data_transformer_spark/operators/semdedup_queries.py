@@ -9,13 +9,24 @@ and the cell assignment is engine-exact.
 
 Entry `semdedup_ann_recall` (FULL DuckDB oracle): at two thresholds —
 0.9 (semantic near-duplicate: the planted +100000 copies) and 0.35
-(organic similarity tail, the dedup_embedding_cosine threshold) — report
-  thresh_micro, n_true_pairs, n_found, n_missed, recall
-where truth = brute-force ALL-PAIRS cosine >= thresh over the augmented
-embeddings and found = pairs generated WITHIN an IVF cell only, verified
-with the same exact cosine predicate (so found is a subset of truth and
-precision is 1.0 by construction — recall is the quantity that can
-degrade, exactly the dedup_minhash_recall_report pattern).
+(organic similarity tail, the dedup_embedding_cosine threshold) — and
+two truth scopes, report
+  scope, thresh_micro, n_true_pairs, n_found, n_missed, recall
+where found = pairs generated WITHIN an IVF cell only, verified with the
+same exact cosine predicate (so found is a subset of truth and precision
+is 1.0 by construction — recall is the quantity that can degrade,
+exactly the dedup_minhash_recall_report pattern). Truth scopes (r08
+VERDICT "What's wrong" #2 — the full-truth broadcast contradicted the
+module's own 100 TB story):
+  * scope='sample_mod8': truth restricted to pairs whose LOWER id is in
+    the deterministic audit sample (vec_id % 8 == 0), computed as
+    full-corpus scan x BROADCAST(sample) — the broadcast is |corpus|/8
+    here and |audit sample| in production, i.e. bounded by the operator's
+    own parameter, never |corpus|. This is the production-shaped plan.
+  * scope='full': the exhaustive cross-check, kept at test SFs so the
+    sampled tier's estimate is itself auditable; at real corpus size you
+    run the sampled tier only (same discipline as
+    dedup_minhash_recall_report's audit-sample note).
 
 Cross-engine determinism: the cell assignment is exact integer micro
 math (floor-micro quantization, truncating-division centroids, bigint
@@ -28,10 +39,9 @@ r02).
 Scale (the 100 TB story): the centroid table is tiny and BROADCAST;
 assignment is map-side (no shuffle); candidate pairs are generated
 within cells only (bounded by cell occupancy, never corpus^2); the
-brute-force truth side exists ONLY in this audit entry — production
-monitors recall on an audit sample while the IVF side is the shipping
-path (the standard recall-monitoring discipline, same note as
-dedup_minhash_recall_report).
+truth side's broadcast is the audit SAMPLE (scope='sample_mod8' — the
+shipping audit plan), while the exhaustive scope='full' tier exists
+only to cross-check the sample at test SFs.
 """
 
 from __future__ import annotations
@@ -45,9 +55,19 @@ from movie_data_transformer_spark.sources.tables import load_table
 #: 0.35 the organic tail (dedup_embedding_cosine's threshold).
 THRESHOLDS = [(0.9, 900000), (0.35, 350000)]
 
+#: deterministic audit sample: pairs whose LOWER id satisfies
+#: vec_id % SAMPLE_MOD == 0. In production this modulus is sized so the
+#: broadcast sample fits one executor; 8 keeps the tier non-trivial at
+#: every test SF.
+SAMPLE_MOD = 8
+
 
 def _pair_report(
-    spark: SparkSession, truth: DataFrame, found: DataFrame, thresh_micro: int
+    spark: SparkSession,
+    truth: DataFrame,
+    found: DataFrame,
+    scope: str,
+    thresh_micro: int,
 ) -> DataFrame:
     t = truth.persist()
     n_true = t.count()
@@ -57,6 +77,7 @@ def _pair_report(
     return spark.createDataFrame(
         [
             (
+                scope,
                 thresh_micro,
                 n_true,
                 n_found,
@@ -64,8 +85,8 @@ def _pair_report(
                 float(n_found * 1_000_000 // n_true) / 1_000_000 if n_true else 1.0,
             )
         ],
-        "thresh_micro long, n_true_pairs long, n_found long, n_missed long,"
-        " recall double",
+        "scope string, thresh_micro long, n_true_pairs long, n_found long,"
+        " n_missed long, recall double",
     )
 
 
@@ -106,6 +127,7 @@ def q_semdedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = wide.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     tb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    # full-truth tier: exhaustive cross-check, test-SF only at real scale
     allp = (
         ta.join(F.broadcast(tb))
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -114,17 +136,38 @@ def q_semdedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # sampled-truth tier, the production-shaped plan: the BROADCAST side
+    # is the deterministic id-sample (|corpus|/SAMPLE_MOD — in production
+    # the audit sample), the big side stays a distributed scan. Truth_S =
+    # pairs whose lower id is in the sample; found_S filters the IVF
+    # candidates identically, so found_S remains a subset of truth_S.
+    sa = ta.filter(F.col("vec_a") % SAMPLE_MOD == 0)
+    allp_s = (
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+        .join(F.broadcast(sa))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cs")
+        )
+        .persist()
+    )
     out = None
     for thresh, micro in THRESHOLDS:
-        rep = _pair_report(
-            spark,
-            allp.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
-            cand.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
-            micro,
-        )
-        out = rep if out is None else out.unionAll(rep)
+        for scope, truth_df, found_df in (
+            ("full", allp, cand),
+            ("sample_mod8", allp_s, cand.filter(F.col("vec_a") % SAMPLE_MOD == 0)),
+        ):
+            rep = _pair_report(
+                spark,
+                truth_df.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
+                found_df.filter(F.col("cs") >= thresh).select("vec_a", "vec_b"),
+                scope,
+                micro,
+            )
+            out = rep if out is None else out.unionAll(rep)
     cand.unpersist(blocking=False)
     allp.unpersist(blocking=False)
+    allp_s.unpersist(blocking=False)
     return out
 
 
@@ -189,9 +232,10 @@ cand AS (
 )"""
 
 
-def _recall_tier_sql(thresh: float, micro: int) -> str:
+def _recall_tier_sql(thresh: float, micro: int, scope: str, pred: str) -> str:
     return f"""
-SELECT CAST({micro} AS BIGINT) AS thresh_micro,
+SELECT '{scope}' AS scope,
+       CAST({micro} AS BIGINT) AS thresh_micro,
        CAST(n_true AS BIGINT) AS n_true_pairs,
        CAST(n_found AS BIGINT) AS n_found,
        CAST(n_missed AS BIGINT) AS n_missed,
@@ -199,10 +243,10 @@ SELECT CAST({micro} AS BIGINT) AS thresh_micro,
             ELSE CAST(n_found * 1000000 // n_true AS DOUBLE) / 1000000
        END AS recall
 FROM (
-    SELECT (SELECT count(*) FROM allp WHERE cs >= {thresh}) AS n_true,
-           (SELECT count(*) FROM cand WHERE cs >= {thresh}) AS n_found,
+    SELECT (SELECT count(*) FROM allp WHERE cs >= {thresh} AND {pred}) AS n_true,
+           (SELECT count(*) FROM cand WHERE cs >= {thresh} AND {pred}) AS n_found,
            (SELECT count(*) FROM allp t
-            WHERE t.cs >= {thresh}
+            WHERE t.cs >= {thresh} AND {pred.replace("vec_a", "t.vec_a")}
               AND NOT EXISTS (SELECT 1 FROM cand c
                               WHERE c.vec_a = t.vec_a
                                 AND c.vec_b = t.vec_b
@@ -210,9 +254,13 @@ FROM (
 )"""
 
 
+#: (scope label, lower-id predicate) — 'full' is the exhaustive tier,
+#: 'sample_mod8' the deterministic audit-sample tier (see module doc).
+_SCOPES = [("full", "TRUE"), ("sample_mod8", f"vec_a % {SAMPLE_MOD} = 0")]
+
 SQL_SEMDEDUP_ANN_RECALL = f"""
 WITH {_SEMDEDUP_CTES}
-{" UNION ALL ".join(_recall_tier_sql(t, m) for t, m in THRESHOLDS)}
+{" UNION ALL ".join(_recall_tier_sql(t, m, s, p) for t, m in THRESHOLDS for s, p in _SCOPES)}
 """
 
 

@@ -33,19 +33,44 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-8 window (exactly 50, verified by import): the committed r08 front
-# from NOTES.md — the r05/r06-era never-checked remainder — amended per r07
-# VERDICT advice #1: embedding_queries (emb_int8_quantize, the project's
-# only red driver row ever, r06 canon error, fixed r07 + its roundtrip
-# gate) leads the window; keyword_queries (text_rake_keywords) and
-# geo_extras_queries (join_points_in_boxes_grid) are displaced to the r11
-# filler to keep the sum at 50. Window = embedding 2 + search_ranking 2 +
-# snapshot 2 + mm_video 2 + mm_transform 3 + sql_lang 4 + pipeline 1 +
-# embedding_extras 1 + sql_udf 2 + linalg 2 + dedup_extras 6 + mm_hash 3 +
-# ml_extras 1 + timeseries_extras 9 + calibration 1 + udtf_table_arg 1 +
-# interval 2 + dq_extras 3 + embedding_pipeline 3 = 50.
-# The r09/r10 windows are committed in NOTES.md's ledger.
+# Round-9 window (exactly 50, verified by import): the committed r09 front
+# from NOTES.md, executed with ONE structural amendment. As committed the
+# plan wanted curation (first 4 of 16) AND function_packs (first 6 of 18)
+# both partially inside the window, but only the FINAL module can straddle
+# the 50-entry boundary — two partial modules are impossible at module
+# granularity. Amendment (max never-checked drainage, 35 vs 32 for the
+# curation-last alternative): window = mm_transform_extras 1 +
+# sink_extras 1 + format_extras 1 + engagement 3 + analytics_extras 11 +
+# privacy_extras 2 + skew_extras 1 + search_extras 1 (the 21 never-checked)
+# + temporal 4 (scd2_point_in_time_join never + 3 re-green) + profile 3
+# (key_skew_profile never + 2 re-green) + lm 12 (6 never + 6 r04 re-green)
+# = 40, + function_packs first 10 (its 6 never-checked reordered to the
+# dict front + 4 oldest r04 re-greens) = 50. Displaced: curation's 3
+# never-checked (quality_classifier_scores, export_training_manifest,
+# contamination_ngram_overlap) now LEAD the r11 filler with keyword /
+# geo_extras. The r10 window is committed in NOTES.md's ledger.
 _MODULES: list[str] = [
+    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
+    "movie_data_transformer_spark.operators.sink_extras_queries",
+    "movie_data_transformer_spark.operators.format_extras_queries",
+    "movie_data_transformer_spark.operators.engagement_queries",
+    "movie_data_transformer_spark.operators.analytics_extras_queries",
+    "movie_data_transformer_spark.operators.privacy_extras_queries",
+    "movie_data_transformer_spark.operators.skew_extras_queries",
+    "movie_data_transformer_spark.operators.search_extras_queries",
+    "movie_data_transformer_spark.operators.temporal_queries",
+    "movie_data_transformer_spark.operators.profile_queries",
+    "movie_data_transformer_spark.operators.lm_queries",
+    "movie_data_transformer_spark.operators.function_packs",
+    # ---- the 50-entry r09 window ends inside function_packs (slot 50 =
+    # its 10th entry, agg_percentiles_exact) ----
+    # r11 filler queue: curation's 3 never-checked lead it (displaced from
+    # the over-constrained committed r09 front), then keyword/geo_extras
+    # (displaced from r08 by the embedding swap)
+    "movie_data_transformer_spark.operators.curation_queries",
+    "movie_data_transformer_spark.operators.keyword_queries",
+    "movie_data_transformer_spark.operators.geo_extras_queries",
+    # r08 window modules (driver-green r08; re-green pool)
     "movie_data_transformer_spark.operators.embedding_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
     "movie_data_transformer_spark.operators.snapshot_queries",
@@ -65,25 +90,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.interval_queries",
     "movie_data_transformer_spark.operators.dq_extras_queries",
     "movie_data_transformer_spark.operators.embedding_pipeline_queries",
-    # ---- end of the 50-entry r08 window ----
-    # displaced from the committed r08 front by the embedding swap
-    # (r07 VERDICT advice #1); queue for the r11 filler
-    "movie_data_transformer_spark.operators.keyword_queries",
-    "movie_data_transformer_spark.operators.geo_extras_queries",
-    # r09 committed front modules (NOTES.md)
-    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
-    "movie_data_transformer_spark.operators.sink_extras_queries",
-    "movie_data_transformer_spark.operators.format_extras_queries",
-    "movie_data_transformer_spark.operators.engagement_queries",
-    "movie_data_transformer_spark.operators.analytics_extras_queries",
-    "movie_data_transformer_spark.operators.privacy_extras_queries",
-    "movie_data_transformer_spark.operators.skew_extras_queries",
-    "movie_data_transformer_spark.operators.search_extras_queries",
-    "movie_data_transformer_spark.operators.temporal_queries",
-    "movie_data_transformer_spark.operators.profile_queries",
-    "movie_data_transformer_spark.operators.curation_queries",
-    "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.function_packs",
     # r10 committed front: the 23 round-7 addition modules + §2-core
     # cadence re-green (movie 8 + merge 1 + jsonl 2)
     "movie_data_transformer_spark.operators.recsys_queries",

@@ -18,9 +18,12 @@ def test_semdedup_recall_structure(spark, sf_dir):
         q_semdedup_ann_recall,
     )
 
-    rows = {r.thresh_micro: r for r in q_semdedup_ann_recall(spark, sf_dir).collect()}
-    assert set(rows) == {900000, 350000}
-    strict = rows[900000]
+    rows = {
+        (r.scope, r.thresh_micro): r
+        for r in q_semdedup_ann_recall(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(s, t) for s in ("full", "sample_mod8") for t in (900000, 350000)}
+    strict = rows[("full", 900000)]
     # the 0.9 tier is exactly the 50 planted copies; the x1.2 even-dim
     # scaling pushes a FEW copies across a frozen-centroid boundary
     # (observed 47/50 at the test SFs), so the honest bar is >= 0.9 —
@@ -32,7 +35,14 @@ def test_semdedup_recall_structure(spark, sf_dir):
         assert r.n_found + r.n_missed == r.n_true_pairs
         assert 0.0 <= r.recall <= 1.0
     # the loose tier has organic pairs beyond the planted ones
-    assert rows[350000].n_true_pairs > 50
+    assert rows[("full", 350000)].n_true_pairs > 50
+    for t in (900000, 350000):
+        # the audit sample is a deterministic slice of the full truth:
+        # strictly smaller, never empty at the test SFs, and its missed
+        # pairs are a subset of the full tier's missed pairs
+        samp, full = rows[("sample_mod8", t)], rows[("full", t)]
+        assert 0 < samp.n_true_pairs < full.n_true_pairs
+        assert samp.n_missed <= full.n_missed
 
 
 def test_mcnemar_and_fleiss_identities(spark, sf_dir):
