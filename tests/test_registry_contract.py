@@ -167,6 +167,36 @@ def test_plan_shapes_hold(spark, sf_dir):
     for bad in ("Join", "Window"):
         assert bad not in p, ("bpe_fertility_by_lang", bad)
 
+    # r9 additions to the pin set (r08 VERDICT advice #3 — deepen
+    # evidence on the r8 families that lacked a plan pin):
+    # DSIR selection: the <=1024-row LLR weight table comes back as ONE
+    # broadcast — a shuffle join here would re-partition the whole corpus
+    # by hash bucket (the exact skew the broadcast design avoids)
+    p = plan_of("dsir_topk_selection")
+    assert p.count("BroadcastHashJoin") == 1, "dsir_topk_selection"
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in p, ("dsir_topk_selection", bad)
+
+    # Hill tail index: the rank window must keep its WindowGroupLimit —
+    # that's the map-side top-(k+1) pruning the docstring's scale story
+    # rests on (losing it ships EVERY row per type through the shuffle)
+    p = plan_of("stats_hill_tail_index")
+    assert "WindowGroupLimit" in p, "stats_hill_tail_index"
+    assert "SortMergeJoin" not in p, "stats_hill_tail_index"
+
+    # S-stemmer: a pure Catalyst CASE chain — any Python evaluation node
+    # means the no-UDF design regressed to the slow path
+    p = plan_of("text_sstem_vocab_reduction")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert bad not in p, ("text_sstem_vocab_reduction", bad)
+
+    # Markov typicality + entropy rate: the tiny model table (transition
+    # matrix / per-type ln constants) broadcasts back to the big side
+    for name in ("events_markov_user_typicality", "text_entropy_rate_by_lang"):
+        p = plan_of(name)
+        assert p.count("BroadcastHashJoin") == 1, name
+        assert "SortMergeJoin" not in p, name
+
 
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
