@@ -66,6 +66,21 @@ ENTRIES = [
     "revenue_share_hierarchy",  # parent-share windows
     "stats_poisson_bootstrap_ci",  # hash multiplicities + order stats
     "mm_histogram_equalize",  # per-image cdf mapping
+    # round-8 additions (matrix extended r9 — the order-sensitive subset:
+    # rank windows with tiebreaks, floor-micro ln/log folds, iterative
+    # pooling, greedy top-k)
+    "dsir_topk_selection",  # global top-k over broadcast-joined LLR micros
+    "search_ndcg_at_k",  # two rank windows + planted micro discounts
+    "stats_ks_two_sample",  # cumulative rank counts -> exact rational D max
+    "calibration_isotonic_fit",  # PAVA pooling sequence
+    "stats_krippendorff_alpha",  # label-pair coincidence folds
+    "events_markov_user_typicality",  # (user,from,to)-grain + matrix join
+    "text_zipf_fit",  # per-lang rank windows + one log10 fold
+    "stats_hill_tail_index",  # top-(k+1) rank window + floor-micro ln sum
+    "text_entropy_rate_by_lang",  # unigram/bigram folds, ln once per type
+    "asof_nearest_view_purchase",  # union stream + two fill windows + ties
+    "pref_pairs_build",  # rank-1 slices joined on shared partitioning
+    "semdedup_ann_recall",  # integer centroids -> cell assign -> recall
 ]
 
 
