@@ -91,6 +91,10 @@ def _pair_report(
 
 
 def q_semdedup_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup recall audit through the frozen IVF index: candidate pairs
+    from within-cell comparison only, truth at two thresholds and two
+    scopes (exhaustive 'full' + production-shaped 'sample_mod8' whose
+    broadcast is the deterministic id-sample) — see the module docstring."""
     from movie_data_transformer_spark.operators.dedup import widen_for_compute
     from movie_data_transformer_spark.operators.similarity import (
         augmented_embeddings,
