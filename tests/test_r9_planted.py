@@ -92,6 +92,70 @@ def test_scene_cuts_find_planted_boundaries(spark):
     assert {i for i, r in rows.items() if r.is_cut} == {3, 5}
 
 
+def _bmp_from_rgb(rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """A real 24-bit BMP from an explicit pixel grid (bottom-up BGR rows,
+    4-byte padding — the layout bmp_decode_pixels parses)."""
+    h, w = len(rows_rgb), len(rows_rgb[0])
+    pad = (-(w * 3)) % 4
+    pixel_data = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in rows_rgb[yy]) + b"\x00" * pad
+        for yy in range(h - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return header + dib + pixel_data
+
+
+def test_contrast_screen_on_planted_images(spark):
+    """Three images whose variance numerator is known in closed form:
+    a flat gray (var_num EXACTLY 0 — any nonzero means the n*s2 - s^2
+    identity or the decode is wrong), a near-flat two-level gray (tiny
+    but nonzero variance, still low-contrast), and a half-black /
+    half-white checker whose var_num is (n^2/4)*(luma_diff)^2 exactly
+    and must NOT be flagged."""
+    from movie_data_transformer_spark.operators.contrast_queries import (
+        VAR_MILLI_THRESH,
+    )
+    from movie_data_transformer_spark.operators.multimodal import bmp_contrast_stats
+
+    w, h = 5, 4  # odd width exercises row padding
+    n = w * h
+    flat = [[(100, 100, 100)] * w for _ in range(h)]
+    # luma8 = 2r+5g+b: 800 vs 808 -> d=8, var_num = (n^2/4)*64
+    nearflat = [
+        [(100, 100, 100) if (x + y) % 2 else (101, 101, 101) for x in range(w)]
+        for y in range(h)
+    ]
+    checker = [
+        [(0, 0, 0) if (x + y) % 2 else (255, 255, 255) for x in range(w)]
+        for y in range(h)
+    ]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_bmp_from_rgb(flat))),
+            (2, bytearray(_bmp_from_rgb(nearflat))),
+            (3, bytearray(_bmp_from_rgb(checker))),
+        ],
+        "doc_id long, content binary",
+    )
+    got = {
+        r.doc_id: r
+        for r in bmp_contrast_stats(media, VAR_MILLI_THRESH).collect()
+    }
+
+    assert got[1].var_num == 0 and got[1].is_low_contrast == 1
+    assert got[1].sum_luma == n * 800
+
+    # n=20 with exactly 10 cells per level -> var_num = (n^2/4) * d^2
+    assert got[2].var_num == (n * n // 4) * 8 * 8
+    assert got[2].is_low_contrast == 1
+
+    assert got[3].var_num == (n * n // 4) * 2040 * 2040
+    assert got[3].is_low_contrast == 0
+
+
 def test_hill_recovers_planted_pareto_exponent(spark, tmp_path):
     """Deterministic Pareto(alpha=2) grid: x_i = ((i-0.5)/n)^(-1/2) * 100
     for i=1..n. The Hill estimator at k=50 on this grid has closed-form
