@@ -229,18 +229,37 @@ def test_no_registered_query_returns_container_columns(spark, sf_dir):
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
-    """Registry-WIDE scale guarantee: no entry's physical plan may
-    contain CartesianProduct — the one join shape that cannot survive a
-    100x scale-up (BroadcastNestedLoopJoin is deliberately allowed: the
-    brute-force ANN and scalar-bound theta joins broadcast a SMALL side
-    by design). Compiles every plan (~3.5 min); first run as an ad-hoc
-    sweep in r8, promoted to a contract test so a lost join condition
-    anywhere in the registry fails loudly rather than at 100 TB."""
+    """Registry-WIDE scale guarantees, one compile pass (~3.5 min):
+
+    1. No entry's physical plan may contain CartesianProduct — the one
+       join shape that cannot survive a 100x scale-up
+       (BroadcastNestedLoopJoin is deliberately allowed: the brute-force
+       ANN and scalar-bound theta joins broadcast a SMALL side by
+       design). First run as an ad-hoc sweep in r8, promoted to a
+       contract test so a lost join condition anywhere fails loudly
+       rather than at 100 TB.
+    2. (r9) No entry may plan a scalar BatchEvalPython — the pickled
+       row-at-a-time Python UDF path. Every scalar Python touchpoint in
+       the registry is Arrow-batched (ArrowEvalPython / mapInPandas /
+       FlatMapGroupsInPandas / SCALAR_ITER), including the deliberate
+       scalar-UDF surface demo (useArrow=True). A BatchEvalPython node
+       means someone added a bare @udf to a hot path. The
+       BatchEvalPythonUDTF node is excluded: Python UDTFs are row-based
+       by Spark's spec, and the three UDTF entries are declared surface
+       demos (text_chunks_udtf, udtf_table_partitioned,
+       udtf_polymorphic_columns), not hot-path operators.
+    """
+    import re
+
     import __spark_entry__ as e
 
-    bad = []
+    scalar_batch_eval = re.compile(r"BatchEvalPython(?!UDTF)")
+    cartesian, row_udf = [], []
     for name, fn in e.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            bad.append(name)
-    assert bad == []
+            cartesian.append(name)
+        if scalar_batch_eval.search(plan):
+            row_udf.append(name)
+    assert cartesian == []
+    assert row_udf == []
