@@ -126,21 +126,25 @@ _SETTLE_LOAD = 1.0
 _SETTLE_MAX_S = 900
 
 
-def _wait_for_idle() -> None:
+def _wait_for_idle() -> bool:
+    """Block until the 1-min loadavg settles below the threshold (bounded
+    by _SETTLE_MAX_S); returns True iff the machine is idle on return —
+    False means the wait TIMED OUT and the caller should expect inflated
+    numbers."""
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
-        return
+        return os.getloadavg()[0] <= _SETTLE_LOAD
     deadline = time.time() + _SETTLE_MAX_S
     while os.getloadavg()[0] > _SETTLE_LOAD and time.time() < deadline:
         time.sleep(15)
+    return os.getloadavg()[0] <= _SETTLE_LOAD
 
 
-def _run_suite(spark, qs, sf_dir: str) -> tuple[float, dict[str, float]]:
+def _run_suite(spark, qs, sf_dir: str) -> dict[str, float]:
     # median of 3 warm timed runs per query (r4 VERDICT advice #4 — the
     # recorded BENCH_r04 was ~30% machine-load-inflated; medians shed
     # one-off host-noise spikes cheaply since the runs are warm), with
     # 1-minute loadavg recorded before/after so an inflated recording is
     # self-diagnosing.
-    load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # isolate queries from EACH OTHER's persisted intermediates:
@@ -162,32 +166,38 @@ def _run_suite(spark, qs, sf_dir: str) -> tuple[float, dict[str, float]]:
             df2.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
-    return load_before, timings
+    return timings
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    _wait_for_idle()
+    # ambient load is sampled BEFORE the Spark JVM starts, so bench's own
+    # startup cannot contaminate the settled verdict (or trigger a
+    # spurious retry)
+    settled = _wait_for_idle()
+    load_before = os.getloadavg()[0]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
-    load_before, timings = _run_suite(spark, qs, sf_dir)
+    timings = _run_suite(spark, qs, sf_dir)
     passes = 1
     # r08 VERDICT advice #2: the recorded artifact must BE settled, not
-    # merely labeled. If the settle-wait timed out and the first pass
-    # started load-inflated, the competing work (typically a straggler
-    # validation sweep) has usually finished during the ~5-min pass —
-    # wait for idle again and re-run the suite once. The second pass
-    # re-times the SAME warm plans, so it is strictly more comparable,
-    # and bench's own loadavg tail decays e^-t/60s well inside the
-    # 15-min wait cap. One retry only: if the machine is still busy
-    # after ~35 min total, record the inflated pass with settled=false.
-    if load_before > _SETTLE_LOAD and not os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
-        _wait_for_idle()
-        if os.getloadavg()[0] <= _SETTLE_LOAD:
-            load_before, timings = _run_suite(spark, qs, sf_dir)
+    # merely labeled. If the settle-wait TIMED OUT (not merely a high
+    # sample — bench's own startup can bump loadavg), the competing work
+    # (typically a straggler validation sweep) has usually finished
+    # during the ~5-min pass — wait for idle again and re-run the suite
+    # once. The second pass re-times the SAME warm plans, so it is
+    # strictly more comparable, and bench's own loadavg tail decays
+    # e^-t/60s well inside the 15-min wait cap. One retry only: if the
+    # machine is still busy after ~35 min total, record the inflated
+    # pass with settled=false.
+    if not settled and not os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
+        if _wait_for_idle():
+            settled = True
+            load_before = os.getloadavg()[0]
+            timings = _run_suite(spark, qs, sf_dir)
             passes = 2
 
     print(
@@ -204,8 +214,10 @@ def main() -> None:
                 },
                 # r07 VERDICT advice #4: self-describing settle state —
                 # False means BOTH settle waits timed out and the numbers
-                # are machine-load-inflated (compare at idle).
-                "settled": load_before <= _SETTLE_LOAD,
+                # are machine-load-inflated (compare at idle). Judged at
+                # the wait's return, pre-JVM, so bench's own startup
+                # cannot flip it.
+                "settled": settled,
                 # 2 = the first pass started unsettled and the suite was
                 # re-timed after a successful second settle-wait.
                 "passes": passes,

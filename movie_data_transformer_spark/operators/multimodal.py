@@ -427,12 +427,25 @@ def _bmp_pixel(doc_id: int, x, y):
     )
 
 
-def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
-    """REAL 24-bit uncompressed BMP blobs (14-byte file header + 40-byte
-    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes), pixels from
-    _bmp_pixel. Executor-side via mapInPandas."""
+def bmp_container(pixel_data: bytes, w: int, h: int) -> bytes:
+    """Assemble a real 24-bit uncompressed BMP (14-byte file header +
+    40-byte BITMAPINFOHEADER) around a caller-supplied pixel array
+    (bottom-up padded BGR rows) — the single header-assembly path for
+    both the fixture generator and planted-content tests."""
     import struct as struct_mod
 
+    dib = struct_mod.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    header = struct_mod.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
+    )
+    return header + dib + pixel_data
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """REAL 24-bit uncompressed BMP blobs (bmp_container layout), pixels
+    from _bmp_pixel. Executor-side via mapInPandas."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -454,14 +467,7 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                     px[:, 1] = g[yy]
                     px[:, 2] = r[yy]
                     rows.append(px.tobytes() + b"\x00" * pad)
-                pixel_data = b"".join(rows)
-                dib = struct_mod.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
-                )
-                header = struct_mod.pack(
-                    "<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40
-                )
-                out.append((d, header + dib + pixel_data))
+                out.append((d, bmp_container(b"".join(rows), w, h)))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
@@ -1254,10 +1260,14 @@ def _list_chunk(kind: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", kind + payload)
 
 
-def _avi_bytes(doc_id: int) -> bytes:
+def avi_container(dib_frames: list[bytes], w: int, h: int) -> bytes:
+    """Assemble a RIFF/AVI container (raw-DIB 24-bit video stream) around
+    caller-supplied frame payloads — the single header-assembly path for
+    both the fixture generator and planted-content tests, so a container
+    layout change cannot silently diverge between them."""
     import struct as struct_mod
 
-    w, h, n = _avi_params(doc_id)
+    n = len(dib_frames)
     frame_bytes = (w * 3 + ((-(w * 3)) % 4)) * h
     avih = struct_mod.pack(
         "<14I", 40000, frame_bytes * 25, 0, 0x10, n, 0, 1, frame_bytes, w, h,
@@ -1276,11 +1286,15 @@ def _avi_bytes(doc_id: int) -> bytes:
         + _list_chunk(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi = _list_chunk(
-        b"movi",
-        b"".join(_chunk(b"00db", _dib_frame(doc_id, f, w, h)) for f in range(n)),
+        b"movi", b"".join(_chunk(b"00db", fr) for fr in dib_frames)
     )
     riff_payload = b"AVI " + hdrl + movi
     return b"RIFF" + struct_mod.pack("<I", len(riff_payload)) + riff_payload
+
+
+def _avi_bytes(doc_id: int) -> bytes:
+    w, h, n = _avi_params(doc_id)
+    return avi_container([_dib_frame(doc_id, f, w, h) for f in range(n)], w, h)
 
 
 def avi_decode_frames(blob: bytes):

@@ -17,7 +17,6 @@ from first principles, independent of both engines).
 from __future__ import annotations
 
 import math
-import struct
 
 import pandas as pd
 
@@ -33,38 +32,12 @@ def _solid_dib(level_rgb: tuple[int, int, int], w: int, h: int) -> bytes:
 
 
 def _planted_avi(frames_rgb: list[tuple[int, int, int]], w: int, h: int) -> bytes:
-    """A minimal RIFF/AVI container holding solid-color frames — the same
-    chunk helpers the fixture generator uses, but with frame CONTENT
-    chosen by the test, not by the generative pixel formula."""
-    from movie_data_transformer_spark.operators.multimodal import (
-        _chunk,
-        _list_chunk,
-    )
+    """Solid-color frames in the SAME container the fixture generator
+    assembles (avi_container is the shared header path) — only the frame
+    CONTENT is chosen by the test, not by the generative pixel formula."""
+    from movie_data_transformer_spark.operators.multimodal import avi_container
 
-    n = len(frames_rgb)
-    frame_bytes = (w * 3 + ((-(w * 3)) % 4)) * h
-    avih = struct.pack(
-        "<14I", 40000, frame_bytes * 25, 0, 0x10, n, 0, 1, frame_bytes, w, h,
-        0, 0, 0, 0,
-    )
-    strh = (
-        b"vids" + b"DIB " + struct.pack("<I", 0)
-        + struct.pack("<2H", 0, 0)
-        + struct.pack("<8I", 0, 1, 25, 0, n, frame_bytes, 0, 0)
-        + struct.pack("<4h", 0, 0, w, h)
-    )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
-    hdrl = _list_chunk(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list_chunk(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
-    movi = _list_chunk(
-        b"movi",
-        b"".join(_chunk(b"00db", _solid_dib(c, w, h)) for c in frames_rgb),
-    )
-    riff_payload = b"AVI " + hdrl + movi
-    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+    return avi_container([_solid_dib(c, w, h) for c in frames_rgb], w, h)
 
 
 def test_scene_cuts_find_planted_boundaries(spark):
@@ -93,19 +66,18 @@ def test_scene_cuts_find_planted_boundaries(spark):
 
 
 def _bmp_from_rgb(rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
-    """A real 24-bit BMP from an explicit pixel grid (bottom-up BGR rows,
-    4-byte padding — the layout bmp_decode_pixels parses)."""
+    """A real 24-bit BMP from an explicit pixel grid, assembled by the
+    SAME header path the fixture generator uses (bmp_container); the test
+    supplies only the bottom-up padded BGR pixel array."""
+    from movie_data_transformer_spark.operators.multimodal import bmp_container
+
     h, w = len(rows_rgb), len(rows_rgb[0])
     pad = (-(w * 3)) % 4
     pixel_data = b"".join(
         b"".join(bytes((b, g, r)) for r, g, b in rows_rgb[yy]) + b"\x00" * pad
         for yy in range(h - 1, -1, -1)
     )
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
-    )
-    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
-    return header + dib + pixel_data
+    return bmp_container(pixel_data, w, h)
 
 
 def test_contrast_screen_on_planted_images(spark):
