@@ -33,65 +33,19 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-9 window (exactly 50, verified by import): the committed r09 front
-# from NOTES.md, executed with ONE structural amendment. As committed the
-# plan wanted curation (first 4 of 16) AND function_packs (first 6 of 18)
-# both partially inside the window, but only the FINAL module can straddle
-# the 50-entry boundary — two partial modules are impossible at module
-# granularity. Amendment (max never-checked drainage, 35 vs 32 for the
-# curation-last alternative): window = mm_transform_extras 1 +
-# sink_extras 1 + format_extras 1 + engagement 3 + analytics_extras 11 +
-# privacy_extras 2 + skew_extras 1 + search_extras 1 (the 21 never-checked)
-# + temporal 4 (scd2_point_in_time_join never + 3 re-green) + profile 3
-# (key_skew_profile never + 2 re-green) + lm 12 (6 never + 6 r04 re-green)
-# = 40, + function_packs first 10 (its 6 never-checked reordered to the
-# dict front + 4 oldest r04 re-greens) = 50. Displaced: curation's 3
-# never-checked (quality_classifier_scores, export_training_manifest,
-# contamination_ngram_overlap) now LEAD the r11 filler with keyword /
-# geo_extras. The r10 window is committed in NOTES.md's ledger.
+# Round-10 window (exactly 50, verified by import): the committed r10 front
+# from NOTES.md, applied EXACTLY as written — the 23 round-7-addition
+# modules in registry order (39 entries, all never driver-checked) +
+# the §2-core cadence re-green (movie 8 + merge 1 + jsonl 2, due <= r10;
+# last green r07). The r9-flagged ROTATION TRAP is honored:
+# sql_semantics_queries (2 entries, never checked, named in NO committed
+# front) is placed BEHIND jsonl_queries — leaving it in its old slot
+# between alerting and movie would have landed its 2 entries in window
+# slots 40-41 and silently pushed jsonl_queries out of the window,
+# breaking the §2-core cadence rule. sql_semantics now LEADS the r11
+# filler queue with curation's 3 never-checked.
 _MODULES: list[str] = [
-    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
-    "movie_data_transformer_spark.operators.sink_extras_queries",
-    "movie_data_transformer_spark.operators.format_extras_queries",
-    "movie_data_transformer_spark.operators.engagement_queries",
-    "movie_data_transformer_spark.operators.analytics_extras_queries",
-    "movie_data_transformer_spark.operators.privacy_extras_queries",
-    "movie_data_transformer_spark.operators.skew_extras_queries",
-    "movie_data_transformer_spark.operators.search_extras_queries",
-    "movie_data_transformer_spark.operators.temporal_queries",
-    "movie_data_transformer_spark.operators.profile_queries",
-    "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.function_packs",
-    # ---- the 50-entry r09 window ends inside function_packs (slot 50 =
-    # its 10th entry, agg_percentiles_exact) ----
-    # r11 filler queue: curation's 3 never-checked lead it (displaced from
-    # the over-constrained committed r09 front), then keyword/geo_extras
-    # (displaced from r08 by the embedding swap)
-    "movie_data_transformer_spark.operators.curation_queries",
-    "movie_data_transformer_spark.operators.keyword_queries",
-    "movie_data_transformer_spark.operators.geo_extras_queries",
-    # r08 window modules (driver-green r08; re-green pool)
-    "movie_data_transformer_spark.operators.embedding_queries",
-    "movie_data_transformer_spark.operators.search_ranking_queries",
-    "movie_data_transformer_spark.operators.snapshot_queries",
-    "movie_data_transformer_spark.operators.mm_video_queries",
-    "movie_data_transformer_spark.operators.mm_transform_queries",
-    "movie_data_transformer_spark.operators.sql_lang_queries",
-    "movie_data_transformer_spark.operators.pipeline_queries",
-    "movie_data_transformer_spark.operators.embedding_extras_queries",
-    "movie_data_transformer_spark.operators.sql_udf_queries",
-    "movie_data_transformer_spark.operators.linalg_queries",
-    "movie_data_transformer_spark.operators.dedup_extras_queries",
-    "movie_data_transformer_spark.operators.mm_hash_queries",
-    "movie_data_transformer_spark.operators.ml_extras_queries",
-    "movie_data_transformer_spark.operators.timeseries_extras_queries",
-    "movie_data_transformer_spark.operators.calibration_queries",
-    "movie_data_transformer_spark.operators.udtf_table_arg_queries",
-    "movie_data_transformer_spark.operators.interval_queries",
-    "movie_data_transformer_spark.operators.dq_extras_queries",
-    "movie_data_transformer_spark.operators.embedding_pipeline_queries",
-    # r10 committed front: the 23 round-7 addition modules + §2-core
-    # cadence re-green (movie 8 + merge 1 + jsonl 2)
+    # ---- r10 window: 23 r7-addition modules = 39 entries ----
     "movie_data_transformer_spark.operators.recsys_queries",
     "movie_data_transformer_spark.operators.sampling_queries",
     "movie_data_transformer_spark.operators.mixing_queries",
@@ -115,15 +69,23 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.eval_extras_queries",
     "movie_data_transformer_spark.operators.throttle_queries",
     "movie_data_transformer_spark.operators.alerting_queries",
-    "movie_data_transformer_spark.operators.sql_semantics_queries",
+    # ---- r10 window: §2-core cadence re-green (8 + 1 + 2 = 11) ----
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
-    # remainder (r11 re-green pool + round-8 additions register BEHIND
-    # all committed fronts; they queue for r12)
+    # ---- the 50-entry r10 window ends exactly at jsonl_queries ----
+    # r11 filler queue (NOTES.md): sql_semantics 2 (never; moved here from
+    # its pre-r10 slot per the rotation trap) + curation 3 never-checked
+    # lead it, then keyword/geo_extras, reliability 2, analytics 9,
+    # timeseries 7, + oldest re-greens to fill 50
+    "movie_data_transformer_spark.operators.sql_semantics_queries",
+    "movie_data_transformer_spark.operators.curation_queries",
+    "movie_data_transformer_spark.operators.keyword_queries",
+    "movie_data_transformer_spark.operators.geo_extras_queries",
     "movie_data_transformer_spark.operators.reliability_queries",
     "movie_data_transformer_spark.operators.analytics_queries",
     "movie_data_transformer_spark.operators.timeseries_queries",
+    # r6-era re-green pool (oldest driver rows — natural r11 fillers)
     "movie_data_transformer_spark.operators.late_r6_queries",
     "movie_data_transformer_spark.operators.stateful_queries",
     "movie_data_transformer_spark.operators.streaming_extras_queries",
@@ -151,6 +113,39 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.llm_queries",
     "movie_data_transformer_spark.operators.grouped_extras_queries",
     "movie_data_transformer_spark.operators.tpch_queries",
+    # r09 window modules (driver-green r09; newest re-greens)
+    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
+    "movie_data_transformer_spark.operators.sink_extras_queries",
+    "movie_data_transformer_spark.operators.format_extras_queries",
+    "movie_data_transformer_spark.operators.engagement_queries",
+    "movie_data_transformer_spark.operators.analytics_extras_queries",
+    "movie_data_transformer_spark.operators.privacy_extras_queries",
+    "movie_data_transformer_spark.operators.skew_extras_queries",
+    "movie_data_transformer_spark.operators.search_extras_queries",
+    "movie_data_transformer_spark.operators.temporal_queries",
+    "movie_data_transformer_spark.operators.profile_queries",
+    "movie_data_transformer_spark.operators.lm_queries",
+    "movie_data_transformer_spark.operators.function_packs",
+    # r08 window modules (driver-green r08; re-green pool)
+    "movie_data_transformer_spark.operators.embedding_queries",
+    "movie_data_transformer_spark.operators.search_ranking_queries",
+    "movie_data_transformer_spark.operators.snapshot_queries",
+    "movie_data_transformer_spark.operators.mm_video_queries",
+    "movie_data_transformer_spark.operators.mm_transform_queries",
+    "movie_data_transformer_spark.operators.sql_lang_queries",
+    "movie_data_transformer_spark.operators.pipeline_queries",
+    "movie_data_transformer_spark.operators.embedding_extras_queries",
+    "movie_data_transformer_spark.operators.sql_udf_queries",
+    "movie_data_transformer_spark.operators.linalg_queries",
+    "movie_data_transformer_spark.operators.dedup_extras_queries",
+    "movie_data_transformer_spark.operators.mm_hash_queries",
+    "movie_data_transformer_spark.operators.ml_extras_queries",
+    "movie_data_transformer_spark.operators.timeseries_extras_queries",
+    "movie_data_transformer_spark.operators.calibration_queries",
+    "movie_data_transformer_spark.operators.udtf_table_arg_queries",
+    "movie_data_transformer_spark.operators.interval_queries",
+    "movie_data_transformer_spark.operators.dq_extras_queries",
+    "movie_data_transformer_spark.operators.embedding_pipeline_queries",
     # round-8 additions (register BEHIND all committed fronts; queue r12)
     "movie_data_transformer_spark.operators.semdedup_queries",
     "movie_data_transformer_spark.operators.rater_eval_queries",
