@@ -1269,6 +1269,17 @@ def avi_container(dib_frames: list[bytes], w: int, h: int) -> bytes:
 
     n = len(dib_frames)
     frame_bytes = (w * 3 + ((-(w * 3)) % 4)) * h
+    # the header's dwSuggestedBufferSize / biSizeImage are DERIVED from
+    # (w, h); a caller-supplied frame of any other length would assemble
+    # a container avi_decode_frames only rejects later with 'frame
+    # payload size mismatch' — fail at construction instead (r9 ADVICE
+    # low #3)
+    for i, fr in enumerate(dib_frames):
+        if len(fr) != frame_bytes:
+            raise ValueError(
+                f"avi_container: frame {i} is {len(fr)} bytes, expected"
+                f" {frame_bytes} for {w}x{h} 24-bit bottom-up DIB rows"
+            )
     avih = struct_mod.pack(
         "<14I", 40000, frame_bytes * 25, 0, 0x10, n, 0, 1, frame_bytes, w, h,
         0, 0, 0, 0,

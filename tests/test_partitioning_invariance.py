@@ -81,6 +81,24 @@ ENTRIES = [
     "asof_nearest_view_purchase",  # union stream + two fill windows + ties
     "pref_pairs_build",  # rank-1 slices joined on shared partitioning
     "semdedup_ann_recall",  # integer centroids -> cell assign -> recall
+    # round-10 additions (matrix extended r10 — the r7-addition families'
+    # order-sensitive subset entering the driver window this round:
+    # sequential state machines, cumulative-distinct curves, global order
+    # statistics, largest-remainder apportionment, top-k tiebreaks)
+    "movies_item_item_topk",  # integer-micro similarity top-k + tiebreaks
+    "sample_weighted_priority",  # hash-keyed priority order statistics
+    "stats_equidepth_histogram",  # global ntile bucket edges
+    "events_resample_interpolate",  # neighbor-pair linear fill
+    "events_fifo_match",  # per-key FIFO pairing = sequence order
+    "stats_mad_outliers",  # median-of-deviations order statistics
+    "stats_quantile_interp_by_type",  # interpolated percentile grid
+    "text_heaps_law_curve",  # cumulative-distinct growth curve
+    "orders_skyline",  # dominance filter over a sorted sweep
+    "agg_kmv_bottomk",  # bottom-k digest order
+    "stats_kendall_by_year",  # concordant/discordant pair folds
+    "mix_token_budget_apportion",  # largest-remainder rounding ranks
+    "events_hysteresis_alerts",  # two-threshold state machine
+    "forecast_backtest_daily",  # per-day rolling-origin folds
 ]
 
 

@@ -1,0 +1,166 @@
+"""Planted-truth gates for the round-8 statistics families (r9 VERDICT
+advice #3: keep deepening evidence instead of widening the registry —
+the DuckDB oracles bind these entries to the same formulas the engine
+uses, so a SHARED misreading would hash-match; these tests plant inputs
+whose correct output is known from first principles, independent of
+both engines).
+
+* KS two-sample: two uniform grids shifted by half their width have the
+  closed-form statistic D = 1/2 (the |c1-c2| plateau is exactly 50 over
+  values 50..100), and two identical grids have D = 0 — the exact
+  bigint numerator pipeline must land on both, which no cumulative-count
+  bookkeeping identity can fake.
+* isotonic PAVA: hand-poolable violator sequences — the classic
+  single-violator pool, the fully-decreasing total pool, an
+  unequal-weight pair whose pooled value differs from the unweighted
+  mean (catches weight bugs), and a monotone input that must pass
+  through untouched. The minimax formula must reproduce the known PAVA
+  blocks exactly in floored micro units.
+* Markov typicality: a planted 2-state chain over four users whose
+  global transition matrix is computable by hand (p(A->A) = 4/6,
+  p(A->B) = 2/6, p(B->A) = 1), including one user whose two events
+  share a timestamp so the (ts, event_id) tiebreak is load-bearing: the
+  wrong tie order flips that user's transitions to A->B, B->A and moves
+  EVERY user's typicality through the changed matrix.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_ks_recovers_planted_shift(spark, tmp_path):
+    """en = one doc per n_chars 1..100, de = one per 51..150: the
+    cumulative gap |c1 - c2| is x for x <= 50 and exactly 50 for
+    50 <= x <= 100, so D = 50/100 with numerator 50 * 100 = 5000."""
+    from movie_data_transformer_spark.operators.ks_queries import (
+        q_stats_ks_two_sample,
+    )
+
+    d = tmp_path / "shift"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(range(200)),
+            "lang": ["en"] * 100 + ["de"] * 100,
+            "n_chars": list(range(1, 101)) + list(range(51, 151)),
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    row = q_stats_ks_two_sample(spark, str(d)).collect()[0]
+    assert (row.n1, row.n2) == (100, 100)
+    assert row.d_num == 5000  # 50 * n2, exact bigint
+    assert row.d_micro == 500_000  # D = 1/2 exactly
+
+
+def test_ks_identical_samples_give_zero(spark, tmp_path):
+    """Identical grids: c1 == c2 at every observed value, D = 0."""
+    from movie_data_transformer_spark.operators.ks_queries import (
+        q_stats_ks_two_sample,
+    )
+
+    d = tmp_path / "same"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(range(200)),
+            "lang": ["en"] * 100 + ["de"] * 100,
+            "n_chars": list(range(1, 101)) * 2,
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    row = q_stats_ks_two_sample(spark, str(d)).collect()[0]
+    assert (row.n1, row.n2) == (100, 100)
+    assert row.d_num == 0
+    assert row.d_micro == 0
+
+
+def _iso(spark, rows):
+    from movie_data_transformer_spark.operators.isotonic_queries import (
+        isotonic_fit_bins,
+    )
+
+    bins = spark.createDataFrame(rows, "bin int, n long, n_pos long")
+    got = isotonic_fit_bins(bins).collect()
+    return {r.bin: r for r in got}
+
+
+def test_isotonic_pools_single_violator(spark):
+    """Rates .1 .3 .2 .4: PAVA pools exactly bins 2-3 to their average
+    .25; the flanks are untouched."""
+    got = _iso(spark, [(1, 10, 1), (2, 10, 3), (3, 10, 2), (4, 10, 4)])
+    assert [got[b].rate_micro for b in (1, 2, 3, 4)] == [
+        100_000, 300_000, 200_000, 400_000,
+    ]
+    assert [got[b].iso_rate_micro for b in (1, 2, 3, 4)] == [
+        100_000, 250_000, 250_000, 400_000,
+    ]
+
+
+def test_isotonic_full_decrease_pools_everything(spark):
+    """Strictly decreasing rates .5 .4 .3 .2 pool into ONE block at the
+    grand mean 14/40 = .35 — every bin gets 350000."""
+    got = _iso(spark, [(1, 10, 5), (2, 10, 4), (3, 10, 3), (4, 10, 2)])
+    assert all(got[b].iso_rate_micro == 350_000 for b in (1, 2, 3, 4))
+
+
+def test_isotonic_pool_is_weighted(spark):
+    """Unequal-weight violator pair (n=10 rate .6, n=30 rate .3): the
+    pooled value is the WEIGHTED average 15/40 = .375, not the
+    unweighted .45 — a weight bug is a 75000-micro miss."""
+    got = _iso(spark, [(1, 10, 6), (2, 30, 9)])
+    assert got[1].rate_micro == 600_000 and got[2].rate_micro == 300_000
+    assert got[1].iso_rate_micro == 375_000
+    assert got[2].iso_rate_micro == 375_000
+
+
+def test_isotonic_monotone_input_is_identity(spark):
+    """Already-monotone input must pass through bin-for-bin unchanged."""
+    got = _iso(spark, [(1, 10, 1), (2, 10, 2), (3, 10, 3)])
+    for b in (1, 2, 3):
+        assert got[b].iso_rate_micro == got[b].rate_micro
+
+
+def test_markov_typicality_recovers_planted_chain(spark, tmp_path):
+    """Four users over states {A, B}; global matrix by construction:
+    A->A 4 of 6 from A (666666 micro), A->B 2 of 6 (333333), B->A 1 of 1
+    (1000000). User 4's second and third events share a timestamp and
+    only the event_id tiebreak orders them A before B — the wrong order
+    would plant a B->A transition that shifts p(A->A) to 3/5 = 600000
+    and moves user 1's typicality, so the assertion set pins the
+    ordering rule, the matrix, and the per-user DIV in one shot."""
+    from movie_data_transformer_spark.operators.markov_queries import (
+        q_events_markov_user_typicality,
+    )
+
+    t0, t1, t2 = (
+        pd.Timestamp("2024-01-01 00:00:00"),
+        pd.Timestamp("2024-01-01 00:00:01"),
+        pd.Timestamp("2024-01-01 00:00:02"),
+    )
+    rows = [
+        # user 1: A A A -> A->A x2
+        (1, 1, "A", t0), (2, 1, "A", t1), (3, 1, "A", t2),
+        # user 2: A B -> A->B
+        (4, 2, "A", t0), (5, 2, "B", t1),
+        # user 3: B A A -> B->A, A->A
+        (6, 3, "B", t0), (7, 3, "A", t1), (8, 3, "A", t2),
+        # user 4: A then a TIED pair at t1 — event_id 10 (A) before 11
+        # (B) -> A->A, A->B
+        (9, 4, "A", t0), (11, 4, "B", t1), (10, 4, "A", t1),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.user_id: r
+        for r in q_events_markov_user_typicality(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].n_transitions, got[1].typicality_micro) == (2, 666_666)
+    assert (got[2].n_transitions, got[2].typicality_micro) == (1, 333_333)
+    # (1000000 + 666666) DIV 2
+    assert (got[3].n_transitions, got[3].typicality_micro) == (2, 833_333)
+    # (666666 + 333333) DIV 2 — truncating division, not rounding
+    assert (got[4].n_transitions, got[4].typicality_micro) == (2, 499_999)

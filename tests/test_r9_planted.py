@@ -158,6 +158,12 @@ def test_hill_recovers_planted_pareto_exponent(spark, tmp_path):
     expected_sum = sum(
         int(math.floor(math.log(c / cents[K]) * 1_000_000)) for c in cents[:K]
     )
-    assert row.hill_micro == expected_sum // K
+    # +/-1 micro slack: JVM Math.log and CPython math.log both wrap the
+    # platform libm but are not REQUIRED to agree to the last ULP; a
+    # 1-ULP divergence landing exactly on a floor boundary would shift a
+    # summed term by 1 micro (K terms -> at most K on the sum -> 1 after
+    # the integer division). Exact on this host; the slack only guards
+    # other platform/JDK libms (r9 ADVICE low #2).
+    assert abs(row.hill_micro - expected_sum // K) <= 1
     alpha = row.alpha_micro / 1e6
     assert abs(alpha - 2.0) < 0.1  # the planted exponent, recovered
