@@ -197,6 +197,54 @@ def test_plan_shapes_hold(spark, sf_dir):
         assert p.count("BroadcastHashJoin") == 1, name
         assert "SortMergeJoin" not in p, name
 
+    # r10 additions to the pin set (r9 VERDICT advice #3 — pin the r7
+    # families entering the driver window this round):
+    # stratified quota sampling: ONE stratum shuffle carries both the
+    # rank window and the quota window — no join anywhere (a join-based
+    # quota lookup would ship the stratum table per-row at scale)
+    p = plan_of("sample_stratified_exact_quota")
+    assert p.count("Exchange hashpartitioning") == 1, "sample_stratified"
+    assert "Join" not in p, "sample_stratified_exact_quota"
+
+    # equi-depth histogram: the documented exact-order-statistic choice —
+    # one global-order exchange, one window, zero joins (SCALE.md's KLL
+    # swap note applies at extreme SF; the SHAPE must not silently grow
+    # a join or a second exchange)
+    p = plan_of("stats_equidepth_histogram")
+    assert p.count("Exchange") == 1, "stats_equidepth_histogram"
+    assert "Join" not in p, "stats_equidepth_histogram"
+
+    # TTL throttle: one user shuffle into ONE Arrow-grouped stateful
+    # pass — the declared pandas surface, never a scalar row-at-a-time
+    # eval, and no join (state lives in the group iterator)
+    p = plan_of("events_throttle_ttl")
+    assert p.count("Exchange hashpartitioning") == 1, "events_throttle_ttl"
+    assert p.count("FlatMapGroupsInPandas") == 1, "events_throttle_ttl"
+    assert "Join" not in p, "events_throttle_ttl"
+
+    # Fellegi-Sunter linkage + Kendall concordance: every join
+    # broadcasts (m/u weight tables are parameter-sized; the concordance
+    # fold joins only a per-year scalar) — a SortMergeJoin appearing
+    # means a model table started shuffling the fact side
+    for name in ("er_fellegi_sunter", "stats_kendall_by_year"):
+        p = plan_of(name)
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    # rolling-origin backtest: the day grain collapses BEFORE the single
+    # ordered window — one day-grain exchange plus the (|days|-row)
+    # global sort only
+    p = plan_of("forecast_backtest_daily")
+    assert p.count("Exchange hashpartitioning") == 1, "forecast_backtest"
+    assert "Join" not in p, "forecast_backtest_daily"
+
+    # item-item top-k: the rank windows must keep their map-side
+    # WindowGroupLimit pruning (losing it ships every candidate pair
+    # through the shuffle instead of k per item)
+    p = plan_of("movies_item_item_topk")
+    assert "WindowGroupLimit" in p, "movies_item_item_topk"
+    assert "CartesianProduct" not in p, "movies_item_item_topk"
+
 
 def test_all_queries_have_lowercase_unique_columns(spark, sf_dir):
     """Column-name discipline: the driver sorts by name before hashing —
