@@ -164,3 +164,146 @@ def test_markov_typicality_recovers_planted_chain(spark, tmp_path):
     assert (got[3].n_transitions, got[3].typicality_micro) == (2, 833_333)
     # (666666 + 333333) DIV 2 — truncating division, not rounding
     assert (got[4].n_transitions, got[4].typicality_micro) == (2, 499_999)
+
+
+def test_kendall_counts_planted_pairs(spark, tmp_path):
+    """Five planted days whose (quantity, price) ranks give exactly 8
+    concordant, 1 discordant, and 1 tied pair of the 10 — including one
+    day built from TWO lineitem rows so the day-grain truncating average
+    (sum DIV count) is load-bearing, and one price tie that must count
+    as neither concordant nor discordant."""
+    from movie_data_transformer_spark.operators.kendall_queries import (
+        q_stats_kendall_by_year,
+    )
+
+    rows = [
+        # day 1 from TWO rows: qa = (50+150) DIV 2 = 100, pa likewise
+        ("1995-03-01", 0.5, 0.5), ("1995-03-01", 1.5, 1.5),
+        ("1995-03-02", 2.0, 3.0),
+        ("1995-03-03", 3.0, 2.0),
+        ("1995-03-04", 4.0, 4.0),
+        ("1995-03-05", 5.0, 4.0),  # price TIES with day 4
+    ]
+    # l_shipdate must be parquet DATE (the real table's type) — a raw
+    # pandas datetime64[ns] column round-trips as TIMESTAMP(NANOS),
+    # which Spark surfaces as bigint under the session's nanos conf
+    pd.DataFrame(
+        rows, columns=["l_shipdate", "l_quantity", "l_extendedprice"]
+    ).assign(
+        l_shipdate=lambda d: pd.to_datetime(d.l_shipdate).dt.date
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    row = q_stats_kendall_by_year(spark, str(tmp_path)).collect()[0]
+    # pairs (1,2)(1,3)(1,4)(2,4)(1,5)(2,5)(3,5)(3,4) concordant... by
+    # hand: C = 8, D = 1 (days 2-3 swap), T = 1 (days 4-5 price tie)
+    assert row.y == 1995
+    assert (row.concordant, row.discordant, row.tied) == (8, 1, 1)
+    assert row.tau_a_micro == (8 - 1) * 1_000_000 // 10  # 700000
+
+
+def test_throttle_keeps_greedy_chain_not_lag_gaps(spark):
+    """Events at +0, +1d, +3d, +5d, +6d, +7d with TTL = 3 days: the
+    greedy kept-chain is {0, 3d, 6d}. A lag-since-previous-EVENT
+    implementation would suppress the +3d event (2d since the +1d one)
+    and a session-window would extend on suppressed events — both
+    produce a different kept set, so this chain separates the three
+    semantics. A same-timestamp pair pins the event_id tiebreak."""
+    from movie_data_transformer_spark.operators.throttle_queries import (
+        throttle_ttl,
+    )
+
+    day = 86_400 * 1_000_000
+    rows = [
+        (1, "mail", 0 * day, 10),
+        (1, "mail", 1 * day, 11),
+        (1, "mail", 3 * day, 12),
+        (1, "mail", 5 * day, 13),
+        (1, "mail", 6 * day, 14),
+        (1, "mail", 7 * day, 15),
+        # tied timestamps: id 20 is kept, id 21 suppressed (0 < TTL)
+        (2, "mail", 0, 21),
+        (2, "mail", 0, 20),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, event_id long"
+    )
+    kept = {
+        (r.user_id, r.kept_event_id) for r in throttle_ttl(ev).collect()
+    }
+    assert kept == {(1, 10), (1, 12), (1, 14), (2, 20)}
+
+
+def test_hysteresis_holds_state_through_dead_band(spark, tmp_path):
+    """Ten planted days with counts a permutation of 1..10, so the p80 /
+    p40 rank watermarks are exactly 8 and 4. Chronological counts
+    4 9 5 1 10 6 2 7 3 8 classify neutral/on/neutral/off/on/neutral/
+    off/neutral/off/neutral — the two neutral days AFTER an 'on' day
+    (counts 5 and 6) must HOLD the alert through the dead band, so the
+    run emits exactly 4 transitions; a plain threshold (no hysteresis)
+    would emit 8."""
+    from movie_data_transformer_spark.operators.alerting_queries import (
+        q_events_hysteresis_alerts,
+    )
+
+    counts = [4, 9, 5, 1, 10, 6, 2, 7, 3, 8]
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 1, "view", pd.Timestamp(f"2024-02-{d:02d} 12:00:00")))
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = sorted(
+        (str(r.day), r.n, r.transition)
+        for r in q_events_hysteresis_alerts(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        ("2024-02-02", 9, "alert_started"),
+        ("2024-02-04", 1, "alert_ended"),
+        ("2024-02-05", 10, "alert_started"),
+        ("2024-02-07", 2, "alert_ended"),
+    ]
+
+
+def test_fellegi_sunter_scores_planted_confusion(spark, tmp_path):
+    """Four planted parts whose perturbation classes, levenshtein
+    distances, and blocking bands are all chosen by hand: two identical
+    twins score 8700 (match, true), the first-word-dropped twin scores
+    3200 (possible, true), a same-name different-key doppelganger scores
+    7000 (match, FALSE — the model's inherent false positive), and the
+    size-bumped twin crosses a div-8 band boundary so its true pair is
+    blocked out entirely (the documented blocking-recall cost: only 2
+    true matches survive, not 3)."""
+    from movie_data_transformer_spark.operators.linkage_queries import (
+        q_er_fellegi_sunter,
+    )
+
+    parts = [
+        # (%3 == 0) identical twins
+        (3, "red bolt", "B1", 10),
+        (6, "blu bolt", "B2", 10),
+        # (%3 == 1) drops "ab " -> "bolt", levenshtein 3 -> fuzzy band
+        (4, "ab bolt", "B1", 10),
+        # (%3 == 2) size 15 -> 16 crosses the div-8 band: true pair lost;
+        # its A record still pairs with key 3's B twin name-exactly
+        (5, "red bolt", "B1", 15),
+    ]
+    pd.DataFrame(
+        parts, columns=["p_partkey", "p_name", "p_brand", "p_size"]
+    ).to_parquet(tmp_path / "part.parquet")
+
+    got = {
+        (r["class"], r.is_true_match): (r.n_pairs, r.min_score_milli, r.max_score_milli)
+        for r in q_er_fellegi_sunter(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("match", True): (2, 8700, 8700),  # 6500 + 1200 + 1000
+        ("match", False): (1, 7000, 7000),  # exact-name doppelganger
+        ("possible", True): (1, 3200, 3200),  # fuzzy + brand + size
+        ("possible", False): (7, 1200, 3200),
+        ("non_match", False): (1, -500, -500),  # fuzzy - brand - size
+    }
+    assert sum(v[0] for v in got.values()) == 12  # 4x3 within-band pairs
