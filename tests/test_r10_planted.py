@@ -307,3 +307,103 @@ def test_fellegi_sunter_scores_planted_confusion(spark, tmp_path):
         ("non_match", False): (1, -500, -500),  # fuzzy - brand - size
     }
     assert sum(v[0] for v in got.values()) == 12  # 4x3 within-band pairs
+
+
+def test_winsorize_clips_planted_tails(spark, tmp_path):
+    """200 orders priced 1..200 dollars: the p1/p99 rank picks are
+    exactly rank 2 (200 cents) and rank 198 (19800 cents), so exactly
+    one order clips low and two clip high, and the winsorized sum
+    moves by +100 - 100 - 200 cents — every output field is
+    hand-computable."""
+    from movie_data_transformer_spark.operators.robust_stats_queries import (
+        q_orders_winsorize,
+    )
+
+    pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 201)),
+            "o_totalprice": [float(i) for i in range(1, 201)],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    row = q_orders_winsorize(spark, str(tmp_path)).collect()[0]
+    assert (row.n, row.lo_cents, row.hi_cents) == (200, 200, 19_800)
+    assert row.sum_cents_raw == 200 * 201 // 2 * 100  # 2_010_000
+    assert row.sum_cents_winsorized == 2_010_000 + 100 - 100 - 200
+    assert (row.n_clipped_low, row.n_clipped_high) == (1, 2)
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_weighted_priority_matches_python_recompute(spark, tmp_path):
+    """Ten planted docs: every rational priority n_chars * 2^32 DIV
+    (bucket + 1) is recomputed in pure Python (the THIRD md5
+    implementation, independent of both Spark's conv() and DuckDB's
+    hex-cast route), and the rank order including the desc/doc_id
+    tiebreak must match the Python sort exactly."""
+    from movie_data_transformer_spark.operators.sampling_queries import (
+        q_sample_weighted_priority,
+    )
+
+    n_chars = {i: 100 * i for i in range(1, 11)}
+    pd.DataFrame(
+        {
+            "doc_id": list(n_chars),
+            "lang": ["en"] * 10,
+            "n_chars": [n_chars[i] for i in n_chars],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    expected_pri = {
+        i: n_chars[i] * 4294967296 // ((_md5_32(str(i)) % 1_000_000) + 1)
+        for i in n_chars
+    }
+    order = sorted(expected_pri, key=lambda i: (-expected_pri[i], i))
+
+    got = {r.doc_id: r for r in q_sample_weighted_priority(spark, str(tmp_path)).collect()}
+    assert set(got) == set(n_chars)  # all 10 inside the top-200 cap
+    for i in n_chars:
+        assert got[i].priority == expected_pri[i], i
+    assert [i for i in sorted(got, key=lambda i: got[i].pri_rank)] == order
+
+
+def test_kmv_small_set_is_exact_and_kth_min_recomputes(spark, tmp_path):
+    """Type 'small' has 5 distinct users (< k = 8): the sketch must
+    fall back to the exact count with zero error. Type 'big' has 20:
+    the k-th minimum and the (k-1)*H/kth_min estimate are recomputed
+    from the same md5 prefix in pure Python. Each user appears twice so
+    the pre-sketch distinct is load-bearing."""
+    from movie_data_transformer_spark.operators.sketch_extras_queries import (
+        q_agg_kmv_bottomk,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, u, "small", pd.Timestamp("2024-03-01")))
+    for u in range(1, 21):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, u, "big", pd.Timestamp("2024-03-01")))
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {r.event_type: r for r in q_agg_kmv_bottomk(spark, str(tmp_path)).collect()}
+
+    assert got["small"].n_exact == 5
+    assert got["small"].kmv_estimate == 5  # small-set rule: exact
+    assert got["small"].rel_err_micro == 0
+
+    hashes = sorted(_md5_32(str(u)) for u in range(1, 21))
+    kth_min = hashes[7]  # k = 8
+    est = 7 * 4294967296 // kth_min
+    assert got["big"].n_exact == 20
+    assert got["big"].kmv_estimate == est
+    assert got["big"].rel_err_micro == abs(est - 20) * 1_000_000 // 20
