@@ -407,3 +407,113 @@ def test_kmv_small_set_is_exact_and_kth_min_recomputes(spark, tmp_path):
     assert got["big"].n_exact == 20
     assert got["big"].kmv_estimate == est
     assert got["big"].rel_err_micro == abs(est - 20) * 1_000_000 // 20
+
+
+def test_chi2_recovers_planted_2x2_with_absent_cell(spark, tmp_path):
+    """2x2 segment x region table 30/10, 0/20 where the zero cell is
+    truly ABSENT from the observed agg (no S2 customer in region 0) —
+    it must enter through the spine join with its full expected mass.
+    Textbook chi2: E = (20,20,10,10), (O-E)^2/E = 5+5+10+10 = 30, i.e.
+    exactly 30_000_000 micro."""
+    from movie_data_transformer_spark.operators.eval_extras_queries import (
+        q_stats_chi2_contingency,
+    )
+
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_regionkey": [0, 1]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    custs = (
+        [("S1", 0)] * 30 + [("S1", 1)] * 10 + [("S2", 1)] * 20
+    )
+    pd.DataFrame(
+        {
+            "c_custkey": list(range(len(custs))),
+            "c_mktsegment": [s for s, _ in custs],
+            "c_nationkey": [nk for _, nk in custs],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    row = q_stats_chi2_contingency(spark, str(tmp_path)).collect()[0]
+    assert (row.n, row.n_cells) == (60, 4)  # absent cell IS in the spine
+    assert row.chi2_micro == 30_000_000
+
+
+def test_conformal_quantile_and_coverage_on_planted_residuals(spark, tmp_path):
+    """Daily purchase counts whose one-step residuals are planted: the
+    15 calibration residuals are exactly 1..15, so the rank
+    ceil((15+1)*0.9) = 15 order statistic is q = 15; the 6 evaluation
+    residuals 5,15,16,3,20,15 cover 4 of 6 (<= q, boundary inclusive —
+    the two exactly-at-q days must count as covered). Non-purchase
+    events on the same days must be ignored by the filter."""
+    from movie_data_transformer_spark.operators.eval_extras_queries import (
+        q_conformal_interval_coverage,
+    )
+
+    counts = {}
+    level = 100
+    counts[1] = level
+    for i, r in enumerate(range(1, 16), start=2):  # days 2..16: resid 1..15
+        level += r
+        counts[i] = level
+    assert level == 220
+    for day, resid, sign in [
+        (17, 5, 1), (18, 15, 1), (19, 16, -1),
+        (20, 3, 1), (21, 20, -1), (22, 15, 1),
+    ]:
+        level += sign * resid
+        counts[day] = level
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 1, "purchase", pd.Timestamp(f"2024-01-{day:02d} 08:00:00")))
+    for day in (5, 18):  # decoys the purchase filter must drop
+        for _ in range(999):
+            eid += 1
+            rows.append((eid, 2, "view", pd.Timestamp(f"2024-01-{day:02d} 09:00:00")))
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    row = q_conformal_interval_coverage(spark, str(tmp_path)).collect()[0]
+    assert (row.n_cal, row.q_abs) == (15, 15)
+    assert (row.n_eval, row.n_covered) == (6, 4)
+    assert row.coverage_micro == 4 * 1_000_000 // 6  # 666666
+
+
+def test_lang_id_confusion_places_planted_docs(spark, tmp_path):
+    """Seven docs whose marker-token scores are counted by hand: two
+    clean en, one clean de, one marker-free de and one zh that both
+    fall to the tie default 'de' (the when-chain's lexicographic-first
+    language — the documented out-of-vocabulary failure mode), one
+    clean es, and one fr whose only markers ('la la') tie es and fr so
+    the tie rule sends it to es. The confusion matrix is exact."""
+    from movie_data_transformer_spark.operators.eval_extras_queries import (
+        q_lang_id_confusion,
+    )
+
+    docs = [
+        (1, "en", "the cat and the dog of note"),  # en score 4
+        (2, "en", "the fish"),                     # en score 1
+        (3, "de", "der hund und die katze"),       # de score 3
+        (4, "de", "plain words only"),             # all 0 -> tie -> de
+        (5, "zh", "hanzi wenben"),                 # all 0 -> tie -> de
+        (6, "es", "el gato que de un"),            # es score 4
+        (7, "fr", "la la"),                        # es 2 == fr 2 -> es
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "lang", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    got = {
+        (r.actual_lang, r.pred_lang): r.n
+        for r in q_lang_id_confusion(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "en"): 2,
+        ("de", "de"): 2,
+        ("zh", "de"): 1,
+        ("es", "es"): 1,
+        ("fr", "es"): 1,
+    }
