@@ -517,3 +517,87 @@ def test_lang_id_confusion_places_planted_docs(spark, tmp_path):
         ("es", "es"): 1,
         ("fr", "es"): 1,
     }
+
+
+def _bucket(w: str) -> int:
+    return (_md5_32(w) % 2001) - 1000
+
+
+def _rater_words(positive: bool, n: int, taken: set) -> list:
+    """n distinct unused words whose md5 buckets all have the requested
+    sign — so the classifier gate's token sum has a KNOWN sign without
+    replicating the sum itself."""
+    out = []
+    i = 0
+    while len(out) < n:
+        w = f"w{i}"
+        i += 1
+        if w in taken:
+            continue
+        b = _bucket(w)
+        if (b > 0) == positive and b != 0:
+            out.append(w)
+            taken.add(w)
+    return out
+
+
+def test_rater_stats_recover_planted_vote_pattern(spark, tmp_path):
+    """Six documents whose three gate votes (token-count >= 30, TTR >=
+    0.2, hashed-classifier sign) are CONSTRUCTED: word sets are picked by
+    md5-bucket sign in pure Python, so the per-doc keep-vote vector is
+    known to be k = [3, 3, 0, 2, 2, 2] before either engine runs. All
+    three rater statistics then have closed-form values: Fleiss kappa
+    72/288 = 0.25, McNemar b=2/c=1 with statistic 1/3 (and a continuity
+    correction that zeroes at |b-c| = 1), Krippendorff alpha
+    1 - 6*17/144 = 42/144."""
+    from movie_data_transformer_spark.operators.krippendorff_queries import (
+        q_stats_krippendorff_alpha,
+    )
+    from movie_data_transformer_spark.operators.rater_eval_queries import (
+        _flags,
+        q_stats_fleiss_kappa,
+        q_stats_mcnemar_exact,
+    )
+
+    taken = set()
+    texts = {
+        # (r1, r2, r3) -> rule = r1 AND r2, clf = r3
+        1: " ".join(_rater_words(True, 30, taken)),   # (T,T,T) k=3
+        2: " ".join(_rater_words(True, 30, taken)),   # (T,T,T) k=3
+        # 10 copies of one negative word: 10 < 30 tokens, TTR 0.1 < 0.2,
+        # sum 10*negative < 0
+        3: " ".join(_rater_words(False, 1, taken) * 10),  # (F,F,F) k=0
+        4: " ".join(_rater_words(False, 30, taken)),  # (T,T,F) k=2  b
+        5: " ".join(_rater_words(True, 5, taken)),    # (F,T,T) k=2  c
+        6: " ".join(_rater_words(False, 30, taken)),  # (T,T,F) k=2  b
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # the construction realized the intended votes (localizes a failure)
+    votes = {
+        r.doc_id: (r.r1, r.r2, r.r3)
+        for r in _flags(spark, str(tmp_path)).collect()
+    }
+    assert votes == {
+        1: (True, True, True), 2: (True, True, True),
+        3: (False, False, False), 4: (True, True, False),
+        5: (False, True, True), 6: (True, True, False),
+    }
+
+    mc = q_stats_mcnemar_exact(spark, str(tmp_path)).collect()[0]
+    assert (mc.n_docs, mc.n_rule_only, mc.n_clf_only) == (6, 2, 1)
+    assert mc.mcnemar_micro == 1_000_000 // 3  # (2-1)^2 / 3
+    assert mc.mcnemar_cc_micro == 0  # |b-c| <= 1 zeroes the correction
+
+    # k = [3,3,0,2,2,2]: S = 42, nm = 18, C1 = 12, E = 144 + 36 = 180
+    fl = q_stats_fleiss_kappa(spark, str(tmp_path)).collect()[0]
+    assert fl.pbar_micro == (42 - 18) * 1_000_000 // 36    # 666666
+    assert fl.pe_micro == 180 * 1_000_000 // 324           # 555555
+    assert fl.fleiss_kappa_micro == 250_000  # exactly 1/4
+
+    # Do_num = sum k(3-k) = 6; alpha = 1 - 6*17/(2*12*6)
+    ka = q_stats_krippendorff_alpha(spark, str(tmp_path)).collect()[0]
+    assert (ka.n_docs, ka.do_num, ka.c1, ka.c0) == (6, 6, 12, 6)
+    assert ka.alpha_micro == 1_000_000 - 102_000_000 // 144  # 291667
