@@ -601,3 +601,87 @@ def test_rater_stats_recover_planted_vote_pattern(spark, tmp_path):
     ka = q_stats_krippendorff_alpha(spark, str(tmp_path)).collect()[0]
     assert (ka.n_docs, ka.do_num, ka.c1, ka.c0) == (6, 6, 12, 6)
     assert ka.alpha_micro == 1_000_000 - 102_000_000 // 144  # 291667
+
+
+def test_ips_snips_on_planted_bandit_log(spark, tmp_path):
+    """Six logged interactions whose by_mod policy actions are pinned by
+    user_id % 5 (users 0..4 map to click/error/purchase/signup/view):
+    by_mod matches 4 of 6 with 950 matched cents, always_purchase 2 of 6
+    with 700 — IPS (propensity-weighted by the constant 5, DIV n) and
+    SNIPS (matched mean) diverge exactly as the match rates differ from
+    the uniform 1/5."""
+    from movie_data_transformer_spark.operators.policy_eval_queries import (
+        q_policy_ips_offline_eval,
+    )
+
+    rows = [
+        (1, 0, "click", 1.00),     # by_mod: pi(0)=click  -> match, 100c
+        (2, 0, "view", 2.00),      # no match either policy
+        (3, 2, "purchase", 3.00),  # by_mod+always_purchase match, 300c
+        (4, 3, "purchase", 4.00),  # always_purchase only, 400c
+        (5, 4, "view", 5.00),      # by_mod: pi(4)=view -> match, 500c
+        (6, 1, "error", 0.50),     # by_mod: pi(1)=error -> match, 50c
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value"]
+    ).assign(ts=pd.Timestamp("2024-04-01")).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {
+        r.policy: r
+        for r in q_policy_ips_offline_eval(spark, str(tmp_path)).collect()
+    }
+    bm = got["by_mod"]
+    assert (bm.n_logged, bm.n_matched) == (6, 4)
+    assert bm.ips_value_cents == 950 * 5 // 6   # 791
+    assert bm.snips_value_cents == 950 // 4     # 237
+    ap = got["always_purchase"]
+    assert (ap.n_logged, ap.n_matched) == (6, 2)
+    assert ap.ips_value_cents == 700 * 5 // 6   # 583
+    assert ap.snips_value_cents == 700 // 2     # 350
+
+
+def test_regex_funnel_counts_greedy_nonoverlapping(spark, tmp_path):
+    """Per-user sequences built to separate the pattern semantics: a
+    'vcpvp' user yields TWO funnels (leftmost non-overlapping), an
+    'eeee' user yields ONE burst (greedy ee+ swallows the run — an
+    overlapping or non-greedy counter says 2), 'veep' has no funnel
+    because the error breaks the v-c*-p chain, and one user's funnel
+    exists only under the (ts, event_id) tie order."""
+    from movie_data_transformer_spark.operators.seqpattern_queries import (
+        q_events_seq_regex_funnel,
+    )
+
+    t = [pd.Timestamp(f"2024-05-01 00:00:{s:02d}") for s in range(10)]
+    rows = [
+        # u1: v c p v p -> funnels 'vcp' + 'vp'
+        (1, 1, "view", t[0]), (2, 1, "click", t[1]), (3, 1, "purchase", t[2]),
+        (4, 1, "view", t[3]), (5, 1, "purchase", t[4]),
+        # u2: v e e p -> 0 funnels, 1 burst
+        (6, 2, "view", t[0]), (7, 2, "error", t[1]), (8, 2, "error", t[2]),
+        (9, 2, "purchase", t[3]),
+        # u3: e e e e -> ONE greedy burst
+        (10, 3, "error", t[0]), (11, 3, "error", t[1]),
+        (12, 3, "error", t[2]), (13, 3, "error", t[3]),
+        # u4: v v c c p -> one funnel starting at the SECOND v
+        (14, 4, "view", t[0]), (15, 4, "view", t[1]), (16, 4, "click", t[2]),
+        (17, 4, "click", t[3]), (18, 4, "purchase", t[4]),
+        # u5: tied timestamps — event_id must order c before p
+        (19, 5, "view", t[0]), (21, 5, "purchase", t[1]), (20, 5, "click", t[1]),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.user_id: (r.n_events, r.n_funnel_matches, r.n_error_bursts)
+        for r in q_events_seq_regex_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (5, 2, 0),
+        2: (4, 0, 1),
+        3: (4, 0, 1),
+        4: (5, 1, 0),
+        5: (3, 1, 0),
+    }
