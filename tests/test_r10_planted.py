@@ -685,3 +685,100 @@ def test_regex_funnel_counts_greedy_nonoverlapping(spark, tmp_path):
         4: (5, 1, 0),
         5: (3, 1, 0),
     }
+
+
+def test_blocking_quality_on_the_planted_linkage_parts(spark, tmp_path):
+    """The same four parts as the Fellegi-Sunter gate: block counts by
+    hand are A = {bolt|1: 4}, B = {bolt|1: 3, bolt|2: 1}, so candidates
+    = 12 of the 16-pair universe (reduction 1/4), 3 of the 4 true pairs
+    share their block (completeness 3/4 — the size-bumped twin crosses
+    the band and is the measured recall cost), and quality is 3/12."""
+    from movie_data_transformer_spark.operators.blocking_queries import (
+        q_er_blocking_quality,
+    )
+
+    custs = [
+        (3, "red bolt", "B1", 10),
+        (6, "blu bolt", "B2", 10),
+        (4, "ab bolt", "B1", 10),
+        (5, "red bolt", "B1", 15),
+    ]
+    pd.DataFrame(
+        custs, columns=["p_partkey", "p_name", "p_brand", "p_size"]
+    ).to_parquet(tmp_path / "part.parquet")
+
+    row = q_er_blocking_quality(spark, str(tmp_path)).collect()[0]
+    assert (row.n_records, row.n_total_pairs) == (4, 16)
+    assert row.n_candidate_pairs == 12
+    assert (row.n_true_pairs, row.n_true_in_candidates) == (4, 3)
+    assert row.reduction_ratio_micro == 1_000_000 - 12_000_000 // 16  # 250000
+    assert row.pairs_completeness_micro == 750_000
+    assert row.pairs_quality_micro == 250_000
+
+
+# texts whose word / sentence / vowel-group counts are trivial to count
+# by hand, giving exact FKGL micro values through the integer formula
+# (390000*w DIV s + 11800000*y DIV w - 15590000):
+_TXT_EASY = "bo bo. bo bo."                  # w=4 s=2 y=4  -> -3010000
+_TXT_MID = "bobo bobo bobo bobo"             # w=4 s=1 y=8  ->  9570000
+_TXT_HARD = "banana banana. banana banana."  # w=4 s=2 y=12 -> 20590000
+
+
+def test_datacard_aggregates_planted_sources(spark, tmp_path):
+    """Source 'web' holds three docs — two byte-identical (dup rate
+    1/3), two en of three (pct 2/3), planted n_chars 100/200/300 — and
+    source 'books' one hard doc; every datacard field is exact."""
+    from movie_data_transformer_spark.operators.datacard_queries import (
+        q_datacard_by_source,
+    )
+
+    docs = [
+        (1, "web", "en", 100, _TXT_EASY),
+        (2, "web", "en", 200, _TXT_EASY),  # exact duplicate text
+        (3, "web", "de", 300, _TXT_MID),
+        (4, "books", "en", 50, _TXT_HARD),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "source", "lang", "n_chars", "text"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r.source: r for r in q_datacard_by_source(spark, str(tmp_path)).collect()}
+    web = got["web"]
+    assert (web.n_docs, web.n_tokens, web.n_unique_texts) == (3, 12, 2)
+    assert web.dup_rate_micro == 1_000_000 // 3
+    assert web.pct_en_micro == 2_000_000 // 3
+    assert web.mean_chars == 200
+    # (-3010000 - 3010000 + 9570000) DIV 3
+    assert web.mean_fkgl_micro == 3_550_000 // 3
+    books = got["books"]
+    assert (books.n_docs, books.n_unique_texts, books.dup_rate_micro) == (1, 1, 0)
+    assert books.mean_fkgl_micro == 20_590_000
+
+
+def test_curriculum_phases_split_at_the_planted_grades(spark, tmp_path):
+    """The three constructed texts land one per phase: FKGL -3.01 < 8
+    (phase 1), 9.57 in [8, 12) (phase 2), 20.59 >= 12 (phase 3); means
+    are exact because every doc in a cell shares its planted counts."""
+    from movie_data_transformer_spark.operators.datacard_queries import (
+        q_curriculum_phase_assign,
+    )
+
+    docs = [
+        (1, "web", "en", 100, _TXT_EASY),
+        (2, "web", "en", 200, _TXT_EASY),
+        (3, "web", "de", 300, _TXT_MID),
+        (4, "books", "en", 50, _TXT_HARD),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "source", "lang", "n_chars", "text"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r.phase, r.lang): (r.n_docs, r.mean_fkgl_micro, r.mean_tokens)
+        for r in q_curriculum_phase_assign(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, "en"): (2, -3_010_000, 4),
+        (2, "de"): (1, 9_570_000, 4),
+        (3, "en"): (1, 20_590_000, 4),
+    }
