@@ -782,3 +782,65 @@ def test_curriculum_phases_split_at_the_planted_grades(spark, tmp_path):
         (2, "de"): (1, 9_570_000, 4),
         (3, "en"): (1, 20_590_000, 4),
     }
+
+
+def _py_phash(d: int) -> int:
+    """The full pHash pipeline replayed in pure Python from the planted
+    pixel formula and the integer cosine table — the third
+    implementation next to the Spark decoder and the DuckDB oracle."""
+    from movie_data_transformer_spark.operators.multimodal import COS8_MICRO
+
+    w, h = 4 + d % 13, 4 + d % 9
+    luma = [
+        [
+            2 * ((d * 7 + (xx * w // 8) * 13 + (yy * h // 8) * 31) % 256)
+            + 5 * ((d * 11 + (xx * w // 8) * 17 + (yy * h // 8) * 5) % 256)
+            + ((d * 3 + (xx * w // 8) * 29 + (yy * h // 8) * 23) % 256)
+            for xx in range(8)
+        ]
+        for yy in range(8)
+    ]
+    coef = {
+        (k, l): sum(
+            luma[yy][xx] * COS8_MICRO[k][yy] * COS8_MICRO[l][xx]
+            for yy in range(8)
+            for xx in range(8)
+        )
+        for k in range(4)
+        for l in range(4)
+    }
+    ac = sorted(v for kl, v in coef.items() if kl != (0, 0))
+    m2 = ac[7] + ac[8]
+    median = m2 // 2 if m2 >= 0 else -((-m2) // 2)
+    return sum(
+        1 << (k * 4 + l - 1)
+        for k in range(4)
+        for l in range(4)
+        if (k, l) != (0, 0) and coef[(k, l)] > median
+    )
+
+
+def test_phash_dup_groups_find_planted_collisions(spark, tmp_path):
+    """doc_ids 1/768/1288 and 5/257 were FOUND (by replaying the whole
+    pipeline in Python) to share their 15-bit DCT fingerprints (130 and
+    24384); planted next to two non-colliding singletons, the dup-group
+    report must emit exactly the two groups with those hashes and id
+    ranges — a drift anywhere in decode, resize, DCT, median, or bit
+    packing moves a hash and breaks a group."""
+    from movie_data_transformer_spark.operators.phash_queries import (
+        q_mm_phash_dup_groups,
+    )
+
+    ids = [1, 768, 1288, 5, 257, 2, 7]
+    assert _py_phash(1) == _py_phash(768) == _py_phash(1288) == 130
+    assert _py_phash(5) == _py_phash(257) == 24384
+    singles = {_py_phash(2), _py_phash(7)}
+    assert len(singles) == 2 and not (singles & {130, 24384})
+
+    pd.DataFrame({"doc_id": ids}).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r.phash: (r.n_images, r.min_doc_id, r.max_doc_id)
+        for r in q_mm_phash_dup_groups(spark, str(tmp_path)).collect()
+    }
+    assert got == {130: (3, 1, 1288), 24384: (2, 5, 257)}
