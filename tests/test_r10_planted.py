@@ -844,3 +844,105 @@ def test_phash_dup_groups_find_planted_collisions(spark, tmp_path):
         for r in q_mm_phash_dup_groups(spark, str(tmp_path)).collect()
     }
     assert got == {130: (3, 1, 1288), 24384: (2, 5, 257)}
+
+
+def _orders(tmp_path, spends_cents):
+    """orders.parquet where customer i's total spend is spends_cents[i],
+    split across TWO orders so the per-customer aggregate is
+    load-bearing."""
+    rows = []
+    ok = 0
+    for ck, cents in enumerate(spends_cents, start=1):
+        a = cents // 3
+        for part in (a, cents - a):
+            ok += 1
+            rows.append((ok, ck, part / 100.0))
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).to_parquet(tmp_path / "orders.parquet")
+
+
+def test_gini_recovers_planted_concentration(spark, tmp_path):
+    """Spends 1,2,3,4 dollars give the textbook rank-identity Gini
+    2*3000/(4*1000) - 5/4 = 1/4 exactly; equal spends give 0."""
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_orders_gini_spend,
+    )
+
+    d1 = tmp_path / "ladder"
+    d1.mkdir()
+    _orders(d1, [100, 200, 300, 400])
+    row = q_orders_gini_spend(spark, str(d1)).collect()[0]
+    assert (row.n_customers, row.total_cents) == (4, 1000)
+    assert row.gini_micro == 250_000
+
+    d2 = tmp_path / "equal"
+    d2.mkdir()
+    _orders(d2, [500, 500])
+    row = q_orders_gini_spend(spark, str(d2)).collect()[0]
+    assert row.gini_micro == 0
+
+
+def test_pareto_share_picks_planted_top_fifth(spark, tmp_path):
+    """Six customers spending 6,5,4,3,2,1 dollars: top_n = ceil(6/5) =
+    2, so the top share is (600+500)/2100 — floored micro 523809."""
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_orders_pareto_share,
+    )
+
+    _orders(tmp_path, [600, 500, 400, 300, 200, 100])
+    row = q_orders_pareto_share(spark, str(tmp_path)).collect()[0]
+    assert (row.n_customers, row.top_n) == (6, 2)
+    assert (row.top_cents, row.total_cents) == (1100, 2100)
+    assert row.share_micro == 1_100_000_000 // 2100  # 523809
+
+
+def test_points_in_boxes_counts_planted_boundary_cases(spark, tmp_path):
+    """The md5 geometry is replayed in Python to FIND event ids that
+    land exactly on box edges (inclusive BETWEEN -> counted), exactly on
+    a grid-cell boundary inside a box (the single-cell-ownership rule),
+    strictly inside, and one unit outside (near-miss -> excluded). The
+    grid-decomposed join must count precisely the contained ones."""
+    from movie_data_transformer_spark.operators.geo_extras_queries import (
+        q_join_points_in_boxes_grid,
+    )
+
+    ids = [
+        756, 1882, 2741, 4001,      # ON a box edge/corner of boxes 0/2/2/3
+        42975, 72779, 73137,        # inside box 3, ON the y=400 cell line
+        261, 562, 774, 845,         # strictly inside boxes 3/2/2/1
+        4152, 5043, 11791,          # one unit outside boxes 2/2/1
+    ]
+    SPACE = 1000
+
+    def pt(e):
+        return _md5_32(f"px:{e}") % SPACE, _md5_32(f"py:{e}") % SPACE
+
+    boxes = {}
+    for nk in range(4):
+        x0 = _md5_32(f"bx:{nk}") % (SPACE - 100)
+        y0 = _md5_32(f"by:{nk}") % (SPACE - 100)
+        boxes[f"N{nk}"] = (x0, y0, x0 + 20 + nk * 7 % 77, y0 + 20 + nk * 11 % 77)
+
+    expected = {}
+    for e in ids:
+        px, py = pt(e)
+        for name, (x0, y0, x1, y1) in boxes.items():
+            if x0 <= px <= x1 and y0 <= py <= y1:
+                expected[name] = expected.get(name, 0) + 1
+    assert expected == {"N0": 1, "N1": 1, "N2": 4, "N3": 5}  # the design
+
+    pd.DataFrame(
+        {"n_nationkey": range(4), "n_name": [f"N{k}" for k in range(4)],
+         "n_regionkey": [0, 0, 1, 1]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {"event_id": ids, "user_id": 1, "event_type": "view",
+         "ts": pd.Timestamp("2024-06-01")}
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.n_name: r.n_points
+        for r in q_join_points_in_boxes_grid(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
