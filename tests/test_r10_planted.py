@@ -946,3 +946,81 @@ def test_points_in_boxes_counts_planted_boundary_cases(spark, tmp_path):
         for r in q_join_points_in_boxes_grid(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_kaplan_meier_on_planted_cohort(spark, tmp_path):
+    """Five signups at day 0: two purchase on day 2, one on day 5, two
+    never (censored at the planted day-10 horizon). The product-limit
+    curve is textbook: S(2) = 1 - 2/5, S(5) = S(2) * (1 - 1/3); censored
+    users appear in the at-risk counts but emit no step. The survival
+    doubles must equal the identical IEEE left-fold in Python."""
+    from movie_data_transformer_spark.operators.timeseries_queries import (
+        q_survival_km_purchase,
+    )
+
+    day = pd.Timedelta(days=1)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        eid += 1
+        rows.append((eid, u, "signup", t0))
+    for u, d in [(1, 2), (2, 2), (3, 5)]:
+        eid += 1
+        rows.append((eid, u, "purchase", t0 + d * day))
+    rows.append((99, 1, "view", t0 + 10 * day))  # horizon setter
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {r.t: r for r in q_survival_km_purchase(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 5}  # censor-only times emit no step
+    assert (got[2].n_at_risk, got[2].d) == (5, 2)
+    assert (got[5].n_at_risk, got[5].d) == (3, 1)
+    s2 = 1.0 * (1.0 - 2.0 / 5.0)
+    s5 = s2 * (1.0 - 1.0 / 3.0)
+    assert got[2].survival == s2
+    assert got[5].survival == s5
+
+
+def test_export_manifest_matches_python_shard_replay(spark, tmp_path):
+    """40 docs with known token counts: the whole shard assignment
+    (md5 'shard:' bucket, within-shard order by md5 'pos:' then doc_id)
+    is replayed in pure Python, so every manifest field — counts,
+    tokens, id ranges, the sum(doc_id * pos) checksum — has an
+    engine-independent expectation; and the read-back sort audit must
+    report every exported shard file as physically pos-ordered."""
+    from movie_data_transformer_spark.operators.curation_queries import (
+        q_export_training_manifest,
+    )
+
+    n_tok = {d: (d % 3) + 1 for d in range(1, 41)}
+    pd.DataFrame(
+        {
+            "doc_id": list(n_tok),
+            "text": [" ".join(["tok"] * n_tok[d]) for d in n_tok],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    shards = {}
+    for d in n_tok:
+        shards.setdefault(_md5_32(f"shard:{d}") % 16, []).append(d)
+    expected = {}
+    for sh, ds in shards.items():
+        order = sorted(ds, key=lambda d: (_md5_32(f"pos:{d}"), d))
+        expected[sh] = (
+            len(ds),
+            sum(n_tok[d] for d in ds),
+            min(ds),
+            max(ds),
+            sum(d * (i + 1) for i, d in enumerate(order)),
+        )
+
+    manifest = q_export_training_manifest(spark, str(tmp_path)).collect()
+    got = {
+        r.shard: (r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id,
+                  r.assign_checksum)
+        for r in manifest
+    }
+    assert got == expected
+    assert all(r.is_sorted for r in manifest)
