@@ -1024,3 +1024,39 @@ def test_export_manifest_matches_python_shard_replay(spark, tmp_path):
     }
     assert got == expected
     assert all(r.is_sorted for r in manifest)
+
+
+def test_rake_scores_planted_phrases(spark):
+    """Four-doc corpus whose RAKE arithmetic is done by hand: en word
+    scores are deep 13/5 (the 'deep deep deep' run inflates its degree),
+    learning 6/3, models 2/1, rates 4/2 — so 'deep deep deep' tops at
+    7.8M, the 4.6M tie between 'deep learning' and 'deep models' breaks
+    on phrase order, and a phrase occurring in two docs appears once.
+    The de doc repeats 'deep learning' but scores 4.0M, not en's 4.6M —
+    corpus statistics must not leak across languages."""
+    from movie_data_transformer_spark.operators.keyword_queries import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "deep learning of deep models and learning rates"),
+            (2, "en", "deep deep deep"),
+            (3, "en", "learning rates"),
+            (4, "de", "deep learning"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = [
+        (r.lang, r.rk, r.phrase, r.n_words, r.score_micro)
+        for r in sorted(
+            rake_keywords(docs).collect(), key=lambda r: (r.lang, r.rk)
+        )
+    ]
+    assert got == [
+        ("de", 1, "deep learning", 2, 4_000_000),
+        ("en", 1, "deep deep deep", 3, 7_800_000),
+        ("en", 2, "deep learning", 2, 4_600_000),
+        ("en", 3, "deep models", 2, 4_600_000),
+        ("en", 4, "learning rates", 2, 4_000_000),
+    ]
