@@ -135,7 +135,10 @@ def _wait_for_idle() -> bool:
     (`<= 1.0`) let a machine carrying exactly 1.0 of competing load
     record a 13%-inflated run as settled; strict `<` plus a confirming
     second sample makes a boundary reading fail the verdict and trigger
-    the retry pass instead."""
+    the retry pass instead. SPARK_GRAFT_BENCH_NO_WAIT bypasses the wait
+    entirely and judges a SINGLE strict sample — intentionally weaker,
+    for interactive runs that opt out of the 15-min settle budget
+    (r10 ADVICE low #2)."""
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WAIT"):
         return os.getloadavg()[0] < _SETTLE_LOAD
     deadline = time.time() + _SETTLE_MAX_S
@@ -149,34 +152,127 @@ def _wait_for_idle() -> bool:
     return consecutive >= 2
 
 
-def _run_suite(spark, qs, sf_dir: str) -> dict[str, float]:
-    # median of 3 warm timed runs per query (r4 VERDICT advice #4 — the
-    # recorded BENCH_r04 was ~30% machine-load-inflated; medians shed
-    # one-off host-noise spikes cheaply since the runs are warm), with
-    # 1-minute loadavg recorded before/after so an inflated recording is
-    # self-diagnosing.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # isolate queries from EACH OTHER's persisted intermediates:
-        # several entries persist() multi-consumer tables and nothing
-        # unpersists, so by slot ~40 the accumulated litter evicts the
-        # late entries' own caches and the tail measures memory
-        # pressure, not the plan (ppjoin measured 1.46s in isolation
-        # vs 3.9-4.8s at the end of a full run). Clearing only BETWEEN
-        # queries keeps the within-query semantics identical to every
-        # earlier round: the 3 timed runs still reuse the warmup's
-        # caches via the CacheManager's canonical-plan match.
-        spark.catalog.clearCache()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
-        runs = []
-        for _ in range(3):
+#: r10 VERDICT advice #3: entries whose 3 warm runs spread more than
+#: this (as (max-min)/median) self-extend to median-of-5 —
+#: dedup_incremental_minhash spreads ±35% across 3 warm runs even at
+#: idle, making median-of-3 round-over-round comparison weak.
+_SPREAD_EXTEND = 0.25
+#: r10 VERDICT advice #2: a query whose fresh timing exceeds the last
+#: recorded artifact's by this ratio is re-timed once more at the end
+#: of the suite (median-of-5) and BOTH numbers are stamped in the JSON,
+#: so a settled-but-ambient-inflated recording self-documents without a
+#: judge re-run. Capped so a globally-slow machine can't double runtime.
+_RETIME_RATIO = 1.5
+_RETIME_MAX = 8
+
+
+def _time_query(spark, qs, name: str, sf_dir: str, base_runs: int = 3):
+    """Warm-up + `base_runs` timed warm runs of one headline query;
+    returns (median, spread) with spread = (max-min)/median. With
+    base_runs=3 the run count self-extends to 5 when the spread
+    exceeds _SPREAD_EXTEND (variance-heavy entries; r10 advice #3).
+
+    clearCache isolates queries from EACH OTHER's persisted
+    intermediates: several entries persist() multi-consumer tables and
+    nothing unpersists, so by slot ~40 the accumulated litter evicts
+    the late entries' own caches and the tail measures memory
+    pressure, not the plan (ppjoin measured 1.46s in isolation vs
+    3.9-4.8s at the end of a full run). Clearing only BETWEEN queries
+    keeps the within-query semantics identical to every earlier round:
+    the timed runs still reuse the warmup's caches via the
+    CacheManager's canonical-plan match."""
+    spark.catalog.clearCache()
+    df = qs[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
+    runs = []
+    for _ in range(base_runs):
+        t0 = time.time()
+        df2 = qs[name](spark, sf_dir)
+        df2.write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+
+    def _stats(rs):
+        med = sorted(rs)[len(rs) // 2]
+        return med, ((max(rs) - min(rs)) / med if med > 0 else 0.0)
+
+    med, spread = _stats(runs)
+    if base_runs == 3 and spread > _SPREAD_EXTEND:
+        for _ in range(2):
             t0 = time.time()
             df2 = qs[name](spark, sf_dir)
             df2.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
-    return timings
+        med, spread = _stats(runs)
+    return round(med, 3), round(spread, 2), len(runs)
+
+
+def _run_suite(spark, qs, sf_dir: str):
+    # median of 3 warm timed runs per query (r4 VERDICT advice #4 — the
+    # recorded BENCH_r04 was ~30% machine-load-inflated; medians shed
+    # one-off host-noise spikes cheaply since the runs are warm),
+    # self-extending to 5 for variance-heavy entries, with the per-query
+    # spread recorded so an inflated recording is self-diagnosing.
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    extended: list[str] = []
+    for name in HEADLINE:
+        med, spread, n_runs = _time_query(spark, qs, name, sf_dir)
+        timings[name] = med
+        spreads[name] = spread
+        if n_runs > 3:
+            extended.append(name)
+    return timings, spreads, extended
+
+
+def _latest_recorded(repo_dir: str):
+    """Most recent driver-recorded BENCH_r{N}.json (None if absent).
+
+    The driver wraps bench's printed JSON line inside a "tail" string
+    field (alongside rc/cpus/progress noise), so when the top-level
+    object carries no "queries" the embedded line is unwrapped — it is
+    the last '{"metric"...}' run in the tail."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None, None
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return None, None
+    if "queries" not in rec and isinstance(rec.get("tail"), str):
+        tail = rec["tail"]
+        at = tail.rfind('{"metric"')
+        if at >= 0:
+            try:
+                inner = json.loads(tail[at:].strip())
+                inner.setdefault("sf", rec.get("sf"))
+                return inner, best_n
+            except ValueError:
+                pass
+        return None, None
+    return rec, best_n
+
+
+def _select_retimes(
+    timings: dict[str, float], prior_queries: dict[str, float]
+) -> list[str]:
+    """Queries whose fresh median exceeds the prior recorded artifact's
+    by more than _RETIME_RATIO, worst-delta first, capped at
+    _RETIME_MAX. Pure so the selection policy is unit-testable."""
+    over = []
+    for name, t in timings.items():
+        p = prior_queries.get(name)
+        if p and p > 0 and t / p > _RETIME_RATIO:
+            over.append((t / p, name))
+    over.sort(reverse=True)
+    return [n for _, n in over[:_RETIME_MAX]]
 
 
 def main() -> None:
@@ -191,7 +287,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
-    timings = _run_suite(spark, qs, sf_dir)
+    timings, spreads, extended = _run_suite(spark, qs, sf_dir)
     passes = 1
     # r08 VERDICT advice #2: the recorded artifact must BE settled, not
     # merely labeled. If the settle-wait TIMED OUT (not merely a high
@@ -207,8 +303,39 @@ def main() -> None:
         if _wait_for_idle():
             settled = True
             load_before = os.getloadavg()[0]
-            timings = _run_suite(spark, qs, sf_dir)
+            timings, spreads, extended = _run_suite(spark, qs, sf_dir)
             passes = 2
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # r10 VERDICT advice #2: self-adjudicate round-over-round outliers.
+    # Any query >1.5x its last recorded number is re-timed once more at
+    # the END of the suite (a different ambient moment, median-of-5) and
+    # both numbers are stamped — the primary `queries` value stays the
+    # honest suite measurement.
+    prior, prior_round = _latest_recorded(repo_dir)
+    retimed: dict[str, dict[str, float]] = {}
+    if prior and prior.get("sf") == sf:
+        for name in _select_retimes(timings, prior.get("queries", {})):
+            med5, _, _ = _time_query(spark, qs, name, sf_dir, base_runs=5)
+            retimed[name] = {
+                "suite": timings[name],
+                "isolated_median5": med5,
+                "prior": prior["queries"][name],
+            }
+
+    # r10 VERDICT wrong #1: the builder's in-session settled runs are
+    # checked in as BENCH_REFERENCE.json (totals + slowest-query medians
+    # + the loadavg context they ran under) and embedded verbatim, so
+    # the driver artifact carries enough data to adjudicate a ~20%
+    # ambient swing without a judge re-run.
+    reference_runs = None
+    ref_path = os.path.join(repo_dir, "BENCH_REFERENCE.json")
+    if os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                reference_runs = json.load(f)
+        except (OSError, ValueError):
+            reference_runs = None
 
     print(
         json.dumps(
@@ -236,6 +363,22 @@ def main() -> None:
                 # 2 = the first pass started unsettled and the suite was
                 # re-timed after a successful second settle-wait.
                 "passes": passes,
+                # per-query (max-min)/median across the warm runs used —
+                # makes ambient variance visible in the artifact itself
+                # (r10 VERDICT advice #3)
+                "run_spread": spreads,
+                # entries whose 3-run spread exceeded 0.25 and were
+                # extended to median-of-5
+                "extended_runs": extended,
+                # end-of-suite median-of-5 re-times of >1.5x
+                # round-over-round outliers vs BENCH_r{prior_round}
+                # (r10 VERDICT advice #2); empty when no prior artifact
+                # at this sf or no outliers
+                "retimed": retimed,
+                "retimed_vs_round": prior_round if retimed else None,
+                # builder's checked-in in-session settled runs
+                # (BENCH_REFERENCE.json), embedded verbatim
+                "reference_runs": reference_runs,
             }
         )
     )

@@ -10,10 +10,15 @@ adjudication."""
 from __future__ import annotations
 
 import importlib.util
+from pathlib import Path
+
+# derived from the test's own location so the suite works from any
+# checkout path (r10 ADVICE low #1)
+_BENCH_PATH = Path(__file__).resolve().parent.parent / "bench.py"
 
 
 def _load_bench():
-    spec = importlib.util.spec_from_file_location("bench_under_test", "/root/repo/bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -81,3 +86,159 @@ def test_no_wait_env_short_circuits_on_strict_compare(monkeypatch):
     assert bench._wait_for_idle() is False
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.0, 0.0))
     assert bench._wait_for_idle() is True
+
+
+# ---------------------------------------------------------------------
+# r10 VERDICT advice #2/#3: per-query spread self-extension and
+# round-over-round outlier re-time selection. The timing helpers are
+# driven with a fake Spark/query surface and a scripted clock (no real
+# Spark), pinning: 3-run median when the spread is tight, automatic
+# extension to median-of-5 when the 3-run spread exceeds 0.25, and the
+# worst-delta-first capped retime selection.
+# ---------------------------------------------------------------------
+
+
+class _FakeWriter:
+    def format(self, *_):
+        return self
+
+    def mode(self, *_):
+        return self
+
+    def save(self):
+        pass
+
+
+class _FakeDF:
+    write = _FakeWriter()
+
+
+class _FakeCatalog:
+    def clearCache(self):
+        pass
+
+
+class _FakeSpark:
+    catalog = _FakeCatalog()
+
+
+def _drive_time_query(monkeypatch, bench, durations):
+    """Run _time_query with a scripted clock: the i-th timed run takes
+    durations[i] seconds (the warm-up run consumes no scripted time —
+    it is not wrapped in a timer)."""
+    state = {"now": 0.0, "i": -1}  # -1: first timed run starts at t0 call 0
+
+    calls = {"n": 0}
+
+    def fake_time():
+        # _time_query calls time.time() twice per timed run: t0 then
+        # the implicit end via (time.time() - t0). Advance the clock by
+        # the scripted duration between the two calls.
+        calls["n"] += 1
+        if calls["n"] % 2 == 1:  # t0 of run k
+            state["i"] += 1
+            return state["now"]
+        state["now"] += durations[min(state["i"], len(durations) - 1)]
+        return state["now"]
+
+    monkeypatch.setattr(bench.time, "time", fake_time)
+    qs = {"q": lambda spark, sf: _FakeDF()}
+    return bench._time_query(_FakeSpark(), qs, "q", "/nonexistent")
+
+
+def test_tight_spread_stays_at_three_runs(monkeypatch):
+    """Runs 1.0/1.1/1.0: spread 0.1 <= 0.25, median-of-3, no extension."""
+    bench = _load_bench()
+    med, spread, n = _drive_time_query(monkeypatch, bench, [1.0, 1.1, 1.0])
+    assert n == 3
+    assert med == 1.0
+    assert spread == 0.1
+
+
+def test_wide_spread_extends_to_five_runs(monkeypatch):
+    """Runs 1.0/1.0/2.0 spread 1.0 > 0.25 -> two more runs; the final
+    median/spread are computed over all five."""
+    bench = _load_bench()
+    med, spread, n = _drive_time_query(
+        monkeypatch, bench, [1.0, 1.0, 2.0, 1.0, 1.0]
+    )
+    assert n == 5
+    assert med == 1.0
+    assert spread == 1.0  # (2.0 - 1.0) / 1.0 over the five runs
+
+
+def test_five_run_base_never_extends(monkeypatch):
+    """base_runs=5 (the end-of-suite retime) takes its median-of-5
+    directly even when the spread is wide."""
+    bench = _load_bench()
+    state = {"now": 0.0}
+    durations = iter([1.0, 3.0, 1.0, 1.0, 1.0])
+    seq = {"pending": None}
+
+    def fake_time():
+        if seq["pending"] is None:
+            seq["pending"] = next(durations)
+            return state["now"]
+        state["now"] += seq["pending"]
+        seq["pending"] = None
+        return state["now"]
+
+    monkeypatch.setattr(bench.time, "time", fake_time)
+    qs = {"q": lambda spark, sf: _FakeDF()}
+    med, spread, n = bench._time_query(
+        _FakeSpark(), qs, "q", "/nonexistent", base_runs=5
+    )
+    assert n == 5
+    assert med == 1.0
+
+
+def test_retime_selection_worst_first_and_capped():
+    """Only >1.5x regressions select; ordered worst delta first; capped
+    at _RETIME_MAX; missing/zero priors never select."""
+    bench = _load_bench()
+    prior = {f"q{i}": 1.0 for i in range(12)}
+    prior["zero"] = 0.0
+    timings = {f"q{i}": 1.0 + 0.2 * i for i in range(12)}  # q3.. exceed 1.5x
+    timings["zero"] = 9.9  # zero prior: never selected
+    timings["new_query"] = 9.9  # no prior: never selected
+    got = bench._select_retimes(timings, prior)
+    assert got[0] == "q11"  # worst delta first
+    assert "zero" not in got and "new_query" not in got
+    assert len(got) == bench._RETIME_MAX
+    assert all(timings[n] / prior[n] > bench._RETIME_RATIO for n in got)
+
+
+def test_retime_selection_empty_when_within_ratio():
+    bench = _load_bench()
+    assert bench._select_retimes({"a": 1.4}, {"a": 1.0}) == []
+
+
+def test_latest_recorded_unwraps_driver_tail(tmp_path):
+    """The driver's BENCH_r{N}.json embeds bench's printed JSON line in
+    a 'tail' string; _latest_recorded must unwrap the newest round's
+    line (and prefer higher round numbers)."""
+    import json
+
+    bench = _load_bench()
+    inner = {"metric": "m", "value": 1.5, "unit": "sec",
+             "queries": {"q1": 1.5}, "sf": 0.1}
+    (tmp_path / "BENCH_r2.json").write_text(json.dumps(
+        {"rc": 0, "sf": 0.1, "tail": "noise\r\x1b[2K" + json.dumps(inner) + "\n"}
+    ))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"rc": 0, "sf": 0.1,
+         "tail": json.dumps({**inner, "queries": {"q1": 9.0}})}
+    ))
+    got, rnd = bench._latest_recorded(str(tmp_path))
+    assert rnd == 10
+    assert got["queries"] == {"q1": 9.0}
+    assert got["sf"] == 0.1
+
+
+def test_latest_recorded_handles_absent_and_malformed(tmp_path):
+    import json
+
+    bench = _load_bench()
+    assert bench._latest_recorded(str(tmp_path)) == (None, None)
+    (tmp_path / "BENCH_r1.json").write_text(json.dumps({"tail": "no json here"}))
+    assert bench._latest_recorded(str(tmp_path)) == (None, None)
