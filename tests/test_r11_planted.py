@@ -1,0 +1,134 @@
+"""Planted-truth gates for the r11 driver window's two most
+formula-heavy entries (r10 VERDICT advice #4: keep spending the
+held-registry surplus on evidence depth — the DuckDB oracles bind these
+entries to the same formulas the engine uses, so a SHARED misreading
+would hash-match; these tests plant inputs whose correct output is
+known from first principles, independent of both engines).
+
+* assoc_rules_topk: a ten-basket market with a hand-countable
+  support/confidence lattice — pair (1,2) co-occurs in 4 baskets,
+  (1,3) in exactly 3 (the min-support boundary, INCLUDED), (2,3) in 1
+  (excluded), and part 4 never pairs. Every lift/confidence is a
+  floored integer ratio computable by hand, and a duplicate lineitem
+  row inside basket 1 pins the DISTINCT-baskets semantics (a bag
+  reading would push c1 to 7 and move both confidences).
+
+* events_holt_linear: a sequence where every folded element equals the
+  previous state's one-step forecast l+b is a closed-form fixpoint of
+  the Holt recursion — with the entry's init convention (l=x0,
+  b=x1-x0, fold consumes x2 onward) that sequence is x1 DUPLICATED
+  then a constant ramp, and by induction level_t = x_t, trend_t =
+  slope (the level update becomes a convex average of x with itself).
+  The duplicated element doubles as an off-by-one trap: an
+  implementation that folds from x1 instead of x2 diverges from the
+  fixpoint immediately. A
+  one-event user pins the l=x0/b=0 branch, a two-event user pins the
+  init-only l=x0/b=x1-x0 state, and a user with a TIED timestamp pair
+  makes the (ts, event_id) tiebreak load-bearing: the reversed order
+  provably diverges, so a wrong sort key cannot sneak through.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_assoc_rules_recover_planted_lattice(spark, tmp_path):
+    from movie_data_transformer_spark.operators.analytics_queries import (
+        q_assoc_rules_topk,
+    )
+
+    # baskets: b1-b3 {1,2}; b4 {1,2,3}; b5,b6 {1,3}; b7,b8 {3};
+    # b9,b10 {4}.  item counts c1=6 c2=4 c3=5 c4=2 over N=10 baskets.
+    baskets = {
+        1: [1, 2, 1],  # duplicate part 1 row: DISTINCT must collapse it
+        2: [1, 2],
+        3: [1, 2],
+        4: [1, 2, 3],
+        5: [1, 3],
+        6: [1, 3],
+        7: [3],
+        8: [3],
+        9: [4],
+        10: [4],
+    }
+    rows = [(ok, pk) for ok, parts in baskets.items() for pk in parts]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+
+    got = q_assoc_rules_topk(spark, str(tmp_path)).collect()
+    # qualifying pairs: (1,2) c12=4 and (1,3) c12=3 — the support
+    # boundary is inclusive; (2,3) c12=1 and every part-4 pair are out.
+    assert [(r.p1, r.p2, r.c12) for r in got] == [(1, 2, 4), (1, 3, 3)]
+
+    r12, r13 = got
+    # lift = c12 * N * 1e6 DIV (c1 * c2), floored exact integers:
+    # (1,2): 4*10*1e6 // 24 = 1_666_666;  (1,3): 3*10*1e6 // 30 = 1_000_000
+    assert r12.lift_micro == 1_666_666
+    assert r13.lift_micro == 1_000_000
+    # directed confidences, floored: c12*1e6 // c_antecedent
+    assert r12.conf_p1_p2_micro == 4_000_000 // 6  # 666_666
+    assert r12.conf_p2_p1_micro == 1_000_000
+    assert r13.conf_p1_p2_micro == 500_000
+    assert r13.conf_p2_p1_micro == 600_000
+
+
+def _holt_fold(vals):
+    """The planted-truth reference fold: pure Python, same IEEE ops in
+    the same left-to-right order as both engines' expression trees."""
+    if len(vals) == 1:
+        return float(vals[0]), 0.0
+    level, trend = float(vals[0]), float(vals[1] - vals[0])
+    for x in vals[2:]:
+        new_level = x * 0.2 + (level + trend) * 0.8
+        trend = (new_level - level) * 0.1 + trend * 0.9
+        level = new_level
+    return level, trend
+
+
+def test_holt_linear_ramp_fixpoint_and_tiebreak(spark, tmp_path):
+    from movie_data_transformer_spark.operators.timeseries_queries import (
+        q_events_holt_linear,
+    )
+
+    t = [pd.Timestamp(f"2024-05-{d:02d} 08:00:00") for d in range(1, 11)]
+    rows = []
+    # user 1: the fixpoint sequence 10, 12, 12, 14, 16, ..., 26 — init
+    # l=10 b=2, and every folded element equals the prior l+b, so the
+    # final state is level=26, trend=2, forecast=28 (exact to <<1e-6
+    # in IEEE; a fold that starts one element early diverges at once)
+    fix = [10.0, 12.0] + [12.0 + 2.0 * i for i in range(8)]
+    for i, v in enumerate(fix):
+        rows.append((100 + i, 1, v, t[i]))
+    # user 2: single event — level=x0, trend=0 branch
+    rows.append((200, 2, 7.0, t[0]))
+    # user 3: two events — init-only state l=5, b=4, forecast=9
+    rows.append((300, 3, 5.0, t[0]))
+    rows.append((301, 3, 9.0, t[1]))
+    # user 4: TIED first pair at t[0] — event_id 400 (value 0) must sort
+    # before 401 (value 10); the reversed read diverges provably
+    rows.append((401, 4, 10.0, t[0]))
+    rows.append((400, 4, 0.0, t[0]))
+    rows.append((402, 4, 3.0, t[1]))
+    pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {r.user_id: r for r in q_events_holt_linear(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].n_events == 10
+    assert (got[1].level, got[1].trend, got[1].forecast_1) == (26.0, 2.0, 28.0)
+    assert (got[2].level, got[2].trend, got[2].forecast_1) == (7.0, 0.0, 7.0)
+    assert (got[3].level, got[3].trend, got[3].forecast_1) == (5.0, 4.0, 9.0)
+
+    # tie order (ts, event_id): [0, 10, 3] — reference fold gives
+    # l = 3*0.2 + 10*0.8 = 8.6, b = 0.86 + 9 = 9.86; the reversed
+    # order [10, 0, 3] lands at l = 0.6, b = -9.94, so the tiebreak is
+    # load-bearing, not decorative.
+    lv, tr = _holt_fold([0.0, 10.0, 3.0])
+    wrong_lv, wrong_tr = _holt_fold([10.0, 0.0, 3.0])
+    assert (round(lv, 6), round(tr, 6)) != (round(wrong_lv, 6), round(wrong_tr, 6))
+    assert got[4].level == round(lv, 6) == 8.6
+    assert got[4].trend == round(tr, 6) == 9.86
+    assert got[4].forecast_1 == round(lv + tr, 6) == 18.46
