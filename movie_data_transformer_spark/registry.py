@@ -33,51 +33,26 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-10 window (exactly 50, verified by import): the committed r10 front
-# from NOTES.md, applied EXACTLY as written — the 23 round-7-addition
-# modules in registry order (39 entries, all never driver-checked) +
-# the §2-core cadence re-green (movie 8 + merge 1 + jsonl 2, due <= r10;
-# last green r07). The r9-flagged ROTATION TRAP is honored:
-# sql_semantics_queries (2 entries, never checked, named in NO committed
-# front) is placed BEHIND jsonl_queries — leaving it in its old slot
-# between alerting and movie would have landed its 2 entries in window
-# slots 40-41 and silently pushed jsonl_queries out of the window,
-# breaking the §2-core cadence rule. sql_semantics now LEADS the r11
-# filler queue with curation's 3 never-checked.
+# Round-11 window (exactly 50, verified by import): the committed r11 front
+# from NOTES.md, applied EXACTLY as written — the pre-rotation slots 51-100:
+# sql_semantics 2 + curation 16 + keyword 1 + geo_extras 1 + reliability 2
+# + analytics 9 + timeseries 7 (= all 13 remaining non-r8-addition
+# never-checked entries plus their module re-greens, incl. the two oldest
+# §2-core rows movies_file_skip and merge_metrics) + late_r6_queries first
+# 12 (its 13th entry straddles out — only the FINAL module may straddle).
+# The window rotation is purely "move the 26 r10-window modules to the
+# back"; ADDITIONALLY (tail-only, does not touch the window) the 31
+# r8-addition modules move up right behind late_r6_queries so the
+# committed r12 front is import-verifiable at slots 51-100: late_r6's
+# straddled 13th entry + 38 r8-addition entries + stateful 2 +
+# streaming_extras 2 + layout 2 + text_cleaning 3 + datasketches first 2.
+# (At r12-rotation time late_r6 rotates back atomically, so the APPLIED
+# r12 window is the 38 r8 additions + stateful/streaming_extras/layout/
+# text_cleaning/datasketches-first-3 = 50 exactly, datasketches final
+# straddler — composition pinned in NOTES.md.)
 _MODULES: list[str] = [
-    # ---- r10 window: 23 r7-addition modules = 39 entries ----
-    "movie_data_transformer_spark.operators.recsys_queries",
-    "movie_data_transformer_spark.operators.sampling_queries",
-    "movie_data_transformer_spark.operators.mixing_queries",
-    "movie_data_transformer_spark.operators.cluster_eval_queries",
-    "movie_data_transformer_spark.operators.graph_extras_queries",
-    "movie_data_transformer_spark.operators.storage_queries",
-    "movie_data_transformer_spark.operators.resample_queries",
-    "movie_data_transformer_spark.operators.matching_queries",
-    "movie_data_transformer_spark.operators.changelog_queries",
-    "movie_data_transformer_spark.operators.ivm_queries",
-    "movie_data_transformer_spark.operators.robust_stats_queries",
-    "movie_data_transformer_spark.operators.corpus_stats_queries",
-    "movie_data_transformer_spark.operators.skyline_queries",
-    "movie_data_transformer_spark.operators.redaction_queries",
-    "movie_data_transformer_spark.operators.sketch_extras_queries",
-    "movie_data_transformer_spark.operators.version_diff_queries",
-    "movie_data_transformer_spark.operators.linkage_queries",
-    "movie_data_transformer_spark.operators.backtest_queries",
-    "movie_data_transformer_spark.operators.kendall_queries",
-    "movie_data_transformer_spark.operators.udf_iter_queries",
-    "movie_data_transformer_spark.operators.eval_extras_queries",
-    "movie_data_transformer_spark.operators.throttle_queries",
-    "movie_data_transformer_spark.operators.alerting_queries",
-    # ---- r10 window: §2-core cadence re-green (8 + 1 + 2 = 11) ----
-    "movie_data_transformer_spark.operators.movie_queries",
-    "movie_data_transformer_spark.operators.merge_queries",
-    "movie_data_transformer_spark.operators.jsonl_queries",
-    # ---- the 50-entry r10 window ends exactly at jsonl_queries ----
-    # r11 filler queue (NOTES.md): sql_semantics 2 (never; moved here from
-    # its pre-r10 slot per the rotation trap) + curation 3 never-checked
-    # lead it, then keyword/geo_extras, reliability 2, analytics 9,
-    # timeseries 7, + oldest re-greens to fill 50
+    # ---- r11 window: the committed front (50 exactly; late_r6 straddles,
+    # its 13th entry lands at slot 51) ----
     "movie_data_transformer_spark.operators.sql_semantics_queries",
     "movie_data_transformer_spark.operators.curation_queries",
     "movie_data_transformer_spark.operators.keyword_queries",
@@ -85,68 +60,9 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.reliability_queries",
     "movie_data_transformer_spark.operators.analytics_queries",
     "movie_data_transformer_spark.operators.timeseries_queries",
-    # r6-era re-green pool (oldest driver rows — natural r11 fillers)
     "movie_data_transformer_spark.operators.late_r6_queries",
-    "movie_data_transformer_spark.operators.stateful_queries",
-    "movie_data_transformer_spark.operators.streaming_extras_queries",
-    "movie_data_transformer_spark.operators.layout_queries",
-    "movie_data_transformer_spark.operators.text_cleaning_queries",
-    "movie_data_transformer_spark.operators.datasketches_queries",
-    "movie_data_transformer_spark.operators.privacy_queries",
-    "movie_data_transformer_spark.operators.robustness_queries",
-    "movie_data_transformer_spark.operators.geo_queries",
-    "movie_data_transformer_spark.operators.cogroup_queries",
-    "movie_data_transformer_spark.operators.udtf_poly_queries",
-    "movie_data_transformer_spark.operators.ml_queries",
-    "movie_data_transformer_spark.operators.relational_queries",
-    "movie_data_transformer_spark.operators.recall_queries",
-    "movie_data_transformer_spark.operators.mm_decode_queries",
-    "movie_data_transformer_spark.operators.format_queries",
-    "movie_data_transformer_spark.operators.sql_surface_queries",
-    "movie_data_transformer_spark.operators.udf_surface_queries",
-    "movie_data_transformer_spark.operators.behavior_queries",
-    "movie_data_transformer_spark.operators.search_queries",
-    "movie_data_transformer_spark.operators.source_queries",
-    "movie_data_transformer_spark.operators.gate_queries",
-    "movie_data_transformer_spark.operators.flagship_queries",
-    "movie_data_transformer_spark.streaming.streaming_queries",
-    "movie_data_transformer_spark.operators.llm_queries",
-    "movie_data_transformer_spark.operators.grouped_extras_queries",
-    "movie_data_transformer_spark.operators.tpch_queries",
-    # r09 window modules (driver-green r09; newest re-greens)
-    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
-    "movie_data_transformer_spark.operators.sink_extras_queries",
-    "movie_data_transformer_spark.operators.format_extras_queries",
-    "movie_data_transformer_spark.operators.engagement_queries",
-    "movie_data_transformer_spark.operators.analytics_extras_queries",
-    "movie_data_transformer_spark.operators.privacy_extras_queries",
-    "movie_data_transformer_spark.operators.skew_extras_queries",
-    "movie_data_transformer_spark.operators.search_extras_queries",
-    "movie_data_transformer_spark.operators.temporal_queries",
-    "movie_data_transformer_spark.operators.profile_queries",
-    "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.function_packs",
-    # r08 window modules (driver-green r08; re-green pool)
-    "movie_data_transformer_spark.operators.embedding_queries",
-    "movie_data_transformer_spark.operators.search_ranking_queries",
-    "movie_data_transformer_spark.operators.snapshot_queries",
-    "movie_data_transformer_spark.operators.mm_video_queries",
-    "movie_data_transformer_spark.operators.mm_transform_queries",
-    "movie_data_transformer_spark.operators.sql_lang_queries",
-    "movie_data_transformer_spark.operators.pipeline_queries",
-    "movie_data_transformer_spark.operators.embedding_extras_queries",
-    "movie_data_transformer_spark.operators.sql_udf_queries",
-    "movie_data_transformer_spark.operators.linalg_queries",
-    "movie_data_transformer_spark.operators.dedup_extras_queries",
-    "movie_data_transformer_spark.operators.mm_hash_queries",
-    "movie_data_transformer_spark.operators.ml_extras_queries",
-    "movie_data_transformer_spark.operators.timeseries_extras_queries",
-    "movie_data_transformer_spark.operators.calibration_queries",
-    "movie_data_transformer_spark.operators.udtf_table_arg_queries",
-    "movie_data_transformer_spark.operators.interval_queries",
-    "movie_data_transformer_spark.operators.dq_extras_queries",
-    "movie_data_transformer_spark.operators.embedding_pipeline_queries",
-    # round-8 additions (register BEHIND all committed fronts; queue r12)
+    # ---- r12 front staging: the 31 r8-addition modules (38 entries;
+    # driver-queued r12, moved up tail-only at the r11 rotation) ----
     "movie_data_transformer_spark.operators.semdedup_queries",
     "movie_data_transformer_spark.operators.rater_eval_queries",
     "movie_data_transformer_spark.operators.affinity_queries",
@@ -178,6 +94,96 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.phash_queries",
     "movie_data_transformer_spark.operators.vad_queries",
     "movie_data_transformer_spark.operators.tailindex_queries",
+    # ---- r12 re-green fillers (oldest driver rows after late_r6;
+    # datasketches is the committed r12 final straddler) ----
+    "movie_data_transformer_spark.operators.stateful_queries",
+    "movie_data_transformer_spark.operators.streaming_extras_queries",
+    "movie_data_transformer_spark.operators.layout_queries",
+    "movie_data_transformer_spark.operators.text_cleaning_queries",
+    "movie_data_transformer_spark.operators.datasketches_queries",
+    # ---- rest of the r6-era re-green pool ----
+    "movie_data_transformer_spark.operators.privacy_queries",
+    "movie_data_transformer_spark.operators.robustness_queries",
+    "movie_data_transformer_spark.operators.geo_queries",
+    "movie_data_transformer_spark.operators.cogroup_queries",
+    "movie_data_transformer_spark.operators.udtf_poly_queries",
+    "movie_data_transformer_spark.operators.ml_queries",
+    "movie_data_transformer_spark.operators.relational_queries",
+    "movie_data_transformer_spark.operators.recall_queries",
+    "movie_data_transformer_spark.operators.mm_decode_queries",
+    "movie_data_transformer_spark.operators.format_queries",
+    "movie_data_transformer_spark.operators.sql_surface_queries",
+    "movie_data_transformer_spark.operators.udf_surface_queries",
+    "movie_data_transformer_spark.operators.behavior_queries",
+    "movie_data_transformer_spark.operators.search_queries",
+    "movie_data_transformer_spark.operators.source_queries",
+    "movie_data_transformer_spark.operators.gate_queries",
+    "movie_data_transformer_spark.operators.flagship_queries",
+    "movie_data_transformer_spark.streaming.streaming_queries",
+    "movie_data_transformer_spark.operators.llm_queries",
+    "movie_data_transformer_spark.operators.grouped_extras_queries",
+    "movie_data_transformer_spark.operators.tpch_queries",
+    # ---- r09 window modules (driver-green r09) ----
+    "movie_data_transformer_spark.operators.mm_transform_extras_queries",
+    "movie_data_transformer_spark.operators.sink_extras_queries",
+    "movie_data_transformer_spark.operators.format_extras_queries",
+    "movie_data_transformer_spark.operators.engagement_queries",
+    "movie_data_transformer_spark.operators.analytics_extras_queries",
+    "movie_data_transformer_spark.operators.privacy_extras_queries",
+    "movie_data_transformer_spark.operators.skew_extras_queries",
+    "movie_data_transformer_spark.operators.search_extras_queries",
+    "movie_data_transformer_spark.operators.temporal_queries",
+    "movie_data_transformer_spark.operators.profile_queries",
+    "movie_data_transformer_spark.operators.lm_queries",
+    "movie_data_transformer_spark.operators.function_packs",
+    # ---- r08 window modules (driver-green r08) ----
+    "movie_data_transformer_spark.operators.embedding_queries",
+    "movie_data_transformer_spark.operators.search_ranking_queries",
+    "movie_data_transformer_spark.operators.snapshot_queries",
+    "movie_data_transformer_spark.operators.mm_video_queries",
+    "movie_data_transformer_spark.operators.mm_transform_queries",
+    "movie_data_transformer_spark.operators.sql_lang_queries",
+    "movie_data_transformer_spark.operators.pipeline_queries",
+    "movie_data_transformer_spark.operators.embedding_extras_queries",
+    "movie_data_transformer_spark.operators.sql_udf_queries",
+    "movie_data_transformer_spark.operators.linalg_queries",
+    "movie_data_transformer_spark.operators.dedup_extras_queries",
+    "movie_data_transformer_spark.operators.mm_hash_queries",
+    "movie_data_transformer_spark.operators.ml_extras_queries",
+    "movie_data_transformer_spark.operators.timeseries_extras_queries",
+    "movie_data_transformer_spark.operators.calibration_queries",
+    "movie_data_transformer_spark.operators.udtf_table_arg_queries",
+    "movie_data_transformer_spark.operators.interval_queries",
+    "movie_data_transformer_spark.operators.dq_extras_queries",
+    "movie_data_transformer_spark.operators.embedding_pipeline_queries",
+    # ---- r10 window modules (driver-green r10; newest re-greens,
+    # rotated to the back per the committed r11 plan) ----
+    "movie_data_transformer_spark.operators.recsys_queries",
+    "movie_data_transformer_spark.operators.sampling_queries",
+    "movie_data_transformer_spark.operators.mixing_queries",
+    "movie_data_transformer_spark.operators.cluster_eval_queries",
+    "movie_data_transformer_spark.operators.graph_extras_queries",
+    "movie_data_transformer_spark.operators.storage_queries",
+    "movie_data_transformer_spark.operators.resample_queries",
+    "movie_data_transformer_spark.operators.matching_queries",
+    "movie_data_transformer_spark.operators.changelog_queries",
+    "movie_data_transformer_spark.operators.ivm_queries",
+    "movie_data_transformer_spark.operators.robust_stats_queries",
+    "movie_data_transformer_spark.operators.corpus_stats_queries",
+    "movie_data_transformer_spark.operators.skyline_queries",
+    "movie_data_transformer_spark.operators.redaction_queries",
+    "movie_data_transformer_spark.operators.sketch_extras_queries",
+    "movie_data_transformer_spark.operators.version_diff_queries",
+    "movie_data_transformer_spark.operators.linkage_queries",
+    "movie_data_transformer_spark.operators.backtest_queries",
+    "movie_data_transformer_spark.operators.kendall_queries",
+    "movie_data_transformer_spark.operators.udf_iter_queries",
+    "movie_data_transformer_spark.operators.eval_extras_queries",
+    "movie_data_transformer_spark.operators.throttle_queries",
+    "movie_data_transformer_spark.operators.alerting_queries",
+    "movie_data_transformer_spark.operators.movie_queries",
+    "movie_data_transformer_spark.operators.merge_queries",
+    "movie_data_transformer_spark.operators.jsonl_queries",
 ]
 
 
