@@ -1,5 +1,6 @@
 """Planted-truth gates for the r11 driver window's two most
-formula-heavy entries (r10 VERDICT advice #4: keep spending the
+formula-heavy entries, plus the two r12-front datasketches entries that
+had no dedicated test (r10 VERDICT advice #4: keep spending the
 held-registry surplus on evidence depth — the DuckDB oracles bind these
 entries to the same formulas the engine uses, so a SHARED misreading
 would hash-match; these tests plant inputs whose correct output is
@@ -26,6 +27,11 @@ known from first principles, independent of both engines).
   init-only l=x0/b=x1-x0 state, and a user with a TIED timestamp pair
   makes the (ts, event_id) tiebreak load-bearing: the reversed order
   provably diverges, so a wrong sort key cannot sneak through.
+
+* agg_bitmap_distinct / agg_approx_topk_merge: hand-countable weekly
+  audiences and an at-capacity top-k — including a user_id above the
+  32768-bit bucket width (a path no sf-testdata row reaches) and a
+  cross-week state combine whose wrong reading is a visible undercount.
 """
 
 from __future__ import annotations
@@ -132,3 +138,83 @@ def test_holt_linear_ramp_fixpoint_and_tiebreak(spark, tmp_path):
     assert got[4].level == round(lv, 6) == 8.6
     assert got[4].trend == round(tr, 6) == 9.86
     assert got[4].forecast_1 == round(lv + tr, 6) == 18.46
+
+
+def test_bitmap_distinct_counts_planted_audience(spark, tmp_path):
+    """agg_bitmap_distinct on a hand-countable two-week audience. The
+    planted corpus exercises exactly the paths sf-testdata cannot:
+    a user_id ABOVE 32768 (the per-bucket bitmap width — sf0.1 tops
+    out at user_id 1499, so the multi-bucket sum is otherwise never
+    hit), a user whose view events span two DAYS of one week (the
+    per-day partial bitmaps must OR-dedup, not add), an event type
+    outside {view, purchase} that counts nowhere, and the same user
+    re-appearing next week (weekly audiences are independent)."""
+    from movie_data_transformer_spark.operators.datasketches_queries import (
+        q_agg_bitmap_distinct,
+    )
+
+    mon3, tue3, wed3 = (
+        pd.Timestamp("2024-01-15 10:00:00"),  # ISO week 3
+        pd.Timestamp("2024-01-16 10:00:00"),
+        pd.Timestamp("2024-01-17 10:00:00"),
+    )
+    mon4 = pd.Timestamp("2024-01-22 10:00:00")  # ISO week 4
+    rows = [
+        # u1: views Mon, purchases Tue -> in BOTH audiences of week 3
+        (1, "view", mon3), (1, "purchase", tue3),
+        # u2: views Mon AND Wed -> ONE viewer (per-day partials OR-merge)
+        (2, "view", mon3), (2, "view", wed3),
+        # u3: purchase only
+        (3, "purchase", tue3),
+        # u32773: view only, lives in bitmap bucket 1 (32773 // 32768)
+        (32773, "view", mon3),
+        # u4: click only -> in neither audience, nor the union
+        (4, "click", mon3),
+        # u1 again in week 4: view only there
+        (1, "view", mon4),
+    ]
+    pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {r.wk: r for r in q_agg_bitmap_distinct(spark, str(tmp_path)).collect()}
+    assert set(got) == {3, 4}
+    wk3 = got[3]
+    assert (wk3.n_viewers, wk3.n_purchasers) == (3, 2)  # {1,2,32773}, {1,3}
+    assert wk3.n_both == 1  # u1 via inclusion-exclusion, no AND pass
+    assert wk3.n_view_only == 2  # u2, u32773
+    wk4 = got[4]
+    assert (wk4.n_viewers, wk4.n_purchasers, wk4.n_both, wk4.n_view_only) == (
+        1, 0, 0, 1,
+    )
+
+
+def test_approx_topk_merge_exact_at_capacity(spark, tmp_path):
+    """agg_approx_topk_merge at EXACT capacity: 10 distinct event types
+    (k = 10, the no-eviction boundary) with hand-planted counts 1..10,
+    the heaviest type split across two ISO weeks so the per-week
+    accumulate states must COMBINE-sum (a combine that keeps only one
+    week's state reports 6, not 10)."""
+    from movie_data_transformer_spark.operators.datasketches_queries import (
+        q_agg_approx_topk_merge,
+    )
+
+    wk3, wk4 = (
+        pd.Timestamp("2024-01-15 10:00:00"),
+        pd.Timestamp("2024-01-22 10:00:00"),
+    )
+    rows = []
+    eid = 0
+    for i in range(1, 11):  # type_i occurs i times
+        for j in range(i):
+            eid += 1
+            # the count-10 type straddles weeks 6 + 4; all others in wk3
+            ts = wk4 if (i == 10 and j >= 6) else wk3
+            rows.append((eid, f"type_{i:02d}", ts))
+    pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {r.event_type: r.n_events for r in
+           q_agg_approx_topk_merge(spark, str(tmp_path)).collect()}
+    assert got == {f"type_{i:02d}": i for i in range(1, 11)}
