@@ -32,6 +32,17 @@ known from first principles, independent of both engines).
   audiences and an at-capacity top-k — including a user_id above the
   32768-bit bucket width (a path no sf-testdata row reaches) and a
   cross-week state combine whose wrong reading is a visible undercount.
+
+* graph_title_link_prediction: a five-node hand graph whose every
+  candidate pair's common-neighbor count and floored neighborhood
+  Jaccard is derivable on paper, with the hub cap shown to exclude the
+  hub from the through-z role ONLY (it keeps its full endpoint degree).
+
+* events_autocorr_daily: a 21-day weekly pulse whose lag-7
+  autocorrelation is exactly +1e6 and whose lag-1 integer sufficient
+  stats are hand-derived (cov_num = -96, floor rounding the negative
+  corr AWAY from zero), plus a constant series pinning the
+  NULL-on-zero-variance branch.
 """
 
 from __future__ import annotations
@@ -218,3 +229,92 @@ def test_approx_topk_merge_exact_at_capacity(spark, tmp_path):
     got = {r.event_type: r.n_events for r in
            q_agg_approx_topk_merge(spark, str(tmp_path)).collect()}
     assert got == {f"type_{i:02d}": i for i in range(1, 11)}
+
+
+def test_link_prediction_hand_graph_and_hub_cap(spark):
+    """predicted_links on a five-node hand graph: z1—{a,b} and
+    hub—{a,b,c}. Every candidate's common-neighbor count, degree-based
+    union size, and floored neighborhood Jaccard is derivable on paper,
+    and the pair (z1, hub) — non-adjacent but sharing {a, b} — pins the
+    anti-join non-adjacency. With max_degree=2 the hub is excluded from
+    the THROUGH-z role only: pairs through it vanish ((a,b) drops from
+    2 common neighbors to 1, (a,c)/(b,c) never form), yet the hub still
+    participates as an ENDPOINT with its full degree 3."""
+    from movie_data_transformer_spark.operators.linkpred_queries import (
+        predicted_links,
+    )
+
+    und = [("z1", "a"), ("z1", "b"), ("hub", "a"), ("hub", "b"), ("hub", "c")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in und] + [(d, s) for s, d in und], "src string, dst string"
+    )
+
+    def key(df):
+        return {
+            (r.title_a, r.title_b): (r.n_common, r.nbr_jaccard_micro)
+            for r in df.collect()
+        }
+
+    full = key(predicted_links(edges))
+    # degrees: a=2 b=2 c=1 z1=2 hub=3; union = deg_a + deg_b - n_common
+    assert full == {
+        ("a", "b"): (2, 1_000_000),      # {z1,hub} / (2+2-2)
+        ("hub", "z1"): (2, 666_666),     # {a,b} / (3+2-2), floored
+        ("a", "c"): (1, 500_000),        # {hub} / (2+1-1)
+        ("b", "c"): (1, 500_000),
+    }
+
+    capped = key(predicted_links(edges, max_degree=2))
+    assert capped == {
+        ("hub", "z1"): (2, 666_666),     # through a AND b, both degree 2
+        ("a", "b"): (1, 333_333),        # only through z1; 1/(2+2-1)
+    }
+
+
+def test_autocorr_weekly_pattern_and_zero_variance(spark, tmp_path):
+    """events_autocorr_daily on a planted 21-day weekly pulse
+    [5,1,1,1,1,1,1] x3: lag-7 aligns the series with itself exactly
+    (corr_micro = +1_000_000, cov_num = 384 from integer sufficient
+    stats n=14, Sx=Sy=22, Sxy=Sxx=Syy=62), while lag-1's exact bigint
+    stats (n=20, Sx=32, Sy=28, Sxy=40, Sxx=92, Syy=68) give
+    cov_num = -96 and a negative corr whose floor must round AWAY from
+    zero — recomputed here in pure Python with the same IEEE ops as a
+    third implementation. A constant series pins the
+    NULL-on-zero-variance branch with cov_num exactly 0."""
+    import math
+
+    from movie_data_transformer_spark.operators.autocorr_queries import (
+        q_events_autocorr_daily,
+    )
+
+    rows = []
+    pulse = [5, 1, 1, 1, 1, 1, 1] * 3
+    for day, c in enumerate(pulse, start=1):
+        for _ in range(c):
+            rows.append(("weekly", pd.Timestamp(f"2024-03-{day:02d} 12:00:00")))
+    for day in range(1, 15):
+        for _ in range(2):
+            rows.append(("flat", pd.Timestamp(f"2024-03-{day:02d} 12:00:00")))
+    pd.DataFrame(rows, columns=["event_type", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {
+        (r.event_type, r.lag): r
+        for r in q_events_autocorr_daily(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {("weekly", 1), ("weekly", 7), ("flat", 1), ("flat", 7)}
+
+    w7 = got[("weekly", 7)]
+    assert (w7.n_pairs, w7.cov_num, w7.corr_micro) == (14, 384, 1_000_000)
+
+    w1 = got[("weekly", 1)]
+    assert (w1.n_pairs, w1.cov_num) == (20, -96)
+    # varx = 20*92 - 32^2 = 816, vary = 20*68 - 28^2 = 576
+    expect = math.floor(-96 * 1_000_000 / math.sqrt(816.0 * 576.0))
+    assert w1.corr_micro == expect
+    assert w1.corr_micro == -140_029  # floor rounds the negative DOWN
+
+    for lag, n in ((1, 13), (7, 7)):
+        f = got[("flat", lag)]
+        assert (f.n_pairs, f.cov_num, f.corr_micro) == (n, 0, None)
