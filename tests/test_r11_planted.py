@@ -43,6 +43,15 @@ known from first principles, independent of both engines).
   stats are hand-derived (cov_num = -96, floor rounding the negative
   corr AWAY from zero), plus a constant series pinning the
   NULL-on-zero-variance branch.
+
+* spans_corruption_plan: the md5 mask rule recomputed with hashlib (a
+  third implementation) over a 40-doc plant that provably contains both
+  an adjacent masked pair (island collapse) and a zero-mask doc (the
+  left-join branch), with the T5 input/target identities asserted.
+
+* text_hapax_stats: a hand-counted two-language vocabulary pinning
+  case-folding, cross-doc type accumulation, and the all-hapax
+  ratio boundary at exactly 1e6.
 """
 
 from __future__ import annotations
@@ -318,3 +327,98 @@ def test_autocorr_weekly_pattern_and_zero_variance(spark, tmp_path):
     for lag, n in ((1, 13), (7, 7)):
         f = got[("flat", lag)]
         assert (f.n_pairs, f.cov_num, f.corr_micro) == (n, 0, None)
+
+
+def test_span_corruption_plan_md5_replica(spark, tmp_path):
+    """spans_corruption_plan with the mask decisions recomputed in pure
+    Python (hashlib md5 over 'doc_id#p' — a THIRD implementation of the
+    planted-noise rule, independent of Spark's conv() and DuckDB's hex
+    cast), the island collapse re-derived by scanning for consecutive
+    masked positions, and the T5 bookkeeping identities asserted
+    directly. The plant is only accepted if at least one doc contains
+    an adjacent masked pair AND at least one doc has zero masked
+    positions, so both the span collapse and the zero-mask left-join
+    branch are demonstrably exercised."""
+    import hashlib
+
+    from movie_data_transformer_spark.operators.span_corruption_queries import (
+        q_spans_corruption_plan,
+    )
+
+    n_docs, n_toks = 40, 25
+    pd.DataFrame(
+        {
+            "doc_id": list(range(1, n_docs + 1)),
+            "text": ["tok " * n_toks for _ in range(n_docs)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    def masked_positions(d):
+        return [
+            p
+            for p in range(1, n_toks + 1)
+            if int(hashlib.md5(f"{d}#{p}".encode()).hexdigest()[:8], 16) % 1000
+            < 150
+        ]
+
+    expect = {}
+    saw_adjacent = saw_empty = False
+    for d in range(1, n_docs + 1):
+        pos = masked_positions(d)
+        n_masked = len(pos)
+        n_spans = sum(1 for i, p in enumerate(pos) if i == 0 or pos[i - 1] != p - 1)
+        saw_adjacent |= n_spans < n_masked
+        saw_empty |= n_masked == 0
+        expect[d] = (
+            n_toks,
+            n_masked,
+            n_spans,
+            n_masked * 1_000_000 // n_toks,
+            (n_masked * 1_000_000 // n_spans) if n_spans else 0,
+            n_toks - n_masked + n_spans,
+            n_masked + n_spans,
+        )
+    assert saw_adjacent, "plant must exercise the island collapse"
+    assert saw_empty, "plant must exercise the zero-mask branch"
+
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.n_masked, r.n_spans, r.mask_rate_micro,
+            r.mean_span_len_micro, r.n_input_tokens, r.n_target_tokens,
+        )
+        for r in q_spans_corruption_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_hapax_stats_hand_counted_vocab(spark, tmp_path):
+    """text_hapax_stats on a two-language corpus counted by hand: 'en'
+    has 9 tokens over 6 types of which 4 are hapax (case-folding must
+    merge 'The'/'the', and the same word in ANOTHER doc of the same
+    language still accumulates into one type); 'de' is one doc of three
+    distinct words, all hapax (ratio exactly 1e6)."""
+    from movie_data_transformer_spark.operators.zipf_queries import (
+        q_text_hapax_stats,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "de"],
+            "text": [
+                "The cat sat on the mat",   # the x2 (folded), cat sat on mat
+                "the cat runs",             # the -> 3, cat -> 2, runs hapax
+                "drei neue worte",
+            ],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r.lang: r for r in q_text_hapax_stats(spark, str(tmp_path)).collect()}
+    en = got["en"]
+    # types: the=3 cat=2 sat=1 on=1 mat=1 runs=1 -> vocab 6, 4 singletons
+    assert (en.n_tokens, en.vocab_size, en.n_hapax) == (9, 6, 4)
+    assert en.hapax_ratio_micro == 4_000_000 // 6  # 666_666
+    assert en.ttr_micro == 6_000_000 // 9  # 666_666
+    de = got["de"]
+    assert (de.n_tokens, de.vocab_size, de.n_hapax) == (3, 3, 3)
+    assert (de.hapax_ratio_micro, de.ttr_micro) == (1_000_000, 1_000_000)
