@@ -99,6 +99,19 @@ ENTRIES = [
     "mix_token_budget_apportion",  # largest-remainder rounding ranks
     "events_hysteresis_alerts",  # two-threshold state machine
     "forecast_backtest_daily",  # per-day rolling-origin folds
+    # round-11 additions (matrix extended r11 — the r11-window and
+    # r12-front order-sensitive subset not yet covered: IEEE struct
+    # folds, cumulative-product survival steps, global rank identities,
+    # sketch-state merges, sequential throttle state)
+    "events_holt_linear",  # struct-accumulator IEEE fold over sorted seq
+    "survival_km_purchase",  # ordered cumulative-product survival fold
+    "orders_gini_spend",  # global rank identity over (cents, custkey)
+    "graph_title_link_prediction",  # through-z pairs + top-10 tiebreaks
+    "events_autocorr_daily",  # exact bigint lag-pair partials
+    "spans_corruption_plan",  # gaps-and-islands window over masked pos
+    "agg_bitmap_distinct",  # per-(day,bucket) bitmap partials OR-merge
+    "agg_approx_topk_merge",  # per-week top-k state accumulate+combine
+    "events_throttle_ttl",  # greedy kept-clock sequential state
 ]
 
 
