@@ -52,6 +52,17 @@ known from first principles, independent of both engines).
 * text_hapax_stats: a hand-counted two-language vocabulary pinning
   case-folding, cross-doc type accumulation, and the all-hapax
   ratio boundary at exactly 1e6.
+
+* orders_benford_digits: prices whose first significant digit must be
+  derived from the integer CENTS string (0.01 -> digit 1, 0.05 -> 5),
+  a zero-price exclusion, and deviations against the fixed constants.
+
+* privacy_k_anonymity: quasi-classes sitting exactly ON and just BELOW
+  the k=5 / l=2 release thresholds, with the 199/200 len-band edge.
+
+* orders_abc_classification: cumulative shares landing EXACTLY on the
+  80% and 95% cross-multiplied cuts — both inclusive, so a strict
+  reading demotes a part and breaks the class tallies.
 """
 
 from __future__ import annotations
@@ -422,3 +433,99 @@ def test_hapax_stats_hand_counted_vocab(spark, tmp_path):
     de = got["de"]
     assert (de.n_tokens, de.vocab_size, de.n_hapax) == (3, 3, 3)
     assert (de.hapax_ratio_micro, de.ttr_micro) == (1_000_000, 1_000_000)
+
+
+def test_benford_digits_derive_from_cents(spark, tmp_path):
+    """orders_benford_digits on ten hand-picked prices giving the exact
+    digit histogram 1:4 2:3 5:2 9:1 — including 0.01 (1 CENT, first
+    digit 1) and 0.05 (5 cents, digit 5), which pin that the first
+    significant digit comes from the integer CENTS string, not from the
+    decimal rendering of the price (whose first character would be
+    '0'). A zero-price order must be excluded by the > 0 filter, and
+    the deviation column must equal |obs - benford| against the fixed
+    micro constants."""
+    from movie_data_transformer_spark.operators.dq_extras_queries import (
+        BENFORD_MICRO,
+        q_orders_benford_digits,
+    )
+
+    prices = [
+        1.00, 12.34, 0.01, 199.99,      # cents 100 / 1234 / 1 / 19999 -> 1
+        23.00, 2.50, 0.25,              # cents 2300 / 250 / 25 -> 2
+        0.05, 55.00,                    # cents 5 / 5500 -> 5
+        0.99,                           # cents 99 -> 9
+        0.00,                           # excluded by o_totalprice > 0
+    ]
+    pd.DataFrame(
+        {"o_orderkey": range(1, len(prices) + 1), "o_totalprice": prices}
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    got = {r.first_digit: r for r in
+           q_orders_benford_digits(spark, str(tmp_path)).collect()}
+    assert {d: got[d].n_orders for d in got} == {1: 4, 2: 3, 5: 2, 9: 1}
+    for d, share in ((1, 400_000), (2, 300_000), (5, 200_000), (9, 100_000)):
+        assert got[d].obs_micro == share  # n * 1e6 DIV 10, exact
+        assert got[d].benford_micro == BENFORD_MICRO[d]
+        assert got[d].dev_micro == abs(share - BENFORD_MICRO[d])
+
+
+def test_k_anonymity_flags_planted_classes(spark, tmp_path):
+    """privacy_k_anonymity on four hand-built quasi-identifier classes
+    sitting exactly ON and just BELOW both release thresholds: k = 5
+    (at K_MIN: not flagged) vs k = 4 (flagged), l = 2 (at L_MIN: not
+    flagged) vs l = 1 (flagged), with n_chars 199/200 pinning the
+    len-band edge (199 // 200 = band 0, 200 -> band 1)."""
+    from movie_data_transformer_spark.operators.privacy_extras_queries import (
+        q_privacy_k_anonymity,
+    )
+
+    rows = []
+    # class (en, band 0): k=5 from two sources -> passes both gates;
+    # n_chars 199 stays in band 0
+    for i, src in enumerate(["s1", "s1", "s2", "s2", "s2"]):
+        rows.append((len(rows), "en", 100 + i if i < 4 else 199, src))
+    # class (en, band 1): k=4 single-source -> below_k AND below_l;
+    # n_chars 200 is the first value of band 1
+    for i in range(4):
+        rows.append((len(rows), "en", 200 + i, "s1"))
+    # class (de, band 0): k=5 single-source -> below_l only
+    for i in range(5):
+        rows.append((len(rows), "de", 50 + i, "s9"))
+    pd.DataFrame(
+        rows, columns=["doc_id", "lang", "n_chars", "source"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {(r.lang, r.len_band): r for r in
+           q_privacy_k_anonymity(spark, str(tmp_path)).collect()}
+    assert set(got) == {("en", 0), ("en", 1), ("de", 0)}
+    en0, en1, de0 = got[("en", 0)], got[("en", 1)], got[("de", 0)]
+    assert (en0.k, en0.l, en0.below_k, en0.below_l) == (5, 2, 0, 0)
+    assert (en1.k, en1.l, en1.below_k, en1.below_l) == (4, 1, 1, 1)
+    assert (de0.k, de0.l, de0.below_k, de0.below_l) == (5, 1, 0, 1)
+
+
+def test_abc_classification_inclusive_cut_boundaries(spark, tmp_path):
+    """orders_abc_classification with part revenues 40+40+15+5 = 100
+    cents: the second A part lands its cumulative share EXACTLY on the
+    80% cut (cum*5 == total*4) and the B part EXACTLY on the 95% cut
+    (cum*20 == total*19) — both cross-multiplied comparisons are
+    inclusive, so a strict reading demotes a part and shows up as a
+    wrong class tally. One part's revenue is split over two lineitem
+    rows to pin the per-part cents sum."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_orders_abc_classification,
+    )
+
+    rows = [
+        (1, 25.00), (1, 15.00),  # p1: 40 cents*100 over TWO rows
+        (2, 40.00),              # p2: cum 80 -> exactly the A cut
+        (3, 15.00),              # p3: cum 95 -> exactly the B cut
+        (4, 5.00),               # p4: C remainder
+    ]
+    pd.DataFrame(rows, columns=["l_partkey", "l_extendedprice"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+
+    got = {r.abc_class: (r.n_parts, r.class_rev_cents) for r in
+           q_orders_abc_classification(spark, str(tmp_path)).collect()}
+    assert got == {"A": (2, 8000), "B": (1, 1500), "C": (1, 500)}
