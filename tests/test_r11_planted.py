@@ -63,6 +63,13 @@ known from first principles, independent of both engines).
 * orders_abc_classification: cumulative shares landing EXACTLY on the
   80% and 95% cross-multiplied cuts — both inclusive, so a strict
   reading demotes a part and breaks the class tallies.
+
+* events_retention_triangle: two hand-built weekly cohorts with
+  distinct user-week dedup, floored micro retention shares, and an
+  event landing exactly on an epoch-week boundary (floor, not round).
+
+* sessionize_events: the 6h inactivity gap is STRICTLY greater-than —
+  a gap of exactly 21600 s keeps the session open, 21601 closes it.
 """
 
 from __future__ import annotations
@@ -529,3 +536,83 @@ def test_abc_classification_inclusive_cut_boundaries(spark, tmp_path):
     got = {r.abc_class: (r.n_parts, r.class_rev_cents) for r in
            q_orders_abc_classification(spark, str(tmp_path)).collect()}
     assert got == {"A": (2, 8000), "B": (1, 1500), "C": (1, 500)}
+
+
+def test_retention_triangle_hand_cohorts(spark, tmp_path):
+    """events_retention_triangle on two hand-built weekly cohorts: a
+    3-user cohort whose ages 0/1/3 retain 3/2/1 users (floored micro
+    shares 1.0 / 0.666666 / 0.333333), a user with TWO events inside
+    one week (the distinct user-week pair dedup — n_active counts
+    users, not events), and an event landing EXACTLY on an epoch-week
+    boundary, which must open the LATER week's cohort (floor division,
+    not rounding)."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_events_retention_triangle,
+    )
+
+    WEEK = 604800
+
+    def ts(week, off=0):
+        return pd.Timestamp((week * WEEK + off), unit="s")
+
+    rows = []
+    eid = 0
+
+    def ev(uid, week, off=0):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, uid, ts(week, off)))
+
+    # cohort 2800: u1 active weeks 0/1/3, u2 weeks 0/1, u3 week 0 only
+    # (twice in the week -> one distinct pair)
+    ev(1, 2800, 100); ev(1, 2801, 100); ev(1, 2803, 100)
+    ev(2, 2800, 200); ev(2, 2801, 200)
+    ev(3, 2800, 300); ev(3, 2800, 400)
+    # cohort 2801: u4's first event sits EXACTLY at the 2801 boundary
+    ev(4, 2801, 0); ev(4, 2803, 100)
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {(r.cohort_week, r.weeks_since): (r.n_active, r.retention) for r in
+           q_events_retention_triangle(spark, str(tmp_path)).collect()}
+    assert got == {
+        (2800, 0): (3, 1.0),
+        (2800, 1): (2, 0.666666),  # 2*1e6 DIV 3, floored, then /1e6
+        (2800, 3): (1, 0.333333),
+        (2801, 0): (1, 1.0),
+        (2801, 2): (1, 1.0),
+    }
+
+
+def test_sessionize_gap_boundary_is_strict(spark, tmp_path):
+    """sessionize_events closes a session only when the gap EXCEEDS
+    21600 s: a gap of exactly 21600 keeps the session open, 21601
+    opens a new one. A second user pins the single-event session and
+    the exact decimal-summed value."""
+    from movie_data_transformer_spark.operators.temporal_queries import (
+        q_sessionize_events,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        # u1: t0, t0+21600 (same session — boundary inclusive),
+        # then +21601 more (new session)
+        (1, 1, 1.25, pd.Timestamp(base, unit="s")),
+        (2, 1, 2.50, pd.Timestamp(base + 21600, unit="s")),
+        (3, 1, 4.00, pd.Timestamp(base + 21600 + 21601, unit="s")),
+        # u2: lone event
+        (4, 2, 7.75, pd.Timestamp(base + 5, unit="s")),
+    ]
+    pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = {(r.user_id, r.session_idx):
+           (r.session_start_s, r.session_end_s, r.n_events, r.sum_value)
+           for r in q_sessionize_events(spark, str(tmp_path)).collect()}
+    assert got == {
+        (1, 1): (base, base + 21600, 2, 3.75),
+        (1, 2): (base + 43201, base + 43201, 1, 4.0),
+        (2, 1): (base + 5, base + 5, 1, 7.75),
+    }
