@@ -70,6 +70,15 @@ known from first principles, independent of both engines).
 
 * sessionize_events: the 6h inactivity gap is STRICTLY greater-than —
   a gap of exactly 21600 s keeps the session open, 21601 closes it.
+
+* events_topk_movers: an odd day span pinning the FLOOR midpoint split
+  (a rounded midpoint visibly corrupts one user's zero delta), with
+  day mid itself in the first half and user-id tiebreaks on zeros.
+
+* session_top_paths: hand-built clickstreams pinning the modal path
+  count, the path-string tiebreak between equal-count paths, event_id
+  serialization of a tied-timestamp pair, and the gap split feeding a
+  second one-event path.
 """
 
 from __future__ import annotations
@@ -616,3 +625,86 @@ def test_sessionize_gap_boundary_is_strict(spark, tmp_path):
         (1, 2): (base + 43201, base + 43201, 1, 4.0),
         (2, 1): (base + 5, base + 5, 1, 7.75),
     }
+
+
+def test_topk_movers_floor_midpoint_split(spark, tmp_path):
+    """events_topk_movers on four users over an ODD day span 0..3: the
+    midpoint is (0+3) DIV 2 = 1 (FLOOR — a rounded midpoint of 2 would
+    shift day-2 events into the first half and corrupt u4's zero
+    delta), day mid itself belongs to the FIRST half (u2's day-1
+    events), and the rank order is abs(delta) descending with the
+    user-id tiebreak on the two zero-delta users."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_events_topk_movers,
+    )
+
+    def ts(day, off=3600):
+        return pd.Timestamp(day * 86400 + off, unit="s")
+
+    rows = []
+    eid = 0
+
+    def ev(uid, day, n):
+        nonlocal eid
+        for k in range(n):
+            eid += 1
+            rows.append((eid, uid, ts(day, 3600 + k)))
+
+    ev(1, 0, 1); ev(1, 3, 5)   # delta +4
+    ev(2, 1, 3)                # day 1 == mid -> h1; delta -3
+    ev(3, 0, 2); ev(3, 2, 2)   # delta 0
+    ev(4, 0, 1); ev(4, 2, 1)   # delta 0 ONLY under the floor midpoint
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    got = [(r.rk, r.user_id, r.n_h1, r.n_h2, r.delta) for r in
+           q_events_topk_movers(spark, str(tmp_path))
+           .orderBy("rk").collect()]
+    assert got == [
+        (1, 1, 1, 5, 4),
+        (2, 2, 3, 0, -3),
+        (3, 3, 2, 2, 0),   # zero-delta ties break on user_id
+        (4, 4, 1, 1, 0),
+    ]
+
+
+def test_session_top_paths_order_and_ties(spark, tmp_path):
+    """session_top_paths on hand-built clickstreams: the modal
+    three-step path counts 2 sessions; two distinct single-count paths
+    tie and must rank by path STRING ('click->view' before
+    'view->click'); a tied-timestamp pair inside one session must
+    serialize in event_id order; and a >6h gap splits one user's
+    stream into two sessions (the second contributes its own
+    one-event path)."""
+    from movie_data_transformer_spark.operators.interval_queries import (
+        q_session_top_paths,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        # u1 session 1: view -> click -> purchase; then a >GAP_S break
+        # and a lone 'view' session
+        (1, 1, "view", base), (2, 1, "click", base + 10),
+        (3, 1, "purchase", base + 20),
+        (4, 1, "view", base + 20 + 21601),
+        # u2: same modal path, with the click/purchase pair TIED on ts —
+        # event_id 6 (click) must precede 7 (purchase)
+        (5, 2, "view", base), (7, 2, "purchase", base + 10),
+        (6, 2, "click", base + 10),
+        # u3 / u4: the tying single-count paths
+        (8, 3, "view", base), (9, 3, "click", base + 5),
+        (10, 4, "click", base), (11, 4, "view", base + 5),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    df.to_parquet(tmp_path / "events.parquet")
+
+    got = [(r.rk, r.path, r.n_sessions) for r in
+           q_session_top_paths(spark, str(tmp_path)).orderBy("rk").collect()]
+    assert got == [
+        (1, "view->click->purchase", 2),
+        (2, "click->view", 1),   # string tiebreak: 'c' < 'v'
+        (3, "view", 1),          # u1's post-gap second session
+        (4, "view->click", 1),
+    ]
