@@ -79,6 +79,15 @@ known from first principles, independent of both engines).
   count, the path-string tiebreak between equal-count paths, event_id
   serialization of a tied-timestamp pair, and the gap split feeding a
   second one-event path.
+
+* orders_cohort_ltv_triangle: hand-built customers pinning the
+  order-vs-distinct-customer counts per cell, a gap year, and exact
+  cents accumulation at (cohort_year, age_years) grain.
+
+* seq_rules_brand_topk: purchase histories pinning adjacent-only pair
+  formation, the with-successor antecedent denominator (a single-order
+  customer contributes nothing), within-order brand dedup, same-date
+  sequencing by orderkey, and an exact 1/2 confidence in the ranking.
 """
 
 from __future__ import annotations
@@ -707,4 +716,103 @@ def test_session_top_paths_order_and_ties(spark, tmp_path):
         (2, "click->view", 1),   # string tiebreak: 'c' < 'v'
         (3, "view", 1),          # u1's post-gap second session
         (4, "view->click", 1),
+    ]
+
+
+def test_ltv_triangle_hand_cohorts(spark, tmp_path):
+    """orders_cohort_ltv_triangle on three hand-built customers: a 2020
+    cohort member with TWO first-year orders (n_orders counts orders,
+    n_active counts distinct customers), a gap year (age 1 exists only
+    through the second customer), and exact cents accumulation per
+    (cohort_year, age_years) cell."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_orders_cohort_ltv_triangle,
+    )
+
+    rows = [
+        # cust 1, cohort 2020: two orders in 2020, one in 2022
+        (1, 1, 100.00, pd.Timestamp("2020-03-01")),
+        (2, 1, 50.00, pd.Timestamp("2020-09-15")),
+        (3, 1, 25.00, pd.Timestamp("2022-01-05")),
+        # cust 2, cohort 2021
+        (4, 2, 10.00, pd.Timestamp("2021-06-01")),
+        # cust 3, cohort 2020: ages 0 and 1
+        (5, 3, 1.00, pd.Timestamp("2020-12-31")),
+        (6, 3, 2.00, pd.Timestamp("2021-01-01")),
+    ]
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).to_parquet(
+        # micro-second timestamps: only the events reader handles NANOS
+        tmp_path / "orders.parquet", coerce_timestamps="us",
+    )
+
+    got = {(r.cohort_year, r.age_years): (r.n_orders, r.n_active, r.rev_cents)
+           for r in q_orders_cohort_ltv_triangle(spark, str(tmp_path)).collect()}
+    assert got == {
+        (2020, 0): (3, 2, 15_100),
+        (2020, 1): (1, 1, 200),
+        (2020, 2): (1, 1, 2_500),
+        (2021, 0): (1, 1, 1_000),
+    }
+
+
+def test_seq_rules_adjacent_order_semantics(spark, tmp_path):
+    """seq_rules_brand_topk on four hand-built purchase histories
+    pinning: ADJACENT-only pair formation (a customer's 1st and 3rd
+    orders never pair), the antecedent denominator = brand occurrences
+    in orders WITH a successor (a single-order customer contributes
+    nothing anywhere), within-order brand dedup (two same-brand parts
+    in one order count once), same-date order sequencing by orderkey,
+    and the (confidence, support, brand) rank order with an exact
+    1/2 confidence."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_seq_rules_brand_topk,
+    )
+
+    parts = [(10, "A"), (11, "A"), (20, "B"), (30, "C")]
+    pd.DataFrame(parts, columns=["p_partkey", "p_brand"]).to_parquet(
+        tmp_path / "part.parquet"
+    )
+    orders = [
+        # cust 1: A -> B -> {A, C}  (order 3 has TWO brand-A parts)
+        (1, 1, pd.Timestamp("2024-01-01")),
+        (2, 1, pd.Timestamp("2024-01-05")),
+        (3, 1, pd.Timestamp("2024-01-09")),
+        # cust 2: A -> B -> C
+        (4, 2, pd.Timestamp("2024-02-01")),
+        (5, 2, pd.Timestamp("2024-02-02")),
+        (9, 2, pd.Timestamp("2024-02-03")),
+        # cust 3: single order -> contributes NOTHING
+        (6, 3, pd.Timestamp("2024-03-01")),
+        # cust 4: two orders on the SAME date -> sequence by orderkey
+        (7, 4, pd.Timestamp("2024-04-01")),   # {C} first (key 7 < 8)
+        (8, 4, pd.Timestamp("2024-04-01")),   # {A} second
+    ]
+    pd.DataFrame(
+        orders, columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us")
+    li = [
+        (1, 10), (2, 20), (3, 10), (3, 11), (3, 30),
+        (4, 10), (5, 20), (9, 30),
+        (6, 20), (6, 30),
+        (7, 30), (8, 10),
+    ]
+    pd.DataFrame(li, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+
+    got = [(r.rk, r.brand_a, r.brand_b, r.support, r.confidence) for r in
+           q_seq_rules_brand_topk(spark, str(tmp_path)).orderBy("rk").collect()]
+    # pairs: A->B support 2 (c1, c2); B->A 1 (c1); B->C 2 (c1: B->{A,C}
+    # contributes B->C too? no — c1's adjacent steps are 1->2 (A->B) and
+    # 2->3 (B->A and B->C); c2's are A->B and B->C) => B->C support 2;
+    # C->A 1 (c4). antecedents: A=2 (c1 rn1, c2 rn1), B=2 (c1 rn2, c2
+    # rn2), C=1 (c4 rn1). confidences: A->B 1.0, B->C 1.0, C->A 1.0,
+    # B->A 0.5.
+    assert got == [
+        (1, "A", "B", 2, 1.0),
+        (2, "B", "C", 2, 1.0),
+        (3, "C", "A", 1, 1.0),
+        (4, "B", "A", 1, 0.5),
     ]
