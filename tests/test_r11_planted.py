@@ -88,6 +88,10 @@ known from first principles, independent of both engines).
   formation, the with-successor antecedent denominator (a single-order
   customer contributes nothing), within-order brand dedup, same-date
   sequencing by orderkey, and an exact 1/2 confidence in the ranking.
+
+* profile_orders: a five-row table pinning the profiler's aggregates —
+  n_distinct excludes nulls, numeric min/max render through the string
+  cast, non-numeric columns carry NULL ranges.
 """
 
 from __future__ import annotations
@@ -816,3 +820,37 @@ def test_seq_rules_adjacent_order_semantics(spark, tmp_path):
         (3, "C", "A", 1, 1.0),
         (4, "B", "A", 1, 0.5),
     ]
+
+
+def test_profile_orders_null_and_distinct_semantics(spark, tmp_path):
+    """profile_orders on a five-row hand-built table pinning the
+    profiler's aggregate semantics: n_distinct EXCLUDES nulls
+    (countDistinct of [7,7,7,NULL,NULL] is 1, not 2), numeric min/max
+    render through the string cast ('1.5'/'10.25', and an Int64 key
+    column stays integer-rendered), non-numeric columns carry NULL
+    min/max, and every report row shares the same n_rows."""
+    from movie_data_transformer_spark.operators.profile_queries import (
+        q_profile_orders,
+    )
+
+    d1, d2 = pd.Timestamp("2024-01-01"), pd.Timestamp("2024-02-01")
+    df = pd.DataFrame(
+        {
+            "o_orderkey": pd.array([1, 2, 3, 4, 5], dtype="Int64"),
+            "o_custkey": pd.array([7, 7, 7, None, None], dtype="Int64"),
+            "o_orderstatus": ["O", "F", "O", None, "P"],
+            "o_totalprice": [1.5, 10.25, 1.5, 2.0, 3.0],
+            "o_orderdate": [d1, d1, d2, pd.NaT, d2],
+            "o_orderpriority": ["1-URGENT", None, None, None, None],
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us")
+
+    got = {r["column"]: (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+           for r in q_profile_orders(spark, str(tmp_path)).collect()}
+    assert got["o_orderkey"] == (5, 0, 5, "1", "5")
+    assert got["o_custkey"] == (5, 2, 1, "7", "7")  # nulls out of distinct
+    assert got["o_orderstatus"] == (5, 1, 3, None, None)
+    assert got["o_totalprice"] == (5, 0, 4, "1.5", "10.25")
+    assert got["o_orderdate"] == (5, 1, 2, None, None)
+    assert got["o_orderpriority"] == (5, 4, 1, None, None)
