@@ -242,3 +242,112 @@ def test_latest_recorded_handles_absent_and_malformed(tmp_path):
     assert bench._latest_recorded(str(tmp_path)) == (None, None)
     (tmp_path / "BENCH_r1.json").write_text(json.dumps({"tail": "no json here"}))
     assert bench._latest_recorded(str(tmp_path)) == (None, None)
+
+
+def test_latest_recorded_falls_back_past_unparseable_newest(tmp_path):
+    """The r11 failure shape: the newest artifact's tail holds only a
+    mid-JSON fragment of the embedded reference baseline (no parseable
+    run), so the comparison must fall back to the next-older parseable
+    round instead of silently disabling retimes (r11 VERDICT wrong #2)."""
+    import json
+
+    bench = _load_bench()
+    inner = {"metric": "m", "value": 1.5, "unit": "sec",
+             "queries": {"q1": 1.5}, "sf": 0.1}
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"rc": 0, "sf": 0.1, "tail": json.dumps(inner)}
+    ))
+    # r11-shaped: the 2000-char tail cut mid-way through the ~11KB line,
+    # leaving an unparseable fragment
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(
+        {"rc": 0, "sf": 0.1, "parsed": None,
+         "tail": json.dumps(inner)[:-30] + ', "reference_runs": {"ro'}
+    ))
+    got, rnd = bench._latest_recorded(str(tmp_path))
+    assert rnd == 10
+    assert got["queries"] == {"q1": 1.5}
+
+
+def test_unwrap_tail_skips_queryless_metric_objects():
+    """A nested object that happens to start with a "metric" key (e.g.
+    inside an embedded reference blob) must not be mistaken for the
+    measurement: only an object carrying a "queries" dict counts, and
+    earlier occurrences are tried when the last one fails (r11 ADVICE
+    low #1)."""
+    import json
+
+    bench = _load_bench()
+    real = {"metric": "m", "value": 1.0, "unit": "sec",
+            "queries": {"q1": 1.0}, "sf": 0.1}
+    decoy = {"metric": "nested", "note": "no queries dict here"}
+    tail = json.dumps(real) + "\nlog noise " + json.dumps(decoy) + "\n"
+    got = bench._unwrap_tail(tail)
+    assert got["queries"] == {"q1": 1.0}
+    # trailing garbage after the real line must not break raw_decode
+    assert bench._unwrap_tail(json.dumps(real) + "\x1b[2K partial {") \
+        ["queries"] == {"q1": 1.0}
+    assert bench._unwrap_tail(json.dumps(decoy)) is None
+
+
+def test_latest_recorded_excludes_current_round(tmp_path):
+    """A re-run after the driver already wrote this round's artifact
+    must not compare the run against itself (r11 ADVICE low #4): rounds
+    >= exclude_round are skipped."""
+    import json
+
+    bench = _load_bench()
+    for n, t in ((11, 1.0), (12, 9.0)):
+        (tmp_path / f"BENCH_r{n}.json").write_text(json.dumps(
+            {"metric": "m", "value": t, "unit": "sec",
+             "queries": {"q1": t}, "sf": 0.1}
+        ))
+    got, rnd = bench._latest_recorded(str(tmp_path), exclude_round=12)
+    assert rnd == 11 and got["queries"] == {"q1": 1.0}
+    got, rnd = bench._latest_recorded(str(tmp_path))
+    assert rnd == 12
+
+
+def test_retime_ties_break_on_ascending_name():
+    """Equal regression ratios order by ascending query name, so a cap
+    cutting between tied entries is deterministic and conventional
+    (r11 ADVICE low #2)."""
+    bench = _load_bench()
+    prior = {"zz": 1.0, "aa": 1.0, "mm": 1.0, "big": 1.0}
+    timings = {"zz": 2.0, "aa": 2.0, "mm": 2.0, "big": 3.0}
+    assert bench._select_retimes(timings, prior) == ["big", "aa", "mm", "zz"]
+
+
+def test_reference_medians_fallback_shape():
+    """BENCH_REFERENCE.json runs collapse to per-query medians at a
+    single sf; mixed-sf references are rejected rather than blended."""
+    bench = _load_bench()
+    ref = {"round": 12, "runs": [
+        {"sf": 0.1, "queries": {"q1": 1.0, "q2": 5.0}},
+        {"sf": 0.1, "queries": {"q1": 3.0, "q2": 4.0}},
+    ]}
+    got = bench._reference_medians(ref)
+    assert got["sf"] == 0.1
+    assert got["queries"] == {"q1": 3.0, "q2": 5.0}  # upper median
+    ref["runs"][1]["sf"] = 0.01
+    assert bench._reference_medians(ref) is None
+    assert bench._reference_medians(None) is None
+    assert bench._reference_medians({"runs": []}) is None
+
+
+def test_final_line_fits_driver_tail_budget():
+    """r11 VERDICT wrong #1: the driver captures a 2000-char stdout
+    tail; the FINAL measurement line must stay under _FINAL_LINE_BUDGET
+    with the REAL headline set (representative worst-case float widths),
+    or BENCH_r{N}.json records parsed:null again."""
+    import json
+
+    bench = _load_bench()
+    timings = {name: 12.345 for name in bench.HEADLINE}
+    line = bench._slim_line(timings, 0.1, 6.28, 5.61, True, 2)
+    assert len(line) < bench._FINAL_LINE_BUDGET
+    assert bench._FINAL_LINE_BUDGET + 100 <= 2000  # margin inside capture
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["queries"] == timings
+    assert set(rec) == {"metric", "value", "unit", "queries", "sf",
+                        "loadavg_1m", "settled", "passes"}
