@@ -33,36 +33,24 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # front of this list is the round's evidence window and is re-curated per
 # round (round-2 VERDICT advice #1/#8; rotation ledger in NOTES.md).
 #
-# Round-11 window (exactly 50, verified by import): the committed r11 front
-# from NOTES.md, applied EXACTLY as written — the pre-rotation slots 51-100:
-# sql_semantics 2 + curation 16 + keyword 1 + geo_extras 1 + reliability 2
-# + analytics 9 + timeseries 7 (= all 13 remaining non-r8-addition
-# never-checked entries plus their module re-greens, incl. the two oldest
-# §2-core rows movies_file_skip and merge_metrics) + late_r6_queries first
-# 12 (its 13th entry straddles out — only the FINAL module may straddle).
-# The window rotation is purely "move the 26 r10-window modules to the
-# back"; ADDITIONALLY (tail-only, does not touch the window) the 31
-# r8-addition modules move up right behind late_r6_queries so the
-# committed r12 front is import-verifiable at slots 51-100: late_r6's
-# straddled 13th entry + 38 r8-addition entries + stateful 2 +
-# streaming_extras 2 + layout 2 + text_cleaning 3 + datasketches first 2.
-# (At r12-rotation time late_r6 rotates back atomically, so the APPLIED
-# r12 window is the 38 r8 additions + stateful/streaming_extras/layout/
-# text_cleaning/datasketches-first-3 = 50 exactly, datasketches final
-# straddler — composition pinned in NOTES.md.)
+# Round-12 window (exactly 50, verified by import): the committed r12 front
+# from NOTES.md, applied EXACTLY as written — the post-r11 slots 51-100
+# minus late_r6's straddled 13th entry (late_r6 rotates back atomically
+# with the other 7 r11-window modules): the 38 r8-addition entries
+# (semdedup 1 + rater_eval 2 + affinity 1 + seqpattern 1 + linkpred 1 +
+# isotonic 1 + blocking 1 + ranking_eval 2 + readability 2 + markov 1 +
+# dsir 2 + krippendorff 1 + zipf 2 + autocorr 1 + ks 1 + span_corruption 1
+# + psi 1 + preference 1 + embnorm 1 + psi_stream 1 + datacard 2 +
+# policy_eval 1 + asof_nearest 1 + scene_cut 1 + fertility 1 + entropy 1 +
+# contrast 1 + stemming 1 + phash 2 + vad 1 + tailindex 1) + the oldest
+# re-green pool head: stateful 2 + streaming_extras 2 + layout 2 +
+# text_cleaning 3 + datasketches first 3 of 5 = 50 EXACTLY (datasketches
+# is the FINAL module and straddles, its last 2 entries out — legal).
+# After this window executes, every registry entry has a driver row: the
+# never-checked backlog reaches ZERO.
 _MODULES: list[str] = [
-    # ---- r11 window: the committed front (50 exactly; late_r6 straddles,
-    # its 13th entry lands at slot 51) ----
-    "movie_data_transformer_spark.operators.sql_semantics_queries",
-    "movie_data_transformer_spark.operators.curation_queries",
-    "movie_data_transformer_spark.operators.keyword_queries",
-    "movie_data_transformer_spark.operators.geo_extras_queries",
-    "movie_data_transformer_spark.operators.reliability_queries",
-    "movie_data_transformer_spark.operators.analytics_queries",
-    "movie_data_transformer_spark.operators.timeseries_queries",
-    "movie_data_transformer_spark.operators.late_r6_queries",
-    # ---- r12 front staging: the 31 r8-addition modules (38 entries;
-    # driver-queued r12, moved up tail-only at the r11 rotation) ----
+    # ---- r12 window: the 31 r8-addition modules (38 entries, the last
+    # never-driver-checked set) ----
     "movie_data_transformer_spark.operators.semdedup_queries",
     "movie_data_transformer_spark.operators.rater_eval_queries",
     "movie_data_transformer_spark.operators.affinity_queries",
@@ -94,8 +82,8 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.phash_queries",
     "movie_data_transformer_spark.operators.vad_queries",
     "movie_data_transformer_spark.operators.tailindex_queries",
-    # ---- r12 re-green fillers (oldest driver rows after late_r6;
-    # datasketches is the committed r12 final straddler) ----
+    # ---- r12 re-green fillers (oldest driver rows, r07; datasketches
+    # is the committed final straddler: first 3 of its 5 entries in) ----
     "movie_data_transformer_spark.operators.stateful_queries",
     "movie_data_transformer_spark.operators.streaming_extras_queries",
     "movie_data_transformer_spark.operators.layout_queries",
@@ -184,6 +172,16 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.movie_queries",
     "movie_data_transformer_spark.operators.merge_queries",
     "movie_data_transformer_spark.operators.jsonl_queries",
+    # ---- r11 window modules (driver-green r11; newest re-greens,
+    # rotated to the back per the committed r12 plan) ----
+    "movie_data_transformer_spark.operators.sql_semantics_queries",
+    "movie_data_transformer_spark.operators.curation_queries",
+    "movie_data_transformer_spark.operators.keyword_queries",
+    "movie_data_transformer_spark.operators.geo_extras_queries",
+    "movie_data_transformer_spark.operators.reliability_queries",
+    "movie_data_transformer_spark.operators.analytics_queries",
+    "movie_data_transformer_spark.operators.timeseries_queries",
+    "movie_data_transformer_spark.operators.late_r6_queries",
 ]
 
 
