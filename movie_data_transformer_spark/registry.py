@@ -89,6 +89,23 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.layout_queries",
     "movie_data_transformer_spark.operators.text_cleaning_queries",
     "movie_data_transformer_spark.operators.datasketches_queries",
+    # ---- r13 window staging (committed r12; import-verifiable TODAY at
+    # slots 51-100 once datasketches' straddled last 2 entries are
+    # counted): the steady-state oldest-rows-first cadence — §2-core
+    # re-green movie 8 + merge 1 + jsonl 2 (last driver row r10, due
+    # <= r13 under the every-<=3-rounds rule) + the oldest modules by
+    # min driver row: tpch 22 (r03!) + grouped_extras 2 (r04) +
+    # function_packs first 15 of 18 (r04) = 50 EXACTLY at r13-rotation
+    # time (the r12-window modules move to the back atomically;
+    # function_packs is the FINAL module and straddles, its last 3
+    # entries out — legal; they lead the r14 filler with reliability 2,
+    # due r14). ----
+    "movie_data_transformer_spark.operators.movie_queries",
+    "movie_data_transformer_spark.operators.merge_queries",
+    "movie_data_transformer_spark.operators.jsonl_queries",
+    "movie_data_transformer_spark.operators.tpch_queries",
+    "movie_data_transformer_spark.operators.grouped_extras_queries",
+    "movie_data_transformer_spark.operators.function_packs",
     # ---- rest of the r6-era re-green pool ----
     "movie_data_transformer_spark.operators.privacy_queries",
     "movie_data_transformer_spark.operators.robustness_queries",
@@ -109,8 +126,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.flagship_queries",
     "movie_data_transformer_spark.streaming.streaming_queries",
     "movie_data_transformer_spark.operators.llm_queries",
-    "movie_data_transformer_spark.operators.grouped_extras_queries",
-    "movie_data_transformer_spark.operators.tpch_queries",
     # ---- r09 window modules (driver-green r09) ----
     "movie_data_transformer_spark.operators.mm_transform_extras_queries",
     "movie_data_transformer_spark.operators.sink_extras_queries",
@@ -123,7 +138,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.temporal_queries",
     "movie_data_transformer_spark.operators.profile_queries",
     "movie_data_transformer_spark.operators.lm_queries",
-    "movie_data_transformer_spark.operators.function_packs",
     # ---- r08 window modules (driver-green r08) ----
     "movie_data_transformer_spark.operators.embedding_queries",
     "movie_data_transformer_spark.operators.search_ranking_queries",
@@ -169,9 +183,6 @@ _MODULES: list[str] = [
     "movie_data_transformer_spark.operators.eval_extras_queries",
     "movie_data_transformer_spark.operators.throttle_queries",
     "movie_data_transformer_spark.operators.alerting_queries",
-    "movie_data_transformer_spark.operators.movie_queries",
-    "movie_data_transformer_spark.operators.merge_queries",
-    "movie_data_transformer_spark.operators.jsonl_queries",
     # ---- r11 window modules (driver-green r11; newest re-greens,
     # rotated to the back per the committed r12 plan) ----
     "movie_data_transformer_spark.operators.sql_semantics_queries",

@@ -47,6 +47,16 @@ and numpy.
   one week (the cross-day union must dedup), an event type outside
   view/purchase that counts nowhere, and exact
   viewers/purchasers/intersection/difference per ISO week.
+
+* running_user_totals_exact (the applyInPandasWithState surface behind
+  stream_stateful_totals, which had NO dedicated test): a hand-built
+  THREE-micro-batch stream (three parquet files, mtime-ordered,
+  maxFilesPerTrigger=1) whose per-batch update-mode emissions are
+  asserted one by one — state continuity across batches, the
+  half-UP cent rounding on exact half-cents (0.005 -> 1 cent where
+  pandas' half-even .round() gives 0), the (ts, event_id) total-order
+  tiebreak on a tied-timestamp pair, and an out-of-order LATE event
+  whose newer arrival must NOT displace the event-time latest.
 """
 
 from __future__ import annotations
@@ -309,3 +319,74 @@ def test_theta_setops_exact_planted_audience(spark, tmp_path):
     w28 = got[28]
     assert (w28.n_viewers, w28.n_purchasers) == (1, 1)
     assert (w28.n_both, w28.n_view_only, w28.n_partials) == (1, 0, 1)
+
+
+def test_stateful_totals_planted_microbatch_emissions(spark, tmp_path):
+    """Drive the exact stateful operator through a REAL three-batch
+    availableNow stream and assert every update-mode emission by hand."""
+    import os
+    import time
+
+    from movie_data_transformer_spark.streaming.stateful import (
+        running_user_totals_exact,
+    )
+
+    # batch 1 (f1): user 1 view 1.25; user 2 view 0.005 (the half-cent:
+    #   floor(0.5 + 0.5) = 1 cent — pandas half-even would emit 0);
+    #   user 4 two rows in ONE batch, ts 100 > 90 so 'a' wins in-batch.
+    # batch 2 (f2): user 1 purchase 2.50; user 2 purchase 0.015 at the
+    #   SAME ts as batch 1's view -> (ts, event_id) tiebreak: eid 11 >
+    #   10, 'purchase' takes over; user 3 appears (value 0.0); user 4
+    #   late-ish ts 95 < held 100 -> 'a' stays.
+    # batch 3 (f3): user 1 view 19.99; user 2 'click' ARRIVES last but
+    #   ts 4000 < 5000 -> event-time latest stays 'purchase'.
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    f1 = [(1, 1, 1000, "view", 1.25), (2, 10, 5000, "view", 0.005),
+          (4, 30, 100, "a", 1.00), (4, 31, 90, "b", 2.00)]
+    f2 = [(1, 2, 2000, "purchase", 2.50), (2, 11, 5000, "purchase", 0.015),
+          (3, 20, 7000, "view", 0.0), (4, 32, 95, "c", 1.00)]
+    f3 = [(1, 3, 3000, "view", 19.99), (2, 12, 4000, "click", 1.00)]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i, rows in enumerate((f1, f2, f3)):
+        p = src / f"f{i}.parquet"
+        pd.DataFrame(rows, columns=cols).to_parquet(p)
+        os.utime(p, (t0 + 10 * i, t0 + 10 * i))  # pin batch order
+
+    stream = (
+        spark.readStream.schema(
+            "user_id BIGINT, event_id BIGINT, ts BIGINT,"
+            " event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        running_user_totals_exact(stream)
+        .writeStream.format("memory")
+        .queryName("r12_stateful_planted")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select * from r12_stateful_planted"
+    ).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            (r.n_events, r.sum_value_cents, r.last_event_type)
+        )
+    for seq in per_user.values():
+        seq.sort()  # n_events is strictly increasing per user
+    # hand-derived emission ladders (cents: 125/250/1999; 1/2/100):
+    assert per_user[1] == [(1, 125, "view"), (2, 375, "purchase"),
+                           (3, 2374, "view")]
+    assert per_user[2] == [(1, 1, "view"), (2, 3, "purchase"),
+                           (3, 103, "purchase")]  # late click never wins
+    assert per_user[3] == [(1, 0, "view")]
+    assert per_user[4] == [(2, 300, "a"), (3, 400, "a")]
+    assert len(rows) == 3 + 3 + 1 + 2  # one emission per touched batch
