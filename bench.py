@@ -315,6 +315,22 @@ def _reference_medians(reference_runs):
     }
 
 
+def _reference_is_stale(reference_runs, sf: float, cur_round) -> bool:
+    """True when the checked-in BENCH_REFERENCE.json must not be used
+    as the adjudication baseline (r11 ADVICE low #3): any run recorded
+    at a different sf, or — when the caller knows the current round —
+    a reference regenerated neither this round nor last. Pure so the
+    policy is unit-testable."""
+    if not reference_runs:
+        return False
+    return any(
+        r.get("sf") != sf for r in reference_runs.get("runs", [])
+    ) or (
+        cur_round is not None
+        and reference_runs.get("round") not in (cur_round, cur_round - 1)
+    )
+
+
 def _select_retimes(
     timings: dict[str, float], prior_queries: dict[str, float]
 ) -> list[str]:
@@ -443,13 +459,7 @@ def main() -> None:
             reference_runs = None
     # r11 ADVICE low #3: a stale or wrong-sf reference must not be
     # stamped silently as the adjudication baseline.
-    reference_stale = bool(reference_runs) and (
-        any(r.get("sf") != sf for r in reference_runs.get("runs", []))
-        or (
-            cur_round is not None
-            and reference_runs.get("round") not in (cur_round, cur_round - 1)
-        )
-    )
+    reference_stale = _reference_is_stale(reference_runs, sf, cur_round)
 
     prior, prior_round = _latest_recorded(repo_dir, exclude_round=cur_round)
     if prior is None and reference_runs and not reference_stale:

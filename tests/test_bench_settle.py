@@ -334,6 +334,24 @@ def test_reference_medians_fallback_shape():
     assert bench._reference_medians({"runs": []}) is None
 
 
+def test_reference_staleness_policy():
+    """A wrong-sf run or an out-of-date regeneration round marks the
+    reference stale (r11 ADVICE low #3); the round check only engages
+    when the caller knows the current round, and same-or-previous-round
+    references are fresh (the builder regenerates in-session, so the
+    driver's run one round later still sees a fresh file)."""
+    bench = _load_bench()
+    fresh = {"round": 12, "runs": [{"sf": 0.1, "queries": {"q": 1.0}}]}
+    assert bench._reference_is_stale(fresh, 0.1, 12) is False
+    assert bench._reference_is_stale(fresh, 0.1, 13) is False  # prev round
+    assert bench._reference_is_stale(fresh, 0.1, 14) is True  # 2 rounds old
+    assert bench._reference_is_stale(fresh, 0.01, 12) is True  # wrong sf
+    assert bench._reference_is_stale(fresh, 0.1, None) is False  # no round
+    assert bench._reference_is_stale(None, 0.1, 12) is False  # no reference
+    mixed = {"round": 12, "runs": [{"sf": 0.1}, {"sf": 0.01}]}
+    assert bench._reference_is_stale(mixed, 0.1, None) is True
+
+
 def test_final_line_fits_driver_tail_budget():
     """r11 VERDICT wrong #1: the driver captures a 2000-char stdout
     tail; the FINAL measurement line must stay under _FINAL_LINE_BUDGET
