@@ -112,6 +112,17 @@ ENTRIES = [
     "agg_bitmap_distinct",  # per-(day,bucket) bitmap partials OR-merge
     "agg_approx_topk_merge",  # per-week top-k state accumulate+combine
     "events_throttle_ttl",  # greedy kept-clock sequential state
+    # round-12 additions (matrix extended r12 — the r13-front TPC-H
+    # order-sensitive subset: rank/min windows with exact-tie keeps,
+    # limit cuts under tiebreaks, cross-multiplied global thresholds,
+    # semi/anti-gated limits; the rest of the 22 are pure decimal
+    # aggregates already represented by q1)
+    "tpch_q2_min_cost_supplier",  # per-part MIN window keeps exact ties
+    "tpch_q3_shipping_priority",  # top-10 limit under (revenue, orderkey)
+    "tpch_q11_important_stock",  # global window total + strict threshold
+    "tpch_q15_top_supplier",  # rank over exact decimal, ties kept
+    "tpch_q17_small_quantity_revenue",  # per-part cross-multiplied cut
+    "tpch_q21_suppliers_who_kept_waiting",  # semi/anti pair + ordered limit
 ]
 
 
