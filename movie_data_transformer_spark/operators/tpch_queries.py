@@ -562,11 +562,24 @@ JOIN customer ON o_custkey = c_custkey
 
 
 def q_tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21: suppliers who kept orders waiting — the EXISTS / NOT EXISTS
-    pair re-expressed as left-semi + left-anti joins (adapted: "late" is
-    shipped > 60 days after order date, standing in for the missing
+    """Q21: suppliers who kept orders waiting (adapted: "late" is shipped
+    > 60 days after order date, standing in for the missing
     commit/receipt dates; multi-supplier orders with status 'F' where
-    ONLY this supplier was late)."""
+    ONLY this supplier was late).
+
+    The EXISTS / NOT EXISTS pair is computed over ONE pass of the
+    order-line relation: a late line qualifies iff its order has a
+    second distinct supplier (any line) and exactly one distinct LATE
+    supplier (necessarily this one, since the line itself is late) —
+    both are `size(collect_set(...))` over an l_orderkey window, so the
+    whole per-order logic costs one shuffle on l_orderkey. The prior
+    form semi-joined l1 against l2 and anti-joined against l3, i.e.
+    THREE scans of lineitem+orders and two sort-merge self-joins — at
+    100 TB that is two extra passes over the fact table for information
+    the single window already has. Set state per order is bounded by
+    suppliers-per-order (a small constant), so the window cannot skew.
+    supplier/nation broadcast; the top-20 is a TakeOrdered, never a
+    global sort."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
     f_orders = o.filter(F.col("o_orderstatus") == "F")
@@ -579,14 +592,18 @@ def q_tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> D
             F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
         ).alias("is_late"),
     )
-    l1 = lines.filter(F.col("is_late"))
-    l2 = lines.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    cand = l1.join(
-        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
-    )
-    sole = cand.join(
-        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        lines.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)

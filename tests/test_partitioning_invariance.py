@@ -122,7 +122,7 @@ ENTRIES = [
     "tpch_q11_important_stock",  # global window total + strict threshold
     "tpch_q15_top_supplier",  # rank over exact decimal, ties kept
     "tpch_q17_small_quantity_revenue",  # per-part cross-multiplied cut
-    "tpch_q21_suppliers_who_kept_waiting",  # semi/anti pair + ordered limit
+    "tpch_q21_suppliers_who_kept_waiting",  # per-order set windows + ordered limit
 ]
 
 

@@ -50,17 +50,18 @@ def test_q17_correlated_subquery_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_semi_anti_no_cartesian(spark, sf_dir):
-    # EXISTS / NOT EXISTS become LeftSemi / LeftAnti hash joins on the
-    # order key (theta condition on suppkey rides along) — never a
-    # cartesian product
+def test_q21_set_window_no_cartesian(spark, sf_dir):
+    # EXISTS / NOT EXISTS are computed as collect_set sizes over the
+    # l_orderkey window (one pass of the order-line relation, no
+    # semi/anti self-joins) — never a cartesian product
     plan = (
         q_tpch_q21_suppliers_who_kept_waiting(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Window" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -66,3 +66,19 @@ def test_q15_returns_the_argmax(spark, sf_dir):
     rows = q_tpch_q15_top_supplier(spark, sf_dir).collect()
     assert len(rows) >= 1
     assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_q21_single_fact_pass_and_takeordered(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair must come from the l_orderkey window,
+    # not self-joins: exactly one scan of each fact table, no sort-merge
+    # self-join, and the top-20 as a TakeOrdered (never a global sort)
+    from movie_data_transformer_spark.operators.tpch_queries import (
+        q_tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    plan = _plan(q_tpch_q21_suppliers_who_kept_waiting(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan and "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
