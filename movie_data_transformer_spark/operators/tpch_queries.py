@@ -188,14 +188,29 @@ LIMIT 20
 
 def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: order priority checking — orders with at least one line shipped
-    over 60 days after the order date (EXISTS -> left-semi)."""
+    over 60 days after the order date.
+
+    The EXISTS rides the join shuffle instead of a second pass: orders
+    join lineitem ONCE on the order key, then a per-order `max(is_late)`
+    aggregation reuses that HashPartitioning(o_orderkey) — it satisfies
+    the groupBy's clustered distribution, so the any-late reduction
+    costs ZERO extra shuffles. The prior form re-joined the distinct
+    late order keys back against a SECOND scan of orders (left-semi),
+    i.e. orders scanned and shuffled twice. An order with no lines
+    cannot satisfy the EXISTS, so the inner join preserves semantics;
+    the final by-priority count shuffles only one row per order."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
-        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60
+    joined = o.select("o_orderkey", "o_orderdate", "o_orderpriority").join(
+        li.select("l_orderkey", "l_shipdate"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    per_order = joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.max(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 60
+        ).alias("any_late")
     )
     return (
-        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        per_order.filter(F.col("any_late"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

@@ -68,6 +68,30 @@ def test_q15_returns_the_argmax(spark, sf_dir):
     assert len({r["total_revenue"] for r in rows}) == 1
 
 
+def test_q4_exists_rides_the_join_shuffle(spark, sf_dir):
+    # the EXISTS must come from a per-order max(is_late) aggregation on
+    # the orders⋈lineitem join — one scan per fact, no second semi-join
+    # pass; with broadcast off, the per-order agg must NOT add an
+    # exchange beyond the join's two and the final by-priority rollup
+    from movie_data_transformer_spark.operators.tpch_queries import (
+        q_tpch_q4_order_priority,
+    )
+
+    plan = _plan(q_tpch_q4_order_priority(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "LeftSemi" not in plan
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        wide = _plan(q_tpch_q4_order_priority(spark, sf_dir))
+        assert wide.count("Exchange hashpartitioning") == 3
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+
+
 def test_q21_single_fact_pass_and_takeordered(spark, sf_dir):
     # the EXISTS/NOT-EXISTS pair must come from the l_orderkey window,
     # not self-joins: exactly one scan of each fact table, no sort-merge
