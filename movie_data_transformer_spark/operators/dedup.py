@@ -853,7 +853,10 @@ def containment_pairs(
         F.col("lang"),
         F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle"),
     )
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # consumed twice (both sides of the size join below) — the per-doc
+    # counts are doc-grain and two columns, cheap to cache, and each
+    # uncached reference would re-tokenize the whole corpus
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh")).persist()
     rare = (
         shingled.groupBy("lang", "shingle")
         .agg(F.count("*").alias("_df"))

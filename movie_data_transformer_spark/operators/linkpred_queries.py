@@ -88,8 +88,14 @@ def predicted_links(
 
 def q_graph_title_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = item_similarities(interactions(spark, sf_dir))
-    edges = sims.filter(F.col("jaccard_micro") >= EDGE_MICRO).selectExpr(
-        "movie_src AS src", "movie_dst AS dst"
+    # persisted: predicted_links references the adjacency six ways
+    # (degree table, through-z generation, the non-adjacency anti-join,
+    # both degree joins) — without the cache each reference re-runs the
+    # whole similarity model build above
+    edges = (
+        sims.filter(F.col("jaccard_micro") >= EDGE_MICRO)
+        .selectExpr("movie_src AS src", "movie_dst AS dst")
+        .persist()
     )
     return (
         predicted_links(edges)

@@ -101,12 +101,17 @@ def item_similarities(
     # traversal of the watch-table subtree (bench: 2.6s -> 1.8s at sf0.1)
     from pyspark.sql.window import Window as _W
 
+    # persisted: consumed three ways below (sizes + both self-join
+    # sides), and every reference would otherwise re-scan events and
+    # re-run the distinct + cap window — the compact (customer, title)
+    # pair table is exactly the thing to cache, not its lineage
     watched = (
         watched.withColumn(
             "_w", F.count("*").over(_W.partitionBy("customerId"))
         )
         .filter(F.col("_w") <= max_watchlist)
         .drop("_w")
+        .persist()
     )
     sizes = watched.groupBy("movieId").agg(F.count("*").alias("n"))
     a = watched.select("customerId", F.col("movieId").alias("movie_a"))
@@ -131,6 +136,10 @@ def item_similarities(
             "movie_b",
             "CAST(n_co * 1000000 div (n_a + n_b - n_co) AS BIGINT) AS jaccard_micro",
         )
+        # persisted: the direction-union below reads pairs twice, and the
+        # co-watch self-join + size joins above are the expensive stages
+        # of the whole model build — the undirected model table is tiny
+        .persist()
     )
     return pairs.selectExpr(
         "movie_a AS movie_src", "movie_b AS movie_dst", "jaccard_micro"
@@ -201,7 +210,9 @@ WHERE sim_rank <= 3
 
 
 def q_movies_recommend_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    watched = interactions(spark, sf_dir)
+    # persisted: referenced by the model build, the scoring join, AND
+    # the seen-title anti-join — one events scan instead of three
+    watched = interactions(spark, sf_dir).persist()
     sims = item_similarities(watched)
     scored = (
         watched.join(sims, watched.movieId == sims.movie_src)
@@ -272,7 +283,11 @@ def q_recsys_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     watchlists, broadcastable truncated model) plus a per-user argmax
     for the holdout — nothing new shuffles; the eval join is
     1-row-per-user against the top-3 table."""
-    watched = interactions(spark, sf_dir)
+    # watched feeds the holdout argmax and the train anti-join; train
+    # feeds the model build, the scoring join, and the unseen anti-join
+    # — persist both so the events scan and the holdout split each run
+    # once instead of per-consumer
+    watched = interactions(spark, sf_dir).persist()
     holdout = watched.groupBy("customerId").agg(
         F.max("movieId").alias("held_movie"),
         F.count("*").alias("_n"),
@@ -281,7 +296,7 @@ def q_recsys_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         holdout.withColumnRenamed("held_movie", "movieId"),
         ["customerId", "movieId"],
         "left_anti",
-    )
+    ).persist()
     sims = item_similarities(train)
     scored = (
         train.join(sims, train.movieId == sims.movie_src)
