@@ -549,6 +549,12 @@ def exact_substr_runs(
             ).alias("w"),
         )
         .select("doc_id", "w.pos", "w.wh")
+        # persisted: consumed four ways (df pass, semi-join input, both
+        # position-join sides) and each uncached reference re-runs the
+        # window explode + an md5 per window — the dominant map cost.
+        # Unlike ppjoin's text shingles, the cached rows are two ints
+        # and a fixed-width digest, not raw token text
+        .persist()
     )
     rare = (
         wins.groupBy("wh")

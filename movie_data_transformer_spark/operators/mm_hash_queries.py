@@ -224,7 +224,12 @@ def q_mm_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = synthesize_bmp_media(docs.filter(F.col("doc_id") < 50)).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "content"
     )
-    fps = dhash_rows(media.unionByName(copies))
+    # persisted: the fingerprint table is consumed by the pair
+    # generator, the keep anti-join, and the per-dimension totals —
+    # without the cache each consumer re-runs the Arrow-batched BMP
+    # synthesize + decode, the most expensive stage of the pipeline;
+    # the cached rows are five scalars per image
+    fps = dhash_rows(media.unionByName(copies)).persist()
     pairs = dhash_near_pairs(fps, max_bucket_size=MAX_BUCKET)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept_flag = fps.join(dropped, "doc_id", "left_anti")

@@ -66,8 +66,14 @@ def _recall_row(ann: DataFrame, base: DataFrame, method: str) -> DataFrame:
 
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    base = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    # queries feeds the brute-force baseline AND all three ANN method
+    # pipelines; base is joined by each of the three recall rows — both
+    # are tiny (2% sample / n_queries x k pairs), so persisting them
+    # runs the shared scan + exact top-k once instead of per-method
+    queries = emb.filter(F.col("vec_id") % 50 == 0).persist()
+    base = (
+        brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id").persist()
+    )
     parts = [
         _recall_row(ivf_topk(emb, queries, k=5, nprobe=2), base, "ivf"),
         _recall_row(lsh_bucket_topk(emb, queries, k=5, n_planes=4), base, "lsh"),
