@@ -805,7 +805,10 @@ def ngram_jaccard_pairs(
         (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
         F.explode(word_shingles(normalize_text(F.col(text_col)), n)).alias("shingle"),
     )
-    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # consumed twice (both sides of the size join below) — doc-grain
+    # counts, cheap to cache; each uncached reference re-tokenizes the
+    # corpus (the containment lesson)
+    sizes = blocked.groupBy("doc_id").agg(F.count("*").alias("n_sh")).persist()
     a = blocked.select(
         F.col("doc_id").alias("doc_a"), "lang", "len_bucket", "shingle"
     )

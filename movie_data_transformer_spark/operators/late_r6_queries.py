@@ -822,7 +822,12 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("_win_toks")
     leads = ", ".join(f"lead(tok, {j}) OVER w AS t{j}" for j in range(1, WIN_K))
     gram = ", ".join(["tok"] + [f"t{j}" for j in range(1, WIN_K)])
-    return spark.sql(
+    # the fingerprint table is computed as its own persisted DataFrame:
+    # SQL CTEs are inlined, so leaving fps inside the WITH re-ran the
+    # posexplode + both per-doc window passes FOUR times (the df pass
+    # plus both self-join sides through kept) — cached rows are two
+    # integers per selected fingerprint
+    fps = spark.sql(
         f"""
         WITH posed AS (
             SELECT doc_id, p.pos + 1 AS pos, p.tok
@@ -853,13 +858,16 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                        AS wpos
             FROM keyed
-        ),
-        fps AS (
-            SELECT DISTINCT doc_id, sel_key DIV {_POS_MOD} AS h
-            FROM winmin WHERE wpos >= {WIN_W}
-        ),
-        rare AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 100),
-        kept AS (SELECT fps.* FROM fps JOIN rare USING (h))
+        )
+        SELECT DISTINCT doc_id, sel_key DIV {_POS_MOD} AS h
+        FROM winmin WHERE wpos >= {WIN_W}
+        """
+    ).persist()
+    fps.createOrReplaceTempView("_win_fps")
+    return spark.sql(
+        """
+        WITH rare AS (SELECT h FROM _win_fps GROUP BY h HAVING count(*) <= 100),
+        kept AS (SELECT f.* FROM _win_fps f JOIN rare USING (h))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_shared_fps
         FROM kept a JOIN kept b
