@@ -239,58 +239,65 @@ def q_dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       compliance    - o_totalprice > 0; o_orderdate within [1990, 2005)
       referential   - o_custkey resolves against the customer dimension
 
-    All metrics come from ONE pass over orders (conditional aggregates
-    fused into a single scan-side aggregation; uniqueness from a
-    key-grain pre-agg riding the same shuffle; the FK check is a
-    broadcast left-anti count) — the scan-once shape Deequ compiles its
-    analyzers to, which is what makes a 100 TB contract check one job,
-    not one job per rule."""
+    All metrics come from ONE pass over orders: the FK check is a
+    broadcast left join whose orphan flag rides the scan, every
+    row-grain count is a conditional partial in a key-grain pre-agg
+    (which is ALSO the uniqueness check), and one 1-row rollup of the
+    pre-agg feeds a literal-array explode into the report rows — the
+    scan-once shape Deequ compiles its analyzers to, which is what
+    makes a 100 TB contract check one job, not one job per rule. (The
+    naive CTE form — separate base/uniq/fk CTEs with base referenced by
+    five UNION ALL branches — inlines to SEVEN scans of orders; plan
+    pinned to one in tests/test_curation_extras.py.)"""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_dq_orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("_dq_customer")
     return spark.sql(
         """
-        WITH base AS (
-            SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(count(o_custkey) AS BIGINT) AS nn_cust,
-                   CAST(count(o_orderdate) AS BIGINT) AS nn_date,
-                   CAST(count(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
-                        > 0 THEN 1 END) AS BIGINT) AS pos_price,
-                   CAST(count(CASE WHEN year(o_orderdate) >= 1990
-                        AND year(o_orderdate) < 2005 THEN 1 END) AS BIGINT)
-                       AS in_range
-            FROM _dq_orders
+        WITH keyed AS (
+            SELECT o.o_orderkey,
+                   count(*) AS c,
+                   count(o.o_custkey) AS nn_cust,
+                   count(o.o_orderdate) AS nn_date,
+                   count(CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                        > 0 THEN 1 END) AS pos_price,
+                   count(CASE WHEN year(o.o_orderdate) >= 1990
+                        AND year(o.o_orderdate) < 2005 THEN 1 END)
+                       AS in_range,
+                   count(CASE WHEN k.c_custkey IS NULL THEN 1 END)
+                       AS orphans
+            FROM _dq_orders o
+            LEFT JOIN _dq_customer k ON o.o_custkey = k.c_custkey
+            GROUP BY o.o_orderkey
         ),
-        uniq AS (
-            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        onerow AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(nn_cust) AS BIGINT) AS nn_cust,
+                   CAST(sum(nn_date) AS BIGINT) AS nn_date,
+                   CAST(sum(pos_price) AS BIGINT) AS pos_price,
+                   CAST(sum(in_range) AS BIGINT) AS in_range,
                    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS unique_keys
-            FROM (SELECT o_orderkey, count(*) AS c
-                  FROM _dq_orders GROUP BY o_orderkey)
-        ),
-        fk AS (
-            SELECT CAST(count(*) AS BIGINT) AS orphans
-            FROM _dq_orders o LEFT ANTI JOIN _dq_customer c
-              ON o.o_custkey = c.c_custkey
+                       AS unique_keys,
+                   CAST(sum(orphans) AS BIGINT) AS orphans
+            FROM keyed
         ),
         report AS (
-            SELECT 'completeness:o_custkey' AS expectation,
-                   nn_cust AS passed, n - nn_cust AS failed, n FROM base
-            UNION ALL
-            SELECT 'completeness:o_orderdate', nn_date, n - nn_date, n
-            FROM base
-            UNION ALL
-            SELECT 'compliance:o_totalprice>0', pos_price, n - pos_price, n
-            FROM base
-            UNION ALL
-            SELECT 'compliance:orderdate_in_range', in_range, n - in_range, n
-            FROM base
-            UNION ALL
-            SELECT 'uniqueness:o_orderkey',
-                   unique_keys, n_rows - unique_keys, n_rows FROM uniq
-            UNION ALL
-            SELECT 'referential:o_custkey->customer',
-                   b.n - f.orphans, f.orphans, b.n
-            FROM base b CROSS JOIN fk f
+            SELECT r.expectation, r.passed, r.failed, r.n
+            FROM onerow
+            LATERAL VIEW explode(array(
+                named_struct('expectation', 'completeness:o_custkey',
+                    'passed', nn_cust, 'failed', n - nn_cust, 'n', n),
+                named_struct('expectation', 'completeness:o_orderdate',
+                    'passed', nn_date, 'failed', n - nn_date, 'n', n),
+                named_struct('expectation', 'compliance:o_totalprice>0',
+                    'passed', pos_price, 'failed', n - pos_price, 'n', n),
+                named_struct('expectation', 'compliance:orderdate_in_range',
+                    'passed', in_range, 'failed', n - in_range, 'n', n),
+                named_struct('expectation', 'uniqueness:o_orderkey',
+                    'passed', unique_keys, 'failed', n - unique_keys,
+                    'n', n),
+                named_struct('expectation', 'referential:o_custkey->customer',
+                    'passed', n - orphans, 'failed', orphans, 'n', n)
+            )) t AS r
         )
         SELECT expectation, passed, failed,
                CAST(passed * 1000000 DIV n AS DOUBLE) / 1000000 AS pass_rate,

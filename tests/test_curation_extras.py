@@ -126,6 +126,27 @@ def test_dq_constraint_report_clean(spark, sf_dir):
     assert not audit_plan(df).has_cartesian
 
 
+def test_dq_expectations_single_orders_scan(spark, sf_dir):
+    # the Deequ-shape contract: ALL six expectations from ONE scan of
+    # orders (FK orphan flag rides the scan via a broadcast left join,
+    # row-grain counts are partials of the key-grain uniqueness
+    # pre-agg) — the naive base/uniq/fk CTE form inlined to seven scans
+    from movie_data_transformer_spark.operators.dq_extras_queries import (
+        q_dq_expectations_report,
+    )
+
+    df = q_dq_expectations_report(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    rows = {r.expectation: r for r in df.collect()}
+    assert len(rows) == 6
+    # the synthetic feed is clean: every expectation passes at rate 1
+    for r in rows.values():
+        assert r.ok == 1 and r.failed == 0 and r.pass_rate == 1.0, r
+
+
 def test_ngram_contamination_catches_planted_copies(spark, sf_dir):
     """Every planted exact copy (+200000) long enough to have >= 5 word
     8-grams must be flagged against its source benchmark doc, sharing
