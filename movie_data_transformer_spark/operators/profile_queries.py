@@ -41,50 +41,68 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality expectations, evaluated as one report:
     key uniqueness, column completeness, referential integrity, and a
     domain constraint — each row is (constraint, n_checked, n_violations,
-    passed). Every check is a plain aggregate or anti-join count, so the
-    whole suite is a handful of scans Catalyst can share; at 100 TB each
-    FK check is one broadcast/shuffle anti-join, and the report shape is
-    fixed-size regardless of data volume."""
+    passed). The suite compiles to THREE fact scans total: one scan of
+    orders carries uniqueness + completeness + the customer FK (the
+    orphan flag rides a broadcast left join, the three counts are
+    partials of one aggregate), one scan of lineitem carries its FK +
+    domain bounds the same way (the orders keys shuffle-join at scale —
+    that side is the second, key-only orders scan), and the fixed-size
+    report explodes from the two 1-row aggregates. The naive
+    one-aggregate-per-rule form scanned orders five times and lineitem
+    three."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
 
-    uniq = o.agg(
-        F.count("*").alias("n_checked"),
-        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
-    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_checked", "n_violations")
-
-    complete = o.agg(
-        F.count("*").alias("n_checked"),
-        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations"),
-    ).select(F.lit("orders_custkey_complete").alias("check_name"), "n_checked", "n_violations")
-
-    fk_oc = (
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-        .crossJoin(o.agg(F.count("*").alias("n_checked")))
-        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_checked", "n_violations")
+    o_agg = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("dups"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphans"),
+        )
     )
-
-    fk_lo = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-        .crossJoin(li.agg(F.count("*").alias("n_checked")))
-        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "n_checked", "n_violations")
+    li_agg = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("_ok")).distinct(),
+            li.l_orderkey == F.col("_ok"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_li"),
+            F.count(F.when(F.col("_ok").isNull(), 1)).alias("fk_viol"),
+            F.count(
+                F.when(
+                    (F.col("l_quantity") <= 0)
+                    | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1),
+                    1,
+                )
+            ).alias("domain_viol"),
+        )
     )
-
-    domain = li.agg(
-        F.count("*").alias("n_checked"),
-        F.count(
-            F.when((F.col("l_quantity") <= 0) | (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
-        ).alias("n_violations"),
-    ).select(F.lit("lineitem_domain_bounds").alias("check_name"), "n_checked", "n_violations")
-
     return (
-        uniq.unionByName(complete)
-        .unionByName(fk_oc)
-        .unionByName(fk_lo)
-        .unionByName(domain)
+        o_agg.crossJoin(li_agg)
+        .selectExpr(
+            """explode(array(
+                named_struct('check_name', 'orders_pk_unique',
+                    'n_checked', n, 'n_violations', dups),
+                named_struct('check_name', 'orders_custkey_complete',
+                    'n_checked', n, 'n_violations', null_cust),
+                named_struct('check_name', 'orders_custkey_fk',
+                    'n_checked', n, 'n_violations', orphans),
+                named_struct('check_name', 'lineitem_orderkey_fk',
+                    'n_checked', n_li, 'n_violations', fk_viol),
+                named_struct('check_name', 'lineitem_domain_bounds',
+                    'n_checked', n_li, 'n_violations', domain_viol)
+            )) AS r"""
+        )
+        .select("r.check_name", "r.n_checked", "r.n_violations")
         .withColumn("passed", F.col("n_violations") == 0)
     )
 

@@ -124,6 +124,12 @@ def test_dq_constraint_report_clean(spark, sf_dir):
     assert rows["orders_pk_unique"].n_checked == o_n
     assert rows["lineitem_orderkey_fk"].n_checked == li_n
     assert not audit_plan(df).has_cartesian
+    # three fact scans total: one full orders scan (uniqueness +
+    # completeness + customer-FK partials fused), a key-only orders
+    # scan for the lineitem FK join, one lineitem scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 2
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_dq_expectations_single_orders_scan(spark, sf_dir):
