@@ -126,8 +126,15 @@ def test_dq_constraint_report_clean(spark, sf_dir):
     assert not audit_plan(df).has_cartesian
     # three fact scans total: one full orders scan (uniqueness +
     # completeness + customer-FK partials fused), a key-only orders
-    # scan for the lineitem FK join, one lineitem scan
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scan for the lineitem FK join, one lineitem scan. After the
+    # collect above the AQE plan string repeats the tree under
+    # '== Initial Plan ==' — count the final section only
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
     assert plan.count("orders.parquet") == 2
     assert plan.count("lineitem.parquet") == 1
 
