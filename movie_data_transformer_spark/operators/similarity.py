@@ -529,7 +529,11 @@ def pq_topk(
     (sub, cid) — the only big shuffle is the groupBy(query_id, neighbor_id)
     sum, on rows of 3 ints. Full vectors are touched only for Q*rerank*k
     candidate pairs."""
-    codebooks = pq_train_codebooks(corpus, m=m, ks=ks, dim=dim, vec_col=vec_col)
+    # persisted: the m*ks-row codebook table is consumed by BOTH the
+    # encode pass and the per-query ADC table build — uncached, each
+    # re-runs the whole training derivation (seed + Lloyd step) over
+    # the corpus
+    codebooks = pq_train_codebooks(corpus, m=m, ks=ks, dim=dim, vec_col=vec_col).persist()
     codes = pq_encode(corpus, codebooks, m=m, dim=dim, vec_col=vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     qsubs = _subvectors(
