@@ -572,7 +572,10 @@ def q_assoc_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold ~4 items), never |items|^2; item counts and the basket total
     hang off the aggregated tables and broadcast back."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the distinct basket table (two ints per row) feeds both
+    # self-join sides, the item counts, and the basket total — uncached,
+    # each consumer re-scans lineitem and re-runs the distinct shuffle
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
     a = baskets.selectExpr("l_orderkey", "l_partkey AS p1")
     b = baskets.selectExpr("l_orderkey", "l_partkey AS p2")
     c12 = (

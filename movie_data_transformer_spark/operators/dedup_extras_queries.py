@@ -391,9 +391,12 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"lead(doc_id, {j}) OVER w AS id_{j}, lead(ntext, {j}) OVER w AS tx_{j}"
         for j in range(1, SN_WINDOW + 1)
     )
-    pairs_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id AS id_a, ntext AS tx_a, id_{j} AS id_b, tx_{j} AS tx_b"
-        f" FROM led WHERE id_{j} IS NOT NULL"
+    # ONE reference to the sorted relation: the w successors explode
+    # from a struct array built in the same projection — the previous
+    # UNION ALL form re-read the led CTE per window offset, and Spark
+    # inlines CTEs, so the global sort ran SN_WINDOW times
+    succ_array = ", ".join(
+        f"named_struct('id_b', id_{j}, 'tx_b', tx_{j})"
         for j in range(1, SN_WINDOW + 1)
     )
     return spark.sql(
@@ -403,7 +406,12 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM _sn_docs
             WINDOW w AS (ORDER BY ntext, doc_id)
         ),
-        cand AS ({pairs_union}),
+        cand AS (
+            SELECT doc_id AS id_a, ntext AS tx_a, s.id_b, s.tx_b
+            FROM led
+            LATERAL VIEW explode(array({succ_array})) t AS s
+            WHERE s.id_b IS NOT NULL
+        ),
         verified AS (
             SELECT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b,
                    CAST(size(array_intersect(ta, tb)) AS BIGINT) AS n_inter,
