@@ -872,21 +872,12 @@ def q_seq_rules_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).persist()
     baskets.createOrReplaceTempView("_sq_baskets")
+    # nested subqueries, NOT a WITH: a persisted temp view referenced
+    # from inside a non-trivial CTE definition is not substituted with
+    # its InMemoryRelation on Spark 4.1 (the winnowing probe,
+    # late_r6_queries.py) — this persist was silently dead in CTE form
     return spark.sql(
         f"""
-        WITH baskets AS (SELECT * FROM _sq_baskets),
-        pairs AS (
-            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
-                   CAST(count(*) AS BIGINT) AS support
-            FROM baskets a JOIN baskets b
-              ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
-            GROUP BY 1, 2
-        ),
-        antecedent AS (
-            SELECT p_brand AS brand_a, CAST(count(*) AS BIGINT) AS n_ant
-            FROM baskets WHERE rn < n_orders
-            GROUP BY 1
-        )
         SELECT brand_a, brand_b, support,
                CAST(support * 1000000 DIV n_ant AS DOUBLE) / 1000000
                    AS confidence,
@@ -896,7 +887,18 @@ def q_seq_rules_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY
                        support * 1000000 DIV n_ant DESC,
                        support DESC, brand_a ASC, brand_b ASC) AS rk
-            FROM pairs p JOIN antecedent a USING (brand_a)
+            FROM (
+                SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                       CAST(count(*) AS BIGINT) AS support
+                FROM _sq_baskets a JOIN _sq_baskets b
+                  ON b.o_custkey = a.o_custkey AND b.rn = a.rn + 1
+                GROUP BY 1, 2
+            ) p
+            JOIN (
+                SELECT p_brand AS brand_a, CAST(count(*) AS BIGINT) AS n_ant
+                FROM _sq_baskets WHERE rn < n_orders
+                GROUP BY 1
+            ) a USING (brand_a)
         )
         WHERE rk <= {SEQ_TOP}
         """

@@ -864,13 +864,18 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).persist()
     fps.createOrReplaceTempView("_win_fps")
+    # nested subqueries, NOT a WITH: on Spark 4.1 a persisted temp view
+    # referenced from inside a CTE definition is NOT substituted with
+    # its InMemoryRelation (probed: plain/self-join refs substitute,
+    # any CTE-wrapped ref silently recomputes the full lineage)
+    kept = """(SELECT f.* FROM _win_fps f
+               JOIN (SELECT h FROM _win_fps
+                     GROUP BY h HAVING count(*) <= 100) r USING (h))"""
     return spark.sql(
-        """
-        WITH rare AS (SELECT h FROM _win_fps GROUP BY h HAVING count(*) <= 100),
-        kept AS (SELECT f.* FROM _win_fps f JOIN rare USING (h))
+        f"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_shared_fps
-        FROM kept a JOIN kept b
+        FROM {kept} a JOIN {kept} b
           ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
