@@ -829,3 +829,28 @@ def test_duplicate_payment_screen_recovers_planted_set(spark, sf_dir):
     for k in planted:
         assert (k, k + 100000000) in got, k
         assert got[(k, k + 100000000)] == (1, 0)
+
+
+def test_persisted_fork_points_substitute_into_plans(spark, sf_dir):
+    """Spark 4.1 regression guard: a persisted temp view referenced from
+    inside a non-trivial CTE definition is NOT replaced with its
+    InMemoryRelation — the persist is silently dead (winnowing and
+    seq_rules shipped that way; both now use nested subqueries). Assert
+    the cache actually lands in the physical plan for every entry whose
+    consumer SQL goes through a persisted view."""
+    from movie_data_transformer_spark.operators.analytics_extras_queries import (
+        q_seq_rules_brand_topk,
+    )
+    from movie_data_transformer_spark.operators.late_r6_queries import (
+        q_dedup_winnowing_pairs,
+    )
+
+    for fn in (q_dedup_winnowing_pairs, q_seq_rules_brand_topk):
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "InMemoryTableScan" in plan, fn.__name__
