@@ -33,11 +33,18 @@ aliases also survive. Rewrite the consumer SQL with nested subqueries
 
 Usage:
     python tools/scan_audit.py [sf_dir] [min_scans]
+    python tools/scan_audit.py --prune [sf_dir]
 defaults: /root/testdata/sf0.001, 4
+
+--prune runs the column-pruning axis instead: flags any FileScan of a
+fact table whose ReadSchema carries the table's full column width (a
+projection that never reached the scan). Clean result = 0 flagged
+(measured clean across all 391 entries in r12).
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -50,13 +57,51 @@ FACTS = [
     "embeddings.parquet",
 ]
 
+#: full column counts per fact table — a scan at this width is unpruned
+FACT_WIDTHS = {
+    "lineitem": 16,
+    "orders": 9,
+    "events": 6,
+    "documents": 6,
+    "embeddings": 3,
+}
+
+
+def prune_audit(sf_dir: str) -> int:
+    from movie_data_transformer_spark import registry
+    from movie_data_transformer_spark.session import get_spark
+
+    spark = get_spark("prune-audit")
+    flagged = set()
+    for name, fn in registry.spark_queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - diagnostic tool
+            print(f"ERR  {name}: {str(exc)[:80]}")
+            continue
+        for m in re.finditer(
+            r"FileScan parquet \[([^\]]*)\][^\n]*?Location[^\n]*?/(\w+)\.parquet", plan
+        ):
+            cols = [c for c in m.group(1).split(", ") if c]
+            tbl = m.group(2)
+            w = FACT_WIDTHS.get(tbl)
+            if w and len(cols) >= w:
+                flagged.add((name, tbl, len(cols)))
+    for row in sorted(flagged):
+        print(row)
+    print(f"PRUNE AUDIT DONE: {len(flagged)} full-width fact scans")
+    return 0
+
 
 def main() -> int:
     from movie_data_transformer_spark import registry
     from movie_data_transformer_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    min_scans = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = sys.argv[1:]
+    if args and args[0] == "--prune":
+        return prune_audit(args[1] if len(args) > 1 else "/root/testdata/sf0.001")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    min_scans = int(args[1]) if len(args) > 1 else 4
 
     spark = get_spark("scan-audit")
     flagged = []
