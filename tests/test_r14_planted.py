@@ -1,9 +1,10 @@
-"""Planted-truth gates for the r14-front llm-pool entries that until now
-rested on the oracle differential alone: `text_rolling_hash` and
-`text_fingerprint` (ZERO dedicated tests before this file). Every
-expected value is derivable by hand (the small rolling-hash literals
-are worked in comments) or from the standard library (hashlib for the
-md5 fingerprint) — independent of BOTH engines.
+"""Planted-truth gates for r14-front llm-pool entries that until now
+rested on the oracle differential alone: `text_rolling_hash`,
+`text_fingerprint`, `text_lang_id`, and `text_quality_scores` (ZERO
+dedicated tests before this file). Every expected value is derivable
+by hand (the small rolling-hash literals and all the floor-micro
+ratios are worked in comments) or from the standard library (hashlib
+for the md5 fingerprint) — independent of BOTH engines.
 """
 
 from __future__ import annotations
@@ -110,3 +111,67 @@ def test_fingerprint_collapse_is_part_of_the_identity(spark):
     by_id = {r.doc_id: r.fp_md5 for r in df.collect()}
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[3]
+
+
+def test_language_id_planted_scores_and_tiebreaks(spark):
+    """Marker-count language ID: scores counted by hand, plus the two
+    tie semantics — 'la' sits in BOTH the es and fr profiles, and the
+    documented tie order (de -> en -> es -> fr) must pick es; a text
+    with NO markers anywhere ties all scores at zero and must fall to
+    de, the first arm of the chain."""
+    from movie_data_transformer_spark.operators.text import language_id
+
+    rows = [
+        (1, "the cat and the dog of to a"),  # en: the*2+and+of+to+a = 6
+        (2, "la"),  # es 1, fr 1 -> tie -> es
+        (3, "xyz qwerty"),  # all zero -> de
+        (4, "der der der"),  # duplicates count: de = 3
+        (5, "le les des et"),  # fr = 4, nothing else scores
+    ]
+    got = {
+        r.doc_id: r
+        for r in language_id(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert (got[1].score_en, got[1].pred_lang) == (6, "en")
+    assert (got[2].score_es, got[2].score_fr, got[2].pred_lang) == (1, 1, "es")
+    assert (
+        got[3].score_de,
+        got[3].score_en,
+        got[3].score_es,
+        got[3].score_fr,
+        got[3].pred_lang,
+    ) == (0, 0, 0, 0, "de")
+    assert (got[4].score_de, got[4].pred_lang) == (3, "de")
+    assert (got[5].score_fr, got[5].pred_lang) == (4, "fr")
+
+
+def test_quality_scores_planted_floor_micro(spark):
+    """Every ratio hand-derived in exact floor micro-units. The
+    stopword case is the floor-vs-round discriminator: 4 of 6 tokens
+    are stopwords and floor(4e6/6) = 666666, where any HALF_UP
+    reimplementation would say 666667."""
+    from movie_data_transformer_spark.operators.text import quality_scores
+
+    rows = [
+        (1, "Ab, cd!"),
+        (2, "the fish is in a net"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in quality_scores(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    r1 = got[1]
+    # n_chars=7; punct {',', '!'} = 2 -> floor(2e6/7) = 285714
+    assert r1.punct_ratio == 285714 / 1e6
+    # alpha = 4 of 7 -> floor(4e6/7) = 571428
+    assert r1.alpha_ratio == 571428 / 1e6
+    # tokens ['ab,', 'cd!']: no stopwords; len_sum 6 over 2 -> 3.0 exact
+    assert r1.stopword_ratio == 0.0
+    assert r1.mean_word_len == 3.0
+    r2 = got[2]
+    # 6 tokens, 4 stopwords (the, is, in, a) -> 666666 micro, NOT 666667
+    assert r2.stopword_ratio == 666666 / 1e6
+    # 15 alpha chars of 20 -> floor(15e6/20) = 750000 exactly
+    assert r2.alpha_ratio == 750000 / 1e6
