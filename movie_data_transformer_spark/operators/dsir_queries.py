@@ -68,7 +68,13 @@ _BUCKET_DUCK = "CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024"
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize + per-token md5 bucketing run before the first exchange —
+    # widen the one-row-group scan so both the weight-table pass and the
+    # scoring pass run at core parallelism (r12 opt round; no-op on an
+    # already-wide cluster scan)
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
     return docs.selectExpr(
         "doc_id",
         "lang",

@@ -91,7 +91,14 @@ def rake_keywords(docs: DataFrame) -> DataFrame:
 
 
 def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rake_keywords(load_table(spark, sf_dir, "documents"))
+    # tokenization (regexp + posexplode) is the heavy per-row work and
+    # runs before the doc_id window's exchange — widen the one-row-group
+    # scan first (r12 opt round; no-op on an already-wide cluster scan).
+    # The widen repartitions BY doc_id, the same key the window needs, so
+    # it replaces rather than adds an exchange of the exploded tokens.
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    return rake_keywords(widen_for_compute(load_table(spark, sf_dir, "documents")))
 
 
 SQL_TEXT_RAKE_KEYWORDS = f"""

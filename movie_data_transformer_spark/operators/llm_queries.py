@@ -455,8 +455,10 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from movie_data_transformer_spark.operators.dedup import (
+        band_table,
         doc_shingle_sets,
         incremental_minhash_pairs_from_index,
+        minhash_signatures_from_arrays,
     )
 
     idx = _minhash_state_index_dir(spark, sf_dir)
@@ -465,12 +467,22 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = augmented_corpus(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") >= 100000
     )
+    # persist the batch-side fork points: the shingle sets feed the band
+    # derivation AND the exact-Jaccard verify, and the band rows feed the
+    # bucket probe, the bucket-cap count, and the candidate join — unpersisted,
+    # the tokenize+shingle+32-hash signature lineage recomputed per reference
+    # (3-4 full batch passes per ingest; r12 opt round, guide §5 caching — the
+    # tables are |batch|-grain, the contract incremental_minhash_pairs already
+    # follows in its sets form)
+    new_sets = doc_shingle_sets(batch, n=3).persist()
+    new_bands = band_table(minhash_signatures_from_arrays(new_sets)).persist()
     return incremental_minhash_pairs_from_index(
         stored_sets,
         stored_bands,
-        doc_shingle_sets(batch, n=3),
+        new_sets,
         threshold=0.3,
         max_bucket_size=5000,
+        new_bands=new_bands,
     )
 
 

@@ -485,9 +485,16 @@ def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftmost non-overlapping occurrences scanning left-to-right —
     probed, see bpe.py)."""
     from movie_data_transformer_spark.operators.bpe import apply_bpe_merges
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
 
+    # the encode replace-chain is pure map work, so WITHOUT a widen the
+    # whole query runs at scan parallelism — one task on the testdata's
+    # single-row-group parquet (r12 opt round; no-op on an already-wide
+    # cluster scan, preserving the zero-extra-shuffle scale story)
     enc = apply_bpe_merges(
-        load_table(spark, sf_dir, "documents"), BPE_FIXED_MERGES, with_encoding=True
+        widen_for_compute(load_table(spark, sf_dir, "documents")),
+        BPE_FIXED_MERGES,
+        with_encoding=True,
     )
     return enc.select(
         "doc_id",

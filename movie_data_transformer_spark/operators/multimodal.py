@@ -70,6 +70,20 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _doc_ids_for_synthesis(docs: DataFrame) -> DataFrame:
+    """The (doc_id)-only frame every container synthesizer maps over,
+    WIDENED to core parallelism when the upstream scan is narrower (r12
+    opt round): the generative mapInPandas work (numpy waveform / pixel
+    synthesis + container packing) is the expensive part and otherwise
+    runs at the one-row-group testdata scan's single-task width. The
+    widen shuffles ONLY the 8-byte ids — the cheapest possible proxy
+    exchange (guide §8: move decisions on small rows, heavy bytes once)
+    — and is a no-op on an already-wide cluster scan."""
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    return widen_for_compute(docs.select("doc_id"))
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents table: content = utf-8 bytes
     of the text (a stand-in payload with real, variable-length binary),
@@ -347,7 +361,7 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                 out.append((int(doc_id), buf.getvalue()))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def wav_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
@@ -470,7 +484,7 @@ def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
                 out.append((d, bmp_container(b"".join(rows), w, h)))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def bmp_features(media: DataFrame) -> DataFrame:
@@ -592,7 +606,7 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 out.append((d, blob))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def png_features(media: DataFrame) -> DataFrame:
@@ -798,7 +812,7 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
                 out.append((d, blob))
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def gif_features(media: DataFrame) -> DataFrame:
@@ -1178,7 +1192,7 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
             out = [(int(d), _jpeg_bytes(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def jpeg_features(media: DataFrame) -> DataFrame:
@@ -1371,7 +1385,7 @@ def synthesize_avi_media(docs: DataFrame) -> DataFrame:
             out = [(int(d), _avi_bytes(int(d))) for d in pdf["doc_id"]]
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 
-    return docs.select("doc_id").mapInPandas(gen, MEDIA_BLOB_SCHEMA)
+    return _doc_ids_for_synthesis(docs).mapInPandas(gen, MEDIA_BLOB_SCHEMA)
 
 
 def avi_features(media: DataFrame) -> DataFrame:

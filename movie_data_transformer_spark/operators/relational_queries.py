@@ -174,7 +174,20 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # rollup expands every row into 3 grouping-set copies and partial-
+    # aggregates them BEFORE the first exchange — single-task on the
+    # testdata's one-row-group scan, so project to the three needed
+    # columns (+ the high-cardinality widen key) and widen first (r12 opt
+    # round; no-op when the scan is already wide). Decimal sums are
+    # partitioning-invariant.
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    li = widen_for_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(decimal_sum("l_quantity", 2, "sum_qty"), F.count("*").alias("n_rows"))

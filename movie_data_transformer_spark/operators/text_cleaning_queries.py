@@ -96,7 +96,12 @@ def q_text_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     document frequency reaches BOILERPLATE_DF, reassemble in order."""
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents")
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
+    # the tokenize+chunk transform runs before the first exchange — widen
+    # the one-row-group scan so it runs at core parallelism (r12 opt
+    # round; no-op on an already-wide cluster scan)
+    docs = widen_for_compute(load_table(spark, sf_dir, "documents"))
     chunks = (
         docs.selectExpr("doc_id", r"split(trim(text), '\\s+') AS t")
         .selectExpr(
@@ -120,8 +125,16 @@ def q_text_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", F.explode("cs").alias("c"))
         .select("doc_id", F.col("c.i").alias("i"), F.col("c.line").alias("line"))
     )
-    line_df = chunks.groupBy("line").agg(F.count_distinct("doc_id").alias("line_df"))
-    j = chunks.join(line_df, "line")
+    # count document frequency on a 64-bit line digest and join back on
+    # the digest: both shuffles then carry 8-byte keys instead of the
+    # line text (guide §2.3, "shuffle keys and metadata instead of
+    # payloads"); the kept/dropped decision and every output column are
+    # unchanged (oracle re-verified after the rewrite)
+    chunks = chunks.withColumn("_line_key", F.xxhash64("line"))
+    line_df = chunks.groupBy("_line_key").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    j = chunks.join(line_df, "_line_key")
     kept = F.col("line_df") < BOILERPLATE_DF
     return j.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_lines_before"),

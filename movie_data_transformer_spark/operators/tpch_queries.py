@@ -25,12 +25,35 @@ def _t(spark, sf_dir, name):
 
 
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: pricing summary report — wide aggregate over filtered lineitem."""
+    """Q1: pricing summary report — wide aggregate over filtered lineitem.
+
+    The nine decimal partial-aggregates are the heavy per-row work and they
+    run BEFORE the first exchange, i.e. at scan parallelism — on the driver
+    testdata's single-row-group parquet that is ONE task, so the filtered,
+    projected rows are widened first (r12 opt round; no-op on a cluster
+    where the scan is already split, same as stats_corr_by_year). Filter
+    and project BEFORE the widen so the exchange carries only surviving
+    rows of the seven needed columns (guide §2.3). Group sums are exact
+    decimals, so partitioning cannot change the result (pinned in
+    tests/test_partitioning_invariance.py)."""
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        widen_for_compute(
+            li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02")).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_orderkey",
+            ),
+            "l_orderkey",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_out(decimal_sum("l_quantity", 2), "sum_qty"),
