@@ -14,9 +14,10 @@ INTERFACES between stages — the place real pipelines break — rather
 than re-testing the stages themselves.
 
 Scale (100 TB): the language and quality gates are map-side scans; the
-only shuffles are the digest groupBy (exact dedup), the canonical
-re-join on (digest, doc_id), and the final (lang, shard) aggregate —
-three key exchanges for the whole pipeline, none driver-side. Near-dup
+only shuffles are the digest window (exact dedup picks each digest's
+min-id row in one pass — r12 replaced the groupBy + re-join pair, which
+re-ran the quality projection per reference) and the final (lang, shard)
+aggregate — two key exchanges for the whole pipeline, none driver-side. Near-dup
 (MinHash) insertion would slot between dedup and sharding as the
 standalone `dedup_apply_filter` shows; it is left out here to keep the
 oracle one readable statement.
@@ -42,11 +43,19 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     double comparison can never flip on a midpoint); dedup keeps the
     min doc_id per md5(lower(trim(text))) digest; shards come from the
     'shard:' md5 domain mod 8 (training_shards' convention)."""
+    from pyspark.sql import Window
+
     from movie_data_transformer_spark.functions import micro_ratio
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
     from movie_data_transformer_spark.operators.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang").isin(*PIPELINE_LANGS)
+    # the fused quality projection (four tokenizations per row) runs
+    # before the first exchange — widen the one-row-group scan so it runs
+    # at core parallelism (r12 opt round; no-op on a wide cluster scan)
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("lang").isin(*PIPELINE_LANGS)
+        )
     )
     # every quality signal is per-row: ONE projection computes them all
     # (the standalone text_stats/quality_scores entries join their
@@ -78,8 +87,15 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ttr") >= 0.2)
         & (F.col("stopword_ratio") >= 0.01)
     )
-    canonical = survivors.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
-    kept = survivors.join(canonical, ["dg", "doc_id"])
+    # canonical keep = the min-doc_id row per digest. The old
+    # groupBy(dg) + join-back-on-(dg, doc_id) form referenced `survivors`
+    # twice, re-running the 4-tokenization projection per reference and
+    # paying two dg exchanges plus a join; one row_number window over the
+    # same dg partitioning selects the identical row set in a single pass
+    # (r12 opt round; doc_id is unique, so rn=1 == the min-id row).
+    kept = survivors.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("dg").orderBy("doc_id"))
+    ).filter(F.col("_rn") == 1)
     shard = (
         portable_hash(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
         % N_SHARDS

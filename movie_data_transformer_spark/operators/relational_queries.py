@@ -1002,9 +1002,15 @@ def q_agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     any date range re-merges without rescanning events."""
     from movie_data_transformer_spark.operators.text import PORTABLE_HASH_SPARK_SQL
 
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
+
     W = 1024
-    ev = load_table(spark, sf_dir, "events").selectExpr(
-        "user_id", "year(ts) AS yr"
+    # the 3x explode + per-copy md5 hashing is the heavy pre-exchange
+    # work — widen the one-row-group events scan first (r12 opt round;
+    # no-op on an already-wide cluster scan); only (user_id, yr) shuffles
+    ev = widen_for_compute(
+        load_table(spark, sf_dir, "events").selectExpr("user_id", "year(ts) AS yr"),
+        "user_id",
     )
     hash_expr = (
         PORTABLE_HASH_SPARK_SQL.format(
