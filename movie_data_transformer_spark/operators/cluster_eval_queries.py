@@ -41,20 +41,25 @@ def centroid_silhouette(emb: DataFrame, cents: DataFrame) -> DataFrame:
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)"
         " AS BIGINT)) AS vm",
     )
-    scored = v.join(F.broadcast(cents)).selectExpr(
-        "vec_id",
-        "label",
-        "aggregate(zip_with(vm, centroid_micro, (x, c) -> (x - c) * (x - c)),"
-        " 0L, (acc, d) -> acc + d) AS dist",
+    # nearest (own cell, a) and second-nearest (b) per vector, computed
+    # ROW-LOCALLY against the k-row centroid table collapsed into ONE
+    # broadcast array row: per vector, transform the centroid array into
+    # (dist, label) structs, array_sort, take the first two. The old form
+    # broadcast-joined every vector with every centroid (n x k rows) and
+    # re-grouped on vec_id to collect the score list — a k-fold
+    # vector-grain shuffle for a decision that only needs the tiny
+    # centroid table (r12 opt round; same 1-row scalar-broadcast pattern
+    # as the TPC-H q11/q15 thresholds). Sort order (dist, label) and the
+    # label tiebreak are unchanged.
+    cent_row = cents.agg(
+        F.collect_list(F.struct("label", "centroid_micro")).alias("_cents")
     )
-    # nearest (own cell, a) and second-nearest (b) per vector: sort the
-    # k-row score list (k = #cells, ~10 — bounded by the centroid table,
-    # not the data) and take the first two; label tiebreak is the struct
-    # field order, deterministic
-    two = scored.groupBy("vec_id").agg(
-        F.expr(
-            "slice(array_sort(collect_list(struct(dist, label))), 1, 2) AS _top2"
-        )
+    two = v.crossJoin(F.broadcast(cent_row)).selectExpr(
+        "vec_id",
+        "slice(array_sort(transform(_cents, c -> named_struct("
+        " 'dist', aggregate(zip_with(vm, c.centroid_micro,"
+        " (x, cc) -> (x - cc) * (x - cc)), 0L, (acc, d) -> acc + d),"
+        " 'label', c.label))), 1, 2) AS _top2",
     )
     sil = two.selectExpr(
         "vec_id",

@@ -787,16 +787,25 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension joins / the shuffle-distinct per consumer
     dim = dim.persist()
     bits = hashes(dim, "c_custkey").selectExpr(pos_expr).distinct().persist()
-    probes = hashes(o.select("o_orderkey", "o_custkey"), "o_custkey").selectExpr(
-        "o_orderkey", "o_custkey", pos_expr
-    )
-    cand = (
-        probes.join(bits, "pos")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.count("*").alias("_hits"))
-        .filter(F.col("_hits") == k)
-        .select("o_orderkey", "o_custkey")
-    )
+    probes = hashes(o.select("o_orderkey", "o_custkey"), "o_custkey")
+    # candidate = fact rows whose k probe positions are ALL set. The old
+    # form exploded every fact row k ways, joined the k*n probe rows
+    # against the bit table, and re-grouped on (o_orderkey, o_custkey) to
+    # count hits — a k-fold fact-grain shuffle for what a Bloom probe
+    # does row-locally. k broadcast LEFT SEMI joins (one per hash
+    # position, each against the tiny <=m-row bit table) keep the fact
+    # side entirely map-side: zero fact shuffles before the exact verify
+    # (r12 opt round; guide §3.2's broadcast-semi-join realization of a
+    # runtime filter). Pass/fail per row is identical: ALL k positions
+    # present == surviving k position semi-joins.
+    cand = probes
+    for i in range(k):
+        cand = cand.join(
+            F.broadcast(bits),
+            F.expr(f"(h1 + {i} * h2) % {m}") == bits.pos,
+            "left_semi",
+        )
+    cand = cand.select("o_orderkey", "o_custkey")
     # ONE pass over the candidate set computes both the BF-pass count and
     # the exact-match count (left join against the unique dim keys;
     # count(non-null) = matched) — the separate left_semi + two aggregates
