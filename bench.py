@@ -173,7 +173,10 @@ _SPREAD_EXTEND = 0.25
 #: of the suite (median-of-5) and BOTH numbers are stamped in the JSON,
 #: so a settled-but-ambient-inflated recording self-documents without a
 #: judge re-run. Capped so a globally-slow machine can't double runtime.
-_RETIME_RATIO = 1.5
+#: r12 VERDICT next #2 tightened the trigger from 1.5x to 1.3x so the
+#: noisy sub-2s tail (where cold-JVM spread is ±10-20%) self-adjudicates
+#: more often.
+_RETIME_RATIO = 1.3
 _RETIME_MAX = 8
 
 
@@ -214,7 +217,19 @@ def _time_query(spark, qs, name: str, sf_dir: str, base_runs: int = 3):
             df2.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         med, spread = _stats(runs)
-    return round(med, 3), round(spread, 2), len(runs)
+    # r12 VERDICT next #2: the warm median cannot PRICE a persist() —
+    # the warmup run populates every persisted fork point and the timed
+    # runs reuse it via the CacheManager's canonical-plan match. One
+    # extra COLD run (cache cleared immediately before) is timed after
+    # the warm runs and reported per-entry in the DETAIL artifact only
+    # (additions-only: the slim line and the warm methodology are
+    # unchanged, so round-over-round comparability holds).
+    spark.catalog.clearCache()
+    t0 = time.time()
+    df3 = qs[name](spark, sf_dir)
+    df3.write.format("noop").mode("overwrite").save()
+    cold = time.time() - t0
+    return round(med, 3), round(spread, 2), len(runs), round(cold, 3)
 
 
 def _run_suite(spark, qs, sf_dir: str):
@@ -225,14 +240,16 @@ def _run_suite(spark, qs, sf_dir: str):
     # spread recorded so an inflated recording is self-diagnosing.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    colds: dict[str, float] = {}
     extended: list[str] = []
     for name in HEADLINE:
-        med, spread, n_runs = _time_query(spark, qs, name, sf_dir)
+        med, spread, n_runs, cold = _time_query(spark, qs, name, sf_dir)
         timings[name] = med
         spreads[name] = spread
+        colds[name] = cold
         if n_runs > 3:
             extended.append(name)
-    return timings, spreads, extended
+    return timings, spreads, extended, colds
 
 
 def _unwrap_tail(tail: str):
@@ -394,7 +411,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
-    timings, spreads, extended = _run_suite(spark, qs, sf_dir)
+    timings, spreads, extended, colds = _run_suite(spark, qs, sf_dir)
     passes = 1
     # r08 VERDICT advice #2: the recorded artifact must BE settled, not
     # merely labeled. If the settle-wait TIMED OUT (not merely a high
@@ -410,7 +427,7 @@ def main() -> None:
         if _wait_for_idle():
             settled = True
             load_before = os.getloadavg()[0]
-            timings, spreads, extended = _run_suite(spark, qs, sf_dir)
+            timings, spreads, extended, colds = _run_suite(spark, qs, sf_dir)
             passes = 2
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
@@ -467,7 +484,7 @@ def main() -> None:
     retimed: dict[str, dict[str, float]] = {}
     if prior and prior.get("sf") == sf:
         for name in _select_retimes(timings, prior.get("queries", {})):
-            med5, _, _ = _time_query(spark, qs, name, sf_dir, base_runs=5)
+            med5, _, _, _ = _time_query(spark, qs, name, sf_dir, base_runs=5)
             retimed[name] = {
                 "suite": timings[name],
                 "isolated_median5": med5,
@@ -489,6 +506,10 @@ def main() -> None:
         # per-query (max-min)/median across the warm runs used — makes
         # ambient variance visible in the artifact (r10 advice #3)
         "run_spread": spreads,
+        # per-query single COLD run (cache cleared immediately before,
+        # timed after the warm runs) — prices every persist() honestly
+        # (r12 VERDICT next #2); detail-only, the slim line is unchanged
+        "cold": colds,
         # entries whose 3-run spread exceeded 0.25 -> median-of-5
         "extended_runs": extended,
         # end-of-suite median-of-5 re-times of >1.5x round-over-round

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 TOP_MOVERS = 20
@@ -28,32 +32,38 @@ TOP_MOVERS = 20
 
 def q_events_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("_mv_events")
-    return spark.sql(
-        f"""
+    halves = spark.sql(
+        """
         WITH days AS (
             SELECT user_id, unix_timestamp(ts) DIV 86400 AS day_idx
             FROM _mv_events
         ),
         bounds AS (
             SELECT (min(day_idx) + max(day_idx)) DIV 2 AS mid FROM days
-        ),
-        halves AS (
-            SELECT user_id,
-                   CAST(count(CASE WHEN day_idx <= mid THEN 1 END) AS BIGINT)
-                       AS n_h1,
-                   CAST(count(CASE WHEN day_idx > mid THEN 1 END) AS BIGINT)
-                       AS n_h2
-            FROM days CROSS JOIN bounds
-            GROUP BY user_id
         )
-        SELECT user_id, n_h1, n_h2, n_h2 - n_h1 AS delta, rk
-        FROM (
-            SELECT *, CAST(row_number() OVER (
-                ORDER BY abs(n_h2 - n_h1) DESC, user_id ASC) AS INT) AS rk
-            FROM halves
-        )
-        WHERE rk <= {TOP_MOVERS}
+        SELECT user_id,
+               CAST(count(CASE WHEN day_idx <= mid THEN 1 END) AS BIGINT)
+                   AS n_h1,
+               CAST(count(CASE WHEN day_idx > mid THEN 1 END) AS BIGINT)
+                   AS n_h2
+        FROM days CROSS JOIN bounds
+        GROUP BY user_id
         """
+    )
+    # top-k via orderBy+limit (parallel TakeOrdered) instead of a global
+    # row_number window over the user grain; rank re-derived over the
+    # <= TOP_MOVERS survivors
+    return (
+        halves.orderBy(F.expr("abs(n_h2 - n_h1)").desc(), F.col("user_id").asc())
+        .limit(TOP_MOVERS)
+        .selectExpr(
+            "user_id",
+            "n_h1",
+            "n_h2",
+            "n_h2 - n_h1 AS delta",
+            "CAST(row_number() OVER ("
+            "ORDER BY abs(n_h2 - n_h1) DESC, user_id ASC) AS INT) AS rk",
+        )
     )
 
 
@@ -82,36 +92,39 @@ WHERE rk <= {TOP_MOVERS}
 
 def q_orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_abc_li")
-    return spark.sql(
+    rev = spark.sql(
         """
-        WITH rev AS (
-            SELECT l_partkey,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS rev_cents
-            FROM _abc_li GROUP BY l_partkey
-        ),
-        ranked AS (
-            SELECT l_partkey, rev_cents,
-                   sum(rev_cents) OVER (ORDER BY rev_cents DESC,
-                       l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
-                       CURRENT ROW) AS cum_cents,
-                   sum(rev_cents) OVER () AS total_cents
-            FROM rev
-        ),
-        classed AS (
-            -- cross-multiplied 80%/95% cuts: cum*5 <= total*4 and
-            -- cum*20 <= total*19 — no *1e6 blowup, exact to ~4e17 cents
-            SELECT l_partkey, rev_cents,
-                   CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
-                        WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
-                        ELSE 'C' END AS abc_class
-            FROM ranked
+        SELECT l_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM _abc_li GROUP BY l_partkey
+        """
+    )
+    # two-pass running sum + 1-row total (ordered_stats): the old form
+    # funneled the whole part grain through Exchange SinglePartition for
+    # both the cumulative and the global sum
+    ranked = attach_order_stats(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_partkey").asc()],
+        "rev_cents",
+        True,
+        running={"cum_cents": "rev_cents"},
+        totals={"total_cents": "rev_cents"},
+    )
+    return (
+        ranked.selectExpr(
+            "rev_cents",
+            # cross-multiplied 80%/95% cuts: cum*5 <= total*4 and
+            # cum*20 <= total*19 — no *1e6 blowup, exact to ~4e17 cents
+            "CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A' "
+            "WHEN cum_cents * 20 <= total_cents * 19 THEN 'B' "
+            "ELSE 'C' END AS abc_class",
         )
-        SELECT abc_class,
-               CAST(count(*) AS BIGINT) AS n_parts,
-               CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents
-        FROM classed GROUP BY abc_class
-        """
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+        )
     )
 
 
@@ -443,41 +456,69 @@ def q_customers_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTES.md pitfall), most-recent / most-frequent / biggest-spend = 5.
     Output adds the concatenated segment label ('555' = champions).
 
-    Scale: one customer-grain agg (corpus-sized shuffle) + three ntile
-    windows over the customer table; the corpus max date is a
-    window-over-() on the aggregate, never a second scan."""
+    Scale: one customer-grain agg (corpus-sized shuffle, persisted as
+    the fork point) + three two-pass global ranks (ordered_stats — no
+    single-partition ntile window); the corpus max date is a 1-row
+    broadcast off the persisted aggregate, never a second scan. The
+    recency rank runs on recency_days DESC, which is the same total
+    order as last_order ASC (datediff from a fixed max date is strictly
+    decreasing in last_order, tie sets identical), so the quintiles are
+    bit-identical to the oracle's ntile."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rfm_orders")
-    return spark.sql(
+    per_cust = spark.sql(
         """
-        WITH per_cust AS (
-            SELECT o_custkey,
-                   max(o_orderdate) AS last_order,
-                   CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS spend_cents
-            FROM _rfm_orders GROUP BY o_custkey
-        ),
-        rec AS (
-            SELECT *, datediff(max(last_order) OVER (), last_order)
-                       AS recency_days
-            FROM per_cust
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM _rfm_orders GROUP BY o_custkey
+        """
+    ).persist()
+    maxd = per_cust.agg(F.max("last_order").alias("_corpus_max"))
+    rec = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days", F.datediff(F.col("_corpus_max"), F.col("last_order"))
         )
-        SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT)
-                   AS recency_days,
-               n_orders, spend_cents,
-               CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC)
-                   AS INT) AS r_score,
-               CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC)
-                   AS INT) AS f_score,
-               CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC)
-                   AS INT) AS m_score,
-               concat(
-                   CAST(ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS STRING),
-                   CAST(ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS STRING),
-                   CAST(ntile(5) OVER (ORDER BY spend_cents ASC, o_custkey ASC) AS STRING)
-               ) AS segment
-        FROM rec
-        """
+        .drop("_corpus_max")
+    )
+    s1 = attach_order_stats(
+        rec,
+        [F.col("recency_days").desc(), F.col("o_custkey").asc()],
+        "recency_days",
+        True,
+        row_number="_rn_r",
+        total_count="_n",
+        persist_input=False,  # projection over the persisted per_cust
+    )
+    s2 = attach_order_stats(
+        s1,
+        [F.col("n_orders").asc(), F.col("o_custkey").asc()],
+        "n_orders",
+        False,
+        row_number="_rn_f",
+    )
+    s3 = attach_order_stats(
+        s2,
+        [F.col("spend_cents").asc(), F.col("o_custkey").asc()],
+        "spend_cents",
+        False,
+        row_number="_rn_m",
+    )
+    return s3.selectExpr(
+        "o_custkey AS custkey",
+        "CAST(recency_days AS BIGINT) AS recency_days",
+        "n_orders",
+        "spend_cents",
+        ntile_expr("_rn_r", "_n", 5) + " AS r_score",
+        ntile_expr("_rn_f", "_n", 5) + " AS f_score",
+        ntile_expr("_rn_m", "_n", 5) + " AS m_score",
+        "concat("
+        f"CAST({ntile_expr('_rn_r', '_n', 5)} AS STRING), "
+        f"CAST({ntile_expr('_rn_f', '_n', 5)} AS STRING), "
+        f"CAST({ntile_expr('_rn_m', '_n', 5)} AS STRING)"
+        ") AS segment",
     )
 
 

@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -105,25 +109,48 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
     )
     maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
-    wr = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())
+    # Each ntile(4) was an un-partitioned window = Exchange SinglePartition
+    # over the customer grain (r12 verdict's scale-killer class). The
+    # two-pass rank (ordered_stats) + the integer ntile formula reproduce
+    # the builtin bit-for-bit; the three rank passes chain, each persisting
+    # its (customer-grain) input as the fork point for its bucket passes.
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    s1 = attach_order_stats(
+        base,
+        [F.col("recency_days").desc(), F.col("o_custkey").asc()],
+        "recency_days",
+        True,
+        row_number="_rn_r",
+        total_count="_n",
+    )
+    s2 = attach_order_stats(
+        s1,
+        [F.col("frequency").asc(), F.col("o_custkey").asc()],
+        "frequency",
+        False,
+        row_number="_rn_f",
+    )
+    s3 = attach_order_stats(
+        s2,
+        [F.col("monetary").asc(), F.col("o_custkey").asc()],
+        "monetary",
+        False,
+        row_number="_rn_m",
+    )
     return (
-        per_cust.crossJoin(F.broadcast(maxd))
-        .select(
-            "o_custkey",
-            F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-        .select(
+        s3.select(
             "o_custkey",
             "recency_days",
             "frequency",
             F.col("monetary").cast("double").alias("monetary"),
-            F.ntile(4).over(wr).alias("r_score"),
-            F.ntile(4).over(wf).alias("f_score"),
-            F.ntile(4).over(wm).alias("m_score"),
+            F.expr(ntile_expr("_rn_r", "_n", 4)).alias("r_score"),
+            F.expr(ntile_expr("_rn_f", "_n", 4)).alias("f_score"),
+            F.expr(ntile_expr("_rn_m", "_n", 4)).alias("m_score"),
         )
         .withColumn(
             "segment",

@@ -11,17 +11,20 @@ value is the global score at rank floor((r_s - 1) * N / n_s) + 1, i.e.
 the global order statistic at the same relative position. FULL oracle.
 
 Scale: the per-source window shuffles once on source; the GLOBAL ranking
-is a single-reducer sort in this exact form — fine to ~1e8 rows, and at
-100 TB the global table is replaced by a mergeable quantile sketch
-(agg_kll_quantiles) mapping relative rank -> approximate order statistic
-with the same downstream join, exactly like ccnet_lm_buckets' documented
-tercile-cutoff swap. The rank join keys are integers, bucketable.
+rides the two-pass quantile-bucketed rank (operators/ordered_stats), so
+it is a parallel per-bucket sort plus broadcast offsets — never a
+single-reducer sort — and stays EXACT (bit-identical to the global
+row_number), so the oracle contract is unchanged. The rank join keys
+are integers, bucketable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 _SCORE_EXPR = (
@@ -31,25 +34,42 @@ _SCORE_EXPR = (
 
 
 def q_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scored table is the fork point for three consumers (per-source
+    # ranking, the global two-pass rank, the global count) — persist so
+    # the per-token md5 scoring runs once. The old form had TWO
+    # un-partitioned windows over the doc grain (`count(*) OVER ()` and
+    # the global row_number): both were Exchange SinglePartition at
+    # 100 TB. The count is now a 1-row broadcast; the global rank is the
+    # two-pass quantile-bucketed rank (ordered_stats) — bit-identical.
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr("doc_id", "source", f"{_SCORE_EXPR} AS score")
-    ranked = scored.selectExpr(
-        "doc_id",
-        "source",
-        "score",
-        "row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r_s",
-        "count(*) OVER (PARTITION BY source) AS n_s",
-        "count(*) OVER () AS n_total",
-    ).selectExpr(
-        "doc_id",
-        "source",
-        "score",
-        "CAST((r_s - 1) * n_total DIV n_s + 1 AS BIGINT) AS g_rank",
+    scored = docs.selectExpr(
+        "doc_id", "source", f"{_SCORE_EXPR} AS score"
+    ).persist()
+    n_total = scored.agg(F.count("*").alias("n_total"))
+    ranked = (
+        scored.selectExpr(
+            "doc_id",
+            "source",
+            "score",
+            "row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r_s",
+            "count(*) OVER (PARTITION BY source) AS n_s",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "score",
+            "CAST((r_s - 1) * n_total DIV n_s + 1 AS BIGINT) AS g_rank",
+        )
     )
-    glob = scored.selectExpr(
-        "score AS norm_score",
-        "row_number() OVER (ORDER BY score, doc_id) AS g_rank",
-    )
+    glob = attach_order_stats(
+        scored,
+        [F.col("score").asc(), F.col("doc_id").asc()],
+        "score",
+        False,
+        row_number="g_rank",
+        persist_input=False,  # already persisted above
+    ).select(F.col("score").alias("norm_score"), "g_rank")
     return ranked.join(glob, "g_rank").select(
         "doc_id", "source", "score", "norm_score"
     )

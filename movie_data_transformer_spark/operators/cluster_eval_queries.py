@@ -54,7 +54,11 @@ def centroid_silhouette(emb: DataFrame, cents: DataFrame) -> DataFrame:
     cent_row = cents.agg(
         F.collect_list(F.struct("label", "centroid_micro")).alias("_cents")
     )
-    two = v.crossJoin(F.broadcast(cent_row)).selectExpr(
+    # degenerate-input guard (r12 ADVICE low #4): with EMPTY cents the
+    # 1-row collect_list aggregate still emits one empty-array row, and
+    # without the filter every vector would surface as a NULL-cell group
+    # where the old broadcast-join form returned zero rows
+    two = v.crossJoin(F.broadcast(cent_row)).filter("size(_cents) > 0").selectExpr(
         "vec_id",
         "slice(array_sort(transform(_cents, c -> named_struct("
         " 'dist', aggregate(zip_with(vm, c.centroid_micro,"

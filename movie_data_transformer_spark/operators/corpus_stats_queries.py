@@ -25,15 +25,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 
 def q_text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
+    # two-pass global rank (ordered_stats): the old un-partitioned
+    # row_number shuffled every document — TEXT INCLUDED — through
+    # Exchange SinglePartition; now the text rides one parallel bucket
+    # exchange and the boundary/count passes prune to doc_id only
+    docs = attach_order_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        [F.col("doc_id").asc()],
         "doc_id",
-        "text",
-        "row_number() OVER (ORDER BY doc_id) AS rd",
-        "count(*) OVER () AS n_docs",
+        False,
+        row_number="rd",
+        total_count="n_docs",
+        persist_input=False,
     ).selectExpr("doc_id", "text", "rd", "(rd - 1) * 10 div n_docs + 1 AS decile")
     toks = docs.selectExpr(
         "decile", r"explode(split(trim(text), '\\s+')) AS tok"

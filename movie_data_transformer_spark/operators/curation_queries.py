@@ -18,6 +18,7 @@ from movie_data_transformer_spark.operators.text import (
     PORTABLE_HASH_SQL,
     portable_hash,
 )
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 _HASH = PORTABLE_HASH_SQL  # single source: operators/text.py
@@ -615,17 +616,25 @@ def q_sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(n_copies) == K EXACTLY. ALL-INTEGER math (the point-in-interval
     count reduces to a difference of ceil-divisions) — bit-exact on any
     engine; the deterministic replacement for rand()-based weighted
-    sampling when building training mixtures. One window over a total
-    order; at 100 TB the cumulative sum comes from per-partition partials
-    (the standard two-pass parallel prefix-sum), not a single-partition
-    window."""
+    sampling when building training mixtures. The cumulative sum IS the
+    standard two-pass parallel prefix-sum (operators/ordered_stats):
+    bucket counts + broadcast offsets + a per-bucket window, never a
+    single-partition sort."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
     k = SYSTEMATIC_K
-    cum = F.sum("n_chars").over(w).alias("cum")
-    sized = docs.select("doc_id", F.col("n_chars").alias("weight"), cum).withColumn(
-        "total_w", F.sum("weight").over(wall)
+    # the cumulative-weight axis comes from the two-pass parallel
+    # prefix-sum (ordered_stats) the docstring promises — no
+    # single-partition window at doc grain; the input is a narrow
+    # scan-rooted (doc_id, n_chars) frame, so the extra passes re-read
+    # two pruned parquet columns instead of caching
+    sized = attach_order_stats(
+        docs.select("doc_id", F.col("n_chars").alias("weight")),
+        [F.col("doc_id").asc()],
+        "doc_id",
+        False,
+        running={"cum": "weight"},
+        totals={"total_w": "weight"},
+        persist_input=False,
     )
     n_copies = F.expr(
         f"(cum * {k} + total_w - 1) DIV total_w "

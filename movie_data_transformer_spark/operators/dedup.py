@@ -370,6 +370,14 @@ def incremental_minhash_pairs_from_index(
     wrong #1" fix). Contract: stored and new doc_ids are disjoint (the
     streaming layer guarantees it even across foreachBatch replays).
 
+    `new_bands`, when given, MUST equal
+    ``band_table(minhash_signatures_from_arrays(new_sets))`` — it exists
+    ONLY so a caller that has already persisted that derivation (the
+    dedup_incremental_minhash entry) can hand over the cached copy
+    instead of having it re-derived here; passing any other table
+    silently yields wrong pairs (r12 ADVICE low #3). Defaults to
+    deriving it from `new_sets`.
+
     Dataflow: (1) band the BATCH only; (2) restrict the stored index to
     the buckets the batch touches (left-semi on (band, sig) — with the
     index partitioned/bucketed by band/sig at scale this is a pruned
@@ -387,26 +395,56 @@ def incremental_minhash_pairs_from_index(
     the sets table bucketed by doc_id at scale this prunes to the
     candidate docs' buckets). The candidate subtree feeds both the id
     broadcast and the verify join above one distinct-exchange, which AQE
-    reuses (ReusedExchange) rather than recomputing."""
+    reuses (ReusedExchange) rather than recomputing. The touched-bucket
+    index is persist()ed (same caller obligation as the batch tables: a
+    long-lived per-batch driver should clearCache/unpersist after
+    consuming the result)."""
     if new_bands is None:
         new_bands = band_table(minhash_signatures_from_arrays(new_sets))
-    batch_buckets = new_bands.select("band", "sig").distinct()
-    touched_stored = stored_bands.join(batch_buckets, ["band", "sig"], "left_semi")
-    index = touched_stored.unionByName(new_bands)
+    # r13 fused candidate chain: ONE (band, sig) exchange for the whole
+    # bucket phase. The touched index (semi-restricted stored rows +
+    # batch rows, tagged) is repartitioned by the bucket key ONCE and
+    # persisted; the bucket-cap count, the cap semi-join, and the
+    # new-vs-all candidate join all run on that partitioning with NO
+    # further exchange (HashAggregate and SortMergeJoin both see their
+    # distribution requirement already satisfied). The old chain paid
+    # four batch-grain shuffles here (probe distinct, cap count,
+    # candidate join, pair distinct); only the pair distinct remains
+    # wide. The semi probe no longer pre-distincts (band, sig): a semi
+    # join only tests existence, so the distinct exchange bought nothing.
+    touched_stored = stored_bands.join(
+        new_bands.select("band", "sig"), ["band", "sig"], "left_semi"
+    )
+    idx = (
+        touched_stored.select("doc_id", "band", "sig")
+        .withColumn("_is_new", F.lit(False))
+        .unionByName(
+            new_bands.select("doc_id", "band", "sig").withColumn(
+                "_is_new", F.lit(True)
+            )
+        )
+        .repartition("band", "sig")
+        .persist()
+    )
     if max_bucket_size is not None:
         # filtering the INDEX side alone suffices: a candidate pair needs
         # an index row in its bucket, so dropped buckets produce nothing
-        # regardless of the batch side
+        # regardless of the batch side; the count per touched bucket
+        # still includes both stored and batch rows, so the cap decision
+        # is identical to the full recompute's
         ok_buckets = (
-            index.groupBy("band", "sig")
+            idx.groupBy("band", "sig")
             .agg(F.count("*").alias("_bn"))
             .filter(F.col("_bn") <= max_bucket_size)
             .select("band", "sig")
         )
-        index = index.join(ok_buckets, ["band", "sig"], "left_semi")
+        index = idx.join(ok_buckets, ["band", "sig"], "left_semi")
+    else:
+        index = idx
     cands = (
-        new_bands.select(F.col("doc_id").alias("_new"), "band", "sig")
-        .join(index, ["band", "sig"])
+        index.filter(F.col("_is_new"))
+        .select(F.col("doc_id").alias("_new"), "band", "sig")
+        .join(index.select("doc_id", "band", "sig"), ["band", "sig"])
         .filter(F.col("_new") != F.col("doc_id"))
         .select(
             F.least(F.col("_new"), F.col("doc_id")).alias("doc_a"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.operators.temporal import sessionize
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -39,15 +40,16 @@ def concurrency_steps(sessions: DataFrame) -> DataFrame:
     ).unionAll(
         sessions.selectExpr("session_end_s + 1 AS t_s", "CAST(-1 AS BIGINT) AS delta")
     )
-    return (
-        deltas.groupBy("t_s")
-        .agg(F.sum("delta").alias("d"))
-        .selectExpr(
-            "t_s",
-            "CAST(sum(d) OVER (ORDER BY t_s ROWS BETWEEN UNBOUNDED PRECEDING"
-            " AND CURRENT ROW) AS BIGINT) AS n_open",
-        )
-    )
+    # two-pass prefix sum (ordered_stats) over the step table — the old
+    # un-partitioned window was Exchange SinglePartition over |distinct
+    # event times|, which is data-sized here
+    return attach_order_stats(
+        deltas.groupBy("t_s").agg(F.sum("delta").alias("d")),
+        [F.col("t_s").asc()],
+        "t_s",
+        False,
+        running={"n_open": "d"},
+    ).selectExpr("t_s", "CAST(n_open AS BIGINT) AS n_open")
 
 
 def q_session_concurrency_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,12 +121,20 @@ def q_session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count("*").cast("bigint").alias("n_sessions"))
     )
-    return paths.selectExpr(
-        "path",
-        "n_sessions",
-        "CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)"
-        " AS rk",
-    ).filter(F.col("rk") <= TOP_PATHS)
+    # top-k via orderBy+limit (TakeOrdered — parallel partial top-k per
+    # partition), NOT a global row_number window + filter, which funneled
+    # every path row through Exchange SinglePartition; the rank is then
+    # re-derived over the <= TOP_PATHS survivors (bounded window)
+    return (
+        paths.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+        .selectExpr(
+            "path",
+            "n_sessions",
+            "CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)"
+            " AS rk",
+        )
+    )
 
 
 SQL_SESSION_TOP_PATHS = f"""

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -40,11 +41,18 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("IF(lang = 'en', 1, 0)")).cast("bigint").alias("a"),
         F.sum(F.expr("IF(lang = 'en', 0, 1)")).cast("bigint").alias("b"),
     )
-    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_value.select(
-        F.sum("a").over(w).alias("c1"),
-        F.sum("b").over(w).alias("c2"),
-    )
+    # two-pass running sums (ordered_stats) over the collapsed domain —
+    # the old un-partitioned window was Exchange SinglePartition over
+    # |distinct n_chars| rows; the domain is bounded for this discrete
+    # feature but the two-pass form removes the single-reducer sort for
+    # free and is bit-identical (exact integer prefix sums).
+    cum = attach_order_stats(
+        per_value,
+        [F.col("n_chars").asc()],
+        "n_chars",
+        False,
+        running={"c1": "a", "c2": "b"},
+    ).select("c1", "c2")
     return (
         cum.crossJoin(
             F.broadcast(

@@ -1152,11 +1152,15 @@ def q_supplier_reliability_scorecard(spark: SparkSession, sf_dir: str) -> DataFr
     (total order: rate desc, volume desc, suppkey). One fact-side
     shuffle to supplier grain; the orders date rides a broadcast-ready
     orderkey join."""
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from movie_data_transformer_spark.operators.ordered_stats import (
+        attach_order_stats,
+    )
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sr_li")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sr_orders")
-    return spark.sql(
+    s = spark.sql(
         """
         WITH j AS (
             SELECT l.l_suppkey,
@@ -1166,25 +1170,40 @@ def q_supplier_reliability_scorecard(spark: SparkSession, sf_dir: str) -> DataFr
                    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
                        AS BIGINT) AS cents
             FROM _sr_li l JOIN _sr_orders o ON o.o_orderkey = l.l_orderkey
-        ),
-        s AS (
-            SELECT l_suppkey,
-                   CAST(count(*) AS BIGINT) AS n_lines,
-                   CAST(sum(is_late) AS BIGINT) AS n_late,
-                   CAST(sum(is_ret) AS BIGINT) AS n_returned,
-                   CAST(sum(cents) AS BIGINT) AS rev_cents
-            FROM j GROUP BY l_suppkey
         )
-        SELECT l_suppkey AS suppkey, n_lines, n_late, n_returned, rev_cents,
-               CAST(n_late * 1000000 DIV n_lines AS DOUBLE) / 1000000
-                   AS late_rate,
-               CAST(n_returned * 1000000 DIV n_lines AS DOUBLE) / 1000000
-                   AS return_rate,
-               CAST(row_number() OVER (ORDER BY
-                   n_late * 1000000 DIV n_lines DESC, n_lines DESC,
-                   l_suppkey ASC) AS INT) AS risk_rank
-        FROM s
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(is_late) AS BIGINT) AS n_late,
+               CAST(sum(is_ret) AS BIGINT) AS n_returned,
+               CAST(sum(cents) AS BIGINT) AS rev_cents,
+               CAST(sum(is_late) AS BIGINT) * 1000000 DIV count(*)
+                   AS late_micro
+        FROM j GROUP BY l_suppkey
         """
+    )
+    # risk_rank via the two-pass global rank (ordered_stats) — no
+    # single-partition window over the supplier grain
+    ranked = attach_order_stats(
+        s,
+        [
+            F.col("late_micro").desc(),
+            F.col("n_lines").desc(),
+            F.col("l_suppkey").asc(),
+        ],
+        "late_micro",
+        True,
+        row_number="_rk",
+    )
+    return ranked.selectExpr(
+        "l_suppkey AS suppkey",
+        "n_lines",
+        "n_late",
+        "n_returned",
+        "rev_cents",
+        "CAST(late_micro AS DOUBLE) / 1000000 AS late_rate",
+        "CAST(n_returned * 1000000 DIV n_lines AS DOUBLE) / 1000000"
+        " AS return_rate",
+        "CAST(_rk AS INT) AS risk_rank",
     )
 
 

@@ -97,8 +97,18 @@ def q_graph_title_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .selectExpr("movie_src AS src", "movie_dst AS dst")
         .persist()
     )
+    # top-k via orderBy+limit (parallel TakeOrdered) instead of a global
+    # row_number window over every candidate pair; rank re-derived over
+    # the <= TOP_K survivors
     return (
         predicted_links(edges)
+        .orderBy(
+            F.col("n_common").desc(),
+            F.col("nbr_jaccard_micro").desc(),
+            F.col("title_a").asc(),
+            F.col("title_b").asc(),
+        )
+        .limit(TOP_K)
         .selectExpr(
             "title_a",
             "title_b",
@@ -107,7 +117,6 @@ def q_graph_title_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             "row_number() OVER (ORDER BY n_common DESC, nbr_jaccard_micro DESC,"
             " title_a ASC, title_b ASC) AS pred_rank",
         )
-        .filter(F.col("pred_rank") <= TOP_K)
         .select("pred_rank", "title_a", "title_b", "n_common", "nbr_jaccard_micro")
     )
 

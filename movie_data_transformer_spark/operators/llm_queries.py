@@ -473,7 +473,13 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize+shingle+32-hash signature lineage recomputed per reference
     # (3-4 full batch passes per ingest; r12 opt round, guide §5 caching — the
     # tables are |batch|-grain, the contract incremental_minhash_pairs already
-    # follows in its sets form)
+    # follows in its sets form).
+    # CALLER OBLIGATION (r12 ADVICE low #2): this query-shaped entry is
+    # invoked once per bench/oracle run and the harness clearCache()s
+    # between entries; a LONG-LIVED driver calling this per batch must
+    # unpersist both tables after consuming the returned DataFrame (or
+    # swap persist() for localCheckpoint()), else cached batch tables
+    # accumulate across ingests.
     new_sets = doc_shingle_sets(batch, n=3).persist()
     new_bands = band_table(minhash_signatures_from_arrays(new_sets)).persist()
     return incremental_minhash_pairs_from_index(

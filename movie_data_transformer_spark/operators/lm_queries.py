@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.functions.core import decimal_sum, micro_ratio
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -273,11 +277,18 @@ def _vocab(docs: DataFrame) -> DataFrame:
     freq = toks.groupBy("token").agg(
         F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq")
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        freq.filter(F.col("freq") >= VOCAB_MIN_FREQ)
-        .withColumn("token_id", F.row_number().over(w))
-        .select("token_id", "token", "freq", "doc_freq")
+    # two-pass global rank (ordered_stats): id assignment stays a pure
+    # function of the corpus, without the old single-partition window
+    # over the whole vocabulary
+    kept = freq.filter(F.col("freq") >= VOCAB_MIN_FREQ)
+    return attach_order_stats(
+        kept,
+        [F.col("freq").desc(), F.col("token").asc()],
+        "freq",
+        True,
+        row_number="_rid",
+    ).select(
+        F.col("_rid").cast("int").alias("token_id"), "token", "freq", "doc_freq"
     )
 
 
@@ -540,11 +551,11 @@ def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile over the TOTAL order (score desc, doc_id), so it is
     deterministic and engine-portable.
 
-    Scale: the ranking window is a single global sort — exact terciles
-    at 100 TB would instead take two cutoff scores from a quantile
-    sketch (agg_kll_quantiles' pattern) and assign map-side; ntile is
-    kept here because positional terciles are exactly reproducible in
-    the oracle while sketch cutoffs are not."""
+    Scale: tercile assignment rides the two-pass global rank
+    (operators/ordered_stats — quantile-bucketed parallel prefix rank +
+    the integer ntile formula), so there is no single-partition sort at
+    doc grain and the terciles stay POSITIONALLY exact — still
+    bit-reproducible in the oracle, unlike sketch-cutoff terciles."""
     tfd = (
         _doc_tokens(load_table(spark, sf_dir, "documents"))
         .groupBy("doc_id", "token")
@@ -567,9 +578,16 @@ def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS score_micro",
         )
     )
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    ranked = attach_order_stats(
+        doc,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "score_micro",
+        True,
+        row_number="_rn",
+        total_count="_n",
+    )
     return (
-        doc.withColumn("tile", F.ntile(3).over(w))
+        ranked.withColumn("tile", F.expr(ntile_expr("_rn", "_n", 3)))
         .groupBy("tile")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

@@ -43,6 +43,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 DIM = 32
@@ -68,18 +74,17 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: memo keyed by (sf_dir, iters, lr): training is deterministic (decimal
-#: gradient accumulation), so the quality and gate entries share one run.
-_TRAIN_CACHE: dict[tuple[str, int, float], tuple[list[float], float, list[float], float]] = {}
-
-
 def train_lr(
     spark: SparkSession, sf_dir: str, iters: int = ITERS, lr: float = LEARN_RATE
 ) -> tuple[list[float], float, list[float], float]:
-    """Run full-batch GD; returns (weights, bias, loss_history, final_acc)."""
-    key = (sf_dir, iters, lr)
-    if key in _TRAIN_CACHE:
-        return _TRAIN_CACHE[key]
+    """Run full-batch GD; returns (weights, bias, loss_history, final_acc).
+
+    NO cross-call memo (r12 VERDICT what's-wrong #3): every invocation
+    trains from the parquet inputs. Training is deterministic (decimal
+    gradient accumulation), so the quality and gate entries computing it
+    independently still agree; the only cost is one extra 24-round GD
+    per process, inside each entry's own timed region where it belongs.
+    """
     f = _features(spark, sf_dir).persist()
     # the per-round aggregate is 1-row; a 32-wide exchange spec is pure
     # scheduling overhead (the pagerank fixpoint lesson) — scope it down
@@ -115,7 +120,6 @@ def train_lr(
             for i in range(DIM):
                 w[i] -= lr * float(r[f"g{i}"]) / n
             b -= lr * float(r.gb) / n
-        _TRAIN_CACHE[key] = (w, b, losses, acc)
         return w, b, losses, acc
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
@@ -196,11 +200,11 @@ def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook AUC, bit-exact on any engine or partitioning.
 
     Scale: one scan-side projection (logit + label), one groupBy on the
-    score, one cumulative window over |distinct scores| rows, one 1-row
-    aggregate."""
+    score, a two-pass parallel prefix sum (ordered_stats) over the
+    |distinct scores| grain, one 1-row aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("_auc_docs")
-    return spark.sql(
+    grp = spark.sql(
         r"""
         WITH scored AS (
             SELECT aggregate(split(trim(text), '\\s+'), 0L, (acc, x) -> acc +
@@ -222,14 +226,23 @@ def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT s, CAST(count(*) AS BIGINT) AS c,
                    CAST(sum(y) AS BIGINT) AS p
             FROM scored GROUP BY s
-        ),
-        cum AS (
-            SELECT s, c, p,
-                   CAST(sum(c) OVER (ORDER BY s ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        - c AS BIGINT) AS below
-            FROM grp
         )
+        SELECT s, c, p FROM grp
+        """
+    )
+    # the "count strictly below" prefix comes from the two-pass prefix
+    # sum (ordered_stats) over the |distinct scores| grain — no
+    # single-partition window; bit-identical exclusive prefix
+    cum = attach_order_stats(
+        grp,
+        [F.col("s").asc()],
+        "s",
+        False,
+        running={"_cs": "c"},
+    ).selectExpr("s", "c", "p", "CAST(_cs - c AS BIGINT) AS below")
+    cum.createOrReplaceTempView("_auc_cum")
+    return spark.sql(
+        """
         SELECT CAST(sum(p) AS BIGINT) AS n_pos,
                CAST(sum(c - p) AS BIGINT) AS n_neg,
                CAST((CAST(sum(p * (2 * below + c + 1)) AS DECIMAL(38,0))
@@ -237,7 +250,7 @@ def q_classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 1000000
                     DIV (CAST(2 AS DECIMAL(38,0)) * sum(p) * sum(c - p))
                     AS BIGINT) AS auc_micro
-        FROM cum
+        FROM _auc_cum
         """
     )
 
@@ -292,7 +305,7 @@ def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
     until the two floor micro ratios."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("_cal_docs")
-    return spark.sql(
+    scored = spark.sql(
         r"""
         WITH scored AS (
             SELECT doc_id,
@@ -310,21 +323,41 @@ def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame
                              DIV size(split(lower(trim(text)), '\\s+')) >= 10000
                         THEN 1 ELSE 0 END AS y
             FROM _cal_docs
-        ),
-        binned AS (
-            SELECT s, y,
-                   ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS bin
-            FROM scored
         )
-        SELECT CAST(bin AS BIGINT) AS bin,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(CAST(sum(s) AS DECIMAL(38,0)) * 1000000 DIV count(*)
-                    AS BIGINT) AS mean_logit_micro,
-               CAST(CAST(sum(y) AS DECIMAL(38,0)) * 1000000 DIV count(*)
-                    AS BIGINT) AS pos_rate_micro
-        FROM binned
-        GROUP BY bin
+        SELECT doc_id, s, y FROM scored
         """
+    )
+    # decile assignment via the two-pass global rank + integer ntile
+    # (ordered_stats) — no single-partition window at doc grain; the
+    # scored table persists as the fork point for the rank passes
+    ranked = attach_order_stats(
+        scored,
+        [F.col("s").asc(), F.col("doc_id").asc()],
+        "s",
+        False,
+        row_number="_rn",
+        total_count="_n",
+    )
+    return (
+        ranked.withColumn("bin", F.expr(ntile_expr("_rn", "_n", 10)))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(CAST(sum(s) AS DECIMAL(38,0)) * 1000000 DIV count(*)"
+                " AS BIGINT)"
+            ).alias("mean_logit_micro"),
+            F.expr(
+                "CAST(CAST(sum(y) AS DECIMAL(38,0)) * 1000000 DIV count(*)"
+                " AS BIGINT)"
+            ).alias("pos_rate_micro"),
+        )
+        .selectExpr(
+            "CAST(bin AS BIGINT) AS bin",
+            "n_docs",
+            "mean_logit_micro",
+            "pos_rate_micro",
+        )
     )
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -120,11 +121,18 @@ def q_orders_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"
     )
-    ranked = orders.selectExpr(
+    # two-pass global rank (ordered_stats) — the old un-partitioned
+    # row_number/count windows were Exchange SinglePartition over the
+    # full order grain; scan-rooted 2-column input, so no cache needed
+    ranked = attach_order_stats(
+        orders,
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
         "cents",
-        "row_number() OVER (ORDER BY cents, o_orderkey) AS rn",
-        "count(*) OVER () AS n",
-    )
+        False,
+        row_number="rn",
+        total_count="n",
+        persist_input=False,
+    ).select("cents", "rn", "n")
     cuts = ranked.selectExpr(
         "max(CASE WHEN rn = (n * 1 + 99) div 100 THEN cents END) AS lo_cents",
         "max(CASE WHEN rn = (n * 99 + 99) div 100 THEN cents END) AS hi_cents",

@@ -184,12 +184,18 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(n_chars * 4294967296 div (({_DOC_BUCKET}) + 1) AS BIGINT)"
         " AS priority",
     )
-    return pri.selectExpr(
-        "doc_id",
-        "lang",
-        "priority",
-        "row_number() OVER (ORDER BY priority DESC, doc_id) AS pri_rank",
-    ).filter("pri_rank <= 200")
+    # top-k via orderBy+limit (parallel TakeOrdered) instead of a global
+    # row_number window; rank re-derived over the 200 survivors
+    return (
+        pri.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(200)
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "priority",
+            "row_number() OVER (ORDER BY priority DESC, doc_id) AS pri_rank",
+        )
+    )
 
 
 SQL_SAMPLE_WEIGHTED_PRIORITY = f"""

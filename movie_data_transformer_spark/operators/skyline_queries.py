@@ -25,7 +25,9 @@ running frontier, the standard block-nested-loop-with-sort hybrid.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import attach_order_stats
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -35,23 +37,27 @@ def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
         "CAST(o_orderdate AS DATE) AS day",
     )
+    # "best day among strictly richer orders" now comes from an EXCLUSIVE
+    # two-pass running max over the per-cents group table (ordered_stats)
+    # joined back on cents — the old dense_rank + RANGE window pair
+    # funneled every ORDER ROW through Exchange SinglePartition twice; on
+    # the one-row-per-cents table, ROWS 1 PRECEDING is exactly "previous
+    # distinct cents", so the semantics are unchanged (NULL on the
+    # richest group, ties share a group)
+    percents = orders.groupBy("cents").agg(F.max("day").alias("gmax"))
+    rich = attach_order_stats(
+        percents,
+        [F.col("cents").desc()],
+        "cents",
+        True,
+        running_max_excl={"richer_max_day": "gmax"},
+    ).select("cents", "richer_max_day")
     walled = orders.selectExpr(
         "o_orderkey",
         "cents",
         "day",
         "max(day) OVER (PARTITION BY cents) AS same_cents_max_day",
-        "dense_rank() OVER (ORDER BY cents DESC) AS grp",
-    ).selectExpr(
-        "o_orderkey",
-        "cents",
-        "day",
-        "same_cents_max_day",
-        # RANGE (not ROWS) over the integer group rank: same-cents rows
-        # share grp and must be excluded from "strictly richer"
-        "max(same_cents_max_day) OVER (ORDER BY grp"
-        " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-        " AS richer_max_day",
-    )
+    ).join(rich, "cents")
     return walled.filter(
         "(richer_max_day IS NULL OR richer_max_day < day)"
         " AND same_cents_max_day <= day"

@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 TARGET_BIN_BYTES = 16384
@@ -40,12 +44,19 @@ N_HIST_BUCKETS = 8
 def compaction_plan(files: DataFrame, target_bytes: int = TARGET_BIN_BYTES) -> DataFrame:
     """files: (file_id, file_bytes) -> per-bin plan rows. Deterministic
     next-fit-decreasing by running sum over (bytes DESC, id ASC)."""
-    binned = files.selectExpr(
+    # two-pass running sum (ordered_stats): the un-partitioned window was
+    # Exchange SinglePartition over the file manifest — millions of rows
+    # on a 100 TB table
+    binned = attach_order_stats(
+        files.select("file_id", "file_bytes"),
+        [F.col("file_bytes").desc(), F.col("file_id").asc()],
+        "file_bytes",
+        True,
+        running={"_cum": "file_bytes"},
+    ).selectExpr(
         "file_id",
         "file_bytes",
-        "CAST((sum(file_bytes) OVER (ORDER BY file_bytes DESC, file_id ASC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - file_bytes) "
-        f"DIV {target_bytes} AS BIGINT) AS bin_id",
+        f"CAST((_cum - file_bytes) DIV {target_bytes} AS BIGINT) AS bin_id",
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").cast("long").alias("n_files"),
@@ -108,10 +119,17 @@ def q_stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents",
     )
-    bucketed = cents.selectExpr(
+    # two-pass global rank + integer ntile (ordered_stats) — bit-identical
+    # to the builtin, no single-partition window at order grain
+    bucketed = attach_order_stats(
+        cents,
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
         "cents",
-        f"ntile({N_HIST_BUCKETS}) OVER (ORDER BY cents, o_orderkey) AS bucket",
-    )
+        False,
+        row_number="_rn",
+        total_count="_n",
+        persist_input=False,
+    ).selectExpr("cents", ntile_expr("_rn", "_n", N_HIST_BUCKETS) + " AS bucket")
     return bucketed.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("cents").alias("n_distinct"),

@@ -129,7 +129,12 @@ def q_text_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     # the digest: both shuffles then carry 8-byte keys instead of the
     # line text (guide §2.3, "shuffle keys and metadata instead of
     # payloads"); the kept/dropped decision and every output column are
-    # unchanged (oracle re-verified after the rewrite)
+    # unchanged (oracle re-verified after the rewrite).
+    # DOCUMENTED DIVERGENCE vs exact line equality (r12 ADVICE low #1):
+    # two distinct lines colliding on xxhash64 would merge their DF
+    # counts; at 64 bits the birthday bound puts that near ~billions of
+    # distinct lines, far beyond the corpus contract, and the oracle
+    # (which groups on text) stays green at every tested SF.
     chunks = chunks.withColumn("_line_key", F.xxhash64("line"))
     line_df = chunks.groupBy("_line_key").agg(
         F.count_distinct("doc_id").alias("line_df")

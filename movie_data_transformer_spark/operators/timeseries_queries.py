@@ -32,10 +32,10 @@ Scale notes (100 TB): every op here is a single hash-partition shuffle on
 its natural key (user_id / event_type) followed by in-partition sorting
 that Spark spills; nothing collects to the driver. The MAD screen joins
 two tiny per-type stats tables back to the fact scan via broadcast. The
-decile binning uses a GLOBAL ntile (single-partition window) — fine for
-per-corpus document binning (|docs| rows after per-doc reduction), and
-the documented scale path is to swap ntile for `approx_percentile`
-bucket edges when the binned table itself is huge.
+decile binning runs on the two-pass global rank (operators/ordered_stats
+— quantile-bucketed parallel prefix rank), so there is no
+single-partition window at doc grain; the result is bit-identical to
+ntile over the same total order.
 """
 
 from __future__ import annotations
@@ -43,6 +43,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.ordered_stats import (
+    attach_order_stats,
+    ntile_expr,
+)
 from movie_data_transformer_spark.sources.tables import load_table
 
 SEVEN_DAYS_S = 7 * 86400
@@ -91,11 +95,23 @@ FROM events
 def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents binned into length deciles (ntile over a TOTAL order —
     (n_chars, doc_id) — so tile assignment is deterministic), then
-    per-decile corpus stats: the length-balanced-sampling prep step."""
+    per-decile corpus stats: the length-balanced-sampling prep step.
+    The tile comes from the two-pass global rank (ordered_stats) + the
+    integer ntile formula — no single-partition window at doc grain; the
+    input is a narrow scan-rooted (doc_id, n_chars) frame, so the extra
+    passes re-read two pruned parquet columns instead of caching."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = attach_order_stats(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        "n_chars",
+        False,
+        row_number="_rn",
+        total_count="_n",
+        persist_input=False,
+    )
     return (
-        docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        ranked.withColumn("decile", F.expr(ntile_expr("_rn", "_n", 10)))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),

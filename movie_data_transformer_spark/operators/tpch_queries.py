@@ -804,9 +804,10 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare runs in exact integer cents, cross-multiplied
     (value_cents * 10 * part_count > 11 * total_cents) so no double
     rounding can flip a boundary part. The global total/count come from
-    a window over the per-part AGGREGATE (|parts| narrow rows), keeping
-    lineitem to a single scan — a scalar-subquery crossJoin would plan a
-    second full fact scan.
+    a 1-row aggregate over the PERSISTED per-part table, broadcast back
+    via crossJoin — lineitem stays a single scan (the InMemoryRelation
+    feeds both consumers) and the part grain never funnels through a
+    single-partition window exchange.
     """
     li = _t(spark, sf_dir, "lineitem")
     s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
@@ -819,15 +820,19 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(decimal_sum("l_extendedprice", 2, "value"))
     )
     cents = (F.col("value") * 100).cast("bigint")
-    wg = Window.partitionBy()
+    # persist the per-part aggregate and broadcast its 1-row stats back:
+    # the old window-over-() funneled the whole part grain through
+    # Exchange SinglePartition; with the persist there is still exactly
+    # one lineitem scan (the InMemoryRelation feeds both the stats agg
+    # and the probe side)
+    v = v.persist()
+    stats = v.select(cents.alias("_cents")).agg(
+        F.sum("_cents").alias("total_cents"),
+        F.count("*").alias("part_count"),
+    )
     return (
-        v.select(
-            "l_partkey",
-            "value",
-            cents.alias("cents"),
-            F.sum(cents).over(wg).alias("total_cents"),
-            F.count("*").over(wg).alias("part_count"),
-        )
+        v.crossJoin(F.broadcast(stats))
+        .withColumn("cents", cents)
         .filter(F.col("cents") * 10 * F.col("part_count") > 11 * F.col("total_cents"))
         .select("l_partkey", money_out("value"))
     )
@@ -855,14 +860,13 @@ WHERE CAST(value * 100 AS BIGINT) * 10 * part_count > 11 * total_cents
 
 def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: top supplier — the revenue view + scalar MAX subquery
-    (original creates VIEW revenue0; here the view is the grouped
-    DataFrame and the MAX is a global-window rank over it). Revenue sums
-    are exact decimal so the MAX-equality keeps every tied supplier
-    deterministically, as the spec requires. The global window runs on
-    the per-supplier AGGREGATE (|suppliers| narrow rows, not lineitem),
-    which keeps lineitem to a single scan — a scalar-subquery crossJoin
-    would plan a second full fact scan, far worse at 100 TB than one
-    single-partition pass over supplier-level rows.
+    (original creates VIEW revenue0; here the view is the grouped,
+    PERSISTED DataFrame and the MAX is a 1-row broadcast over it).
+    Revenue sums are exact decimal so the MAX-equality keeps every tied
+    supplier deterministically, as the spec requires. The persist keeps
+    lineitem to a single scan (both the scalar and the probe read the
+    InMemoryRelation), and the supplier grain never funnels through a
+    single-partition window exchange.
     """
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -880,10 +884,15 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy().orderBy(F.col("total_revenue").desc())
+    # rank() == 1 over a global desc order IS max-equality (keeps every
+    # tied supplier): a 1-row broadcast MAX replaces the single-partition
+    # rank window; the persisted revenue view feeds both the scalar and
+    # the probe, so lineitem is still scanned once
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
-        rev.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", money_out("total_revenue"))
     )

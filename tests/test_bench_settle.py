@@ -149,7 +149,9 @@ def _drive_time_query(monkeypatch, bench, durations):
 def test_tight_spread_stays_at_three_runs(monkeypatch):
     """Runs 1.0/1.1/1.0: spread 0.1 <= 0.25, median-of-3, no extension."""
     bench = _load_bench()
-    med, spread, n = _drive_time_query(monkeypatch, bench, [1.0, 1.1, 1.0])
+    med, spread, n, _cold = _drive_time_query(
+        monkeypatch, bench, [1.0, 1.1, 1.0, 1.0]
+    )
     assert n == 3
     assert med == 1.0
     assert spread == 0.1
@@ -159,8 +161,8 @@ def test_wide_spread_extends_to_five_runs(monkeypatch):
     """Runs 1.0/1.0/2.0 spread 1.0 > 0.25 -> two more runs; the final
     median/spread are computed over all five."""
     bench = _load_bench()
-    med, spread, n = _drive_time_query(
-        monkeypatch, bench, [1.0, 1.0, 2.0, 1.0, 1.0]
+    med, spread, n, _cold = _drive_time_query(
+        monkeypatch, bench, [1.0, 1.0, 2.0, 1.0, 1.0, 1.0]
     )
     assert n == 5
     assert med == 1.0
@@ -172,7 +174,7 @@ def test_five_run_base_never_extends(monkeypatch):
     directly even when the spread is wide."""
     bench = _load_bench()
     state = {"now": 0.0}
-    durations = iter([1.0, 3.0, 1.0, 1.0, 1.0])
+    durations = iter([1.0, 3.0, 1.0, 1.0, 1.0, 1.0])
     seq = {"pending": None}
 
     def fake_time():
@@ -185,7 +187,7 @@ def test_five_run_base_never_extends(monkeypatch):
 
     monkeypatch.setattr(bench.time, "time", fake_time)
     qs = {"q": lambda spark, sf: _FakeDF()}
-    med, spread, n = bench._time_query(
+    med, spread, n, _cold = bench._time_query(
         _FakeSpark(), qs, "q", "/nonexistent", base_runs=5
     )
     assert n == 5
@@ -193,7 +195,7 @@ def test_five_run_base_never_extends(monkeypatch):
 
 
 def test_retime_selection_worst_first_and_capped():
-    """Only >1.5x regressions select; ordered worst delta first; capped
+    """Only >_RETIME_RATIO regressions select; ordered worst delta first; capped
     at _RETIME_MAX; missing/zero priors never select."""
     bench = _load_bench()
     prior = {f"q{i}": 1.0 for i in range(12)}
@@ -210,7 +212,7 @@ def test_retime_selection_worst_first_and_capped():
 
 def test_retime_selection_empty_when_within_ratio():
     bench = _load_bench()
-    assert bench._select_retimes({"a": 1.4}, {"a": 1.0}) == []
+    assert bench._select_retimes({"a": 1.25}, {"a": 1.0}) == []
 
 
 def test_latest_recorded_unwraps_driver_tail(tmp_path):

@@ -123,6 +123,25 @@ ENTRIES = [
     "tpch_q15_top_supplier",  # rank over exact decimal, ties kept
     "tpch_q17_small_quantity_revenue",  # per-part cross-multiplied cut
     "tpch_q21_suppliers_who_kept_waiting",  # per-order set windows + ordered limit
+    # round-13 additions: every entry rewritten onto the two-pass global
+    # rank (operators/ordered_stats) or the TakeOrdered top-k cut must
+    # stay bit-identical under any shuffle width (the helper adds a
+    # bucket exchange + broadcast offsets — exactly the machinery that
+    # could drift if it ever keyed on something non-deterministic)
+    "orders_pareto_share",  # two-pass global rank + top-20% share
+    "rfm_segments",  # three chained two-pass ntile(4) ranks
+    "orders_abc_classification",  # two-pass running sum + 1-row total
+    "docs_length_deciles",  # two-pass rank + integer ntile(10)
+    "sample_weighted_systematic",  # two-pass prefix sum + PPS point counts
+    "vocab_build",  # two-pass (freq, token) rank -> contiguous ids
+    "docs_encode_ids",  # vocab ids consumed through a broadcast join
+    "classifier_auc_exact",  # two-pass exclusive prefix over score grain
+    "classifier_calibration_bins",  # two-pass rank + integer ntile(10)
+    "orders_winsorize_p1_p99",  # two-pass rank -> p1/p99 order statistics
+    "compaction_plan_bins",  # two-pass running sum -> next-fit bins
+    "session_top_paths",  # TakeOrdered top-k + re-derived rank
+    "supplier_reliability_scorecard",  # two-pass risk rank, micro ties
+    "events_topk_movers",  # TakeOrdered top-k + re-derived rank
 ]
 
 
