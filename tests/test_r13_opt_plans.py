@@ -101,9 +101,19 @@ def _bad_global_windows(plan: str, allowed: tuple[str, ...]) -> list[str]:
     return bad
 
 
+_THR_CONF = "spark.movieDataTransformer.globalOrderTwoPassBytes"
+
+
 @pytest.mark.parametrize("name", sorted(RANK_ENTRIES))
-def test_no_data_grain_global_window(spark, sf_dir, name):
-    plan = _plan_of(spark, sf_dir, name)
+def test_no_data_grain_global_window_at_scale(spark, sf_dir, name):
+    """With the size-adaptive threshold forced to 0 (every input counts
+    as LARGE — the 100 TB condition), no rewritten entry may plan an
+    un-partitioned Window over data-grain rows."""
+    spark.conf.set(_THR_CONF, "0")
+    try:
+        plan = _plan_of(spark, sf_dir, name)
+    finally:
+        spark.conf.unset(_THR_CONF)
     bad = _bad_global_windows(plan, RANK_ENTRIES[name])
     assert not bad, f"{name}: un-partitioned data-grain Window(s): {bad}"
 
@@ -121,37 +131,13 @@ def test_scalar_thresholds_ride_broadcast_not_window(spark, sf_dir, name):
     assert "InMemoryRelation" in plan, f"{name}: aggregate not persisted"
 
 
-def test_pagerank_superstep_has_no_global_window(spark):
-    """The dangling-mass scalar rides a 1-row broadcast crossJoin, not a
-    window-over-() (which exchanged the whole rank table to ONE partition
-    per superstep). Probed on the pre-checkpoint superstep plan via a
-    tiny in-memory graph."""
-    from movie_data_transformer_spark.operators.analytics_queries import pagerank
-
-    edges = spark.createDataFrame(
-        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0)],
-        "src long, dst long, weight double",
-    )
-    plan = (
-        pagerank(edges, n_iter=2, checkpoint_every=5)
-        ._jdf.queryExecution()
-        .analyzed()
-        .toString()
-    )
-    # the returned df is localCheckpointed (plan truncated), so pin the
-    # source instead: the rank expression must not contain a window
-    import inspect
-
-    code_lines = [
-        ln
-        for ln in inspect.getsource(pagerank).splitlines()
-        if not ln.strip().startswith("#")
-    ]
-    src = "\n".join(code_lines)
-    assert "OVER ()" not in src
-    assert "crossJoin" in src and "broadcast" in src
-    assert "_mass" in src
-    assert plan  # the tiny-graph run itself must still build
+def test_adaptive_small_input_keeps_single_job_plan(spark, sf_dir):
+    """At test scale (MB inputs, far under the 128 MB threshold) the
+    helper must choose the plain window — the genuinely optimal plan
+    when the whole rank input fits one task — so the bench keeps the
+    r12 plan shape for these entries."""
+    plan = _plan_of(spark, sf_dir, "orders_pareto_share")
+    assert "_gob" not in plan
 
 
 def test_ordered_stats_matches_builtin_windows(spark):
@@ -239,24 +225,36 @@ def test_ordered_stats_descending_and_small_n(spark):
     assert got == exp
 
 
-def test_rank_entries_invariant_to_bucket_count(spark, sf_dir):
-    """The helper's bucket count only moves WORK, never values: the
-    scale-adaptive knob must not be able to change results."""
+def test_rank_entries_invariant_to_form_and_bucket_count(spark, sf_dir):
+    """Neither the size-adaptive form switch nor the bucket count may
+    change results: plain window (default at test scale) == two-pass at
+    B=1 == two-pass at B=7, on real entries."""
     import __spark_entry__ as e
 
     qs = e.queries()
-    conf_key = "spark.movieDataTransformer.globalOrderBuckets"
+    bconf = "spark.movieDataTransformer.globalOrderBuckets"
     for name in ("orders_pareto_share", "docs_length_deciles"):
         results = {}
         try:
-            for b in ("1", "7"):
-                spark.conf.set(conf_key, b)
+            for label, thr, b in (
+                ("plain", None, None),
+                ("b1", "0", "1"),
+                ("b7", "0", "7"),
+            ):
+                if thr is None:
+                    spark.conf.unset(_THR_CONF)
+                    spark.conf.unset(bconf)
+                else:
+                    spark.conf.set(_THR_CONF, thr)
+                    spark.conf.set(bconf, b)
                 df = qs[name](spark, sf_dir)
                 cols = sorted(df.columns)
-                results[b] = sorted(
+                results[label] = sorted(
                     tuple(row[c] for c in cols)
                     for row in df.select(*cols).collect()
                 )
         finally:
-            spark.conf.unset(conf_key)
-        assert results["1"] == results["7"] and results["1"], name
+            spark.conf.unset(_THR_CONF)
+            spark.conf.unset(bconf)
+        assert results["plain"] == results["b1"] == results["b7"], name
+        assert results["plain"], name

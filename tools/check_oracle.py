@@ -55,6 +55,16 @@ def main():
     from movie_data_transformer_spark.session import get_spark
 
     spark = get_spark("oracle-check")
+    # verification hook: SPARK_GRAFT_ORACLE_CONF="k=v;k=v" applies
+    # runtime conf before the sweep — used to prove the size-adaptive
+    # two-pass rank path (globalOrderTwoPassBytes=0) oracle-green on the
+    # same entries the driver checks with defaults
+    import os as _os
+
+    extra = _os.environ.get("SPARK_GRAFT_ORACLE_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
