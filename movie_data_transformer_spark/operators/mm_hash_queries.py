@@ -107,16 +107,22 @@ def dhash_near_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket_size)
+    # hamming cut INSIDE the expansion lambda (the r13 simhash profile:
+    # expand-then-filter materialized millions of doomed generator rows;
+    # filtering before the struct transform emits survivors only —
+    # identical pair set, the popcounts re-evaluated just for survivors)
     return (
         buckets.selectExpr("array_sort(ds) AS ds")
         .selectExpr(
             "inline(flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), y -> "
-            "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, "
+            "transform("
+            "filter(slice(ds, i + 2, size(ds)), "
+            "y -> bit_count(x.hash_lo ^ y.hash_lo) "
+            f"+ bit_count(x.hash_hi ^ y.hash_hi) <= {int(max_hamming)}), "
+            "y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, "
             "'hamming', CAST(bit_count(x.hash_lo ^ y.hash_lo) "
             "+ bit_count(x.hash_hi ^ y.hash_hi) AS INT))))))"
         )
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 

@@ -39,6 +39,12 @@ def main() -> int:
 
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_PLAN_CONF="k=v;k=v": capture plans under explicit conf
+    # (r13: the size-adaptive two-pass rank is forced via
+    # globalOrderTwoPassBytes=0 to dump the at-scale plan shape)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_PLAN_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     qs = registry.spark_queries()
     jvm = spark.sparkContext._jvm
     for name in names:
