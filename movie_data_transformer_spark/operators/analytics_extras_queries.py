@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.fixtures import RATINGS_ORACLE_CTE
+from movie_data_transformer_spark.operators.dedup import widen_for_compute
 from movie_data_transformer_spark.operators.ordered_stats import (
     attach_order_stats,
     ntile_expr,
@@ -775,14 +776,24 @@ def q_stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-light bootstrap."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_boot_orders")
     cnt = _boot_count_expr("u")
-    return spark.sql(
-        f"""
-        WITH base AS (
+    # widen the B-fold fanout stage: the explode + per-(row, replicate)
+    # md5 ran in the single test-scale scan task (r13 sweep: 6.7s);
+    # repartition the 2-column base first so the 50x hash work is
+    # core-wide (no-op on a wide production scan)
+    widen_for_compute(
+        spark.sql(
+            """
             SELECT o_orderkey,
                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                        AS cents
             FROM _boot_orders
+            """
         ),
+        key="o_orderkey",
+    ).createOrReplaceTempView("_boot_base")
+    return spark.sql(
+        f"""
+        WITH base AS (SELECT * FROM _boot_base),
         fan AS (
             SELECT b, cents,
                    CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING),

@@ -219,10 +219,15 @@ def q_classifier_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one agg over the predictor output + a classes-sized
     reshape; the metric table is |classes| rows."""
+    from movie_data_transformer_spark.operators.dedup import widen_for_compute
     from movie_data_transformer_spark.operators.text import language_id
 
     docs = load_table(spark, sf_dir, "documents")
-    pred = language_id(docs).select("doc_id", "pred_lang")
+    # widen the 4-profile marker scan off the narrow test-scale scan
+    # (r13 sweep: 3.8s single-task); only (doc_id, text) shuffles
+    pred = language_id(
+        widen_for_compute(docs.select("doc_id", "text"))
+    ).select("doc_id", "pred_lang")
     conf = (
         docs.select("doc_id", F.col("lang").alias("actual_lang"))
         .join(pred, "doc_id")

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.dedup import widen_for_compute
 from movie_data_transformer_spark.sources.tables import load_table
 
 
@@ -484,6 +485,13 @@ def q_expr_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow, so the add is computed in HUGEINT and NULLed past
     int64 max rather than guarded by branch order)."""
     o = load_table(spark, sf_dir, "orders")
+    # widen: the try_* family absorbs per-row JVM exceptions (bad casts,
+    # overflow), which are expensive; at test scale the whole map ran in
+    # the single scan task (r13 sweep: 6.2s) — spread it core-wide
+    o = widen_for_compute(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_custkey"),
+        key="o_orderkey",
+    )
     return o.selectExpr(
         "o_orderkey",
         # '1-URGENT' etc. -> NULL (non-numeric)

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from movie_data_transformer_spark.operators.dedup import widen_for_compute
 from movie_data_transformer_spark.sources.tables import load_table
 
 # decimal-digit hierarchy over the dense customer keys: parent(node) =
@@ -166,7 +167,12 @@ def q_expr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct (the typed decode source_xml_scan uses) and project fields.
     """
     ev = load_table(spark, sf_dir, "events")
-    xml = ev.selectExpr(
+    # widen the 4-DOM-parses-per-row chain off the narrow test-scale
+    # scan (guide §2.5; r13 sweep: 15.2s single-task -> core-wide); only
+    # the three consumed columns shuffle
+    xml = widen_for_compute(
+        ev.select("event_type", "user_id", "event_id"), key="event_id"
+    ).selectExpr(
         "to_xml(named_struct('etype', event_type, 'uid', user_id,"
         "                    'eid', event_id)) AS x"
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from movie_data_transformer_spark.sources.tables import load_table
 
@@ -35,24 +36,35 @@ TTL_US = 3 * 86_400 * 1_000_000  # 3 days
 
 
 def throttle_ttl(ev: DataFrame, ttl_us: int = TTL_US) -> DataFrame:
-    """ev: (user_id, event_type, ts_us, event_id) -> kept rows."""
+    """ev: (user_id, event_type, ts_us, event_id) -> kept rows.
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        out = {"user_id": [], "event_type": [], "kept_ts_us": [], "kept_event_id": []}
-        last = None
-        for r in pdf.itertuples(index=False):
-            if last is None or r.ts_us >= last + ttl_us:
-                out["user_id"].append(r.user_id)
-                out["event_type"].append(r.event_type)
-                out["kept_ts_us"].append(r.ts_us)
-                out["kept_event_id"].append(r.event_id)
-                last = r.ts_us
-        return pd.DataFrame(out)
-
-    return ev.groupBy("user_id", "event_type").applyInPandas(
-        walk,
-        "user_id long, event_type string, kept_ts_us long, kept_event_id long",
+    Pure-JVM greedy walk (guide §4.1 — the r13 sweep caught the old
+    applyInPandas form at 19.7s for the sf0.1 entry, and ~15s of that
+    was per-GROUP Python-call overhead across ~|users x types| tiny
+    groups, not the row loop): collect each entity's (ts_us, event_id)
+    structs, array_sort gives the total order, and a higher-order
+    `aggregate` fold keeps an event iff ts >= last kept + ttl — the
+    sequential kept-chain semantic, whole-stage-codegen'd, zero Python.
+    Group rows stay bounded by the entity's own event count (the same
+    contract the pandas form had — its pdf also held the whole group)."""
+    grouped = ev.groupBy("user_id", "event_type").agg(
+        F.expr("array_sort(collect_list(struct(ts_us, event_id)))").alias("_evs")
+    )
+    kept = grouped.selectExpr(
+        "user_id",
+        "event_type",
+        # fold: empty acc of the right struct type via slice(evs, 1, 0)
+        "aggregate(_evs, slice(_evs, 1, 0), (acc, x) -> "
+        f"IF(size(acc) = 0 OR x.ts_us >= element_at(acc, -1).ts_us + {int(ttl_us)}, "
+        "concat(acc, array(x)), acc)) AS _kept",
+    )
+    return kept.selectExpr(
+        "user_id", "event_type", "explode(_kept) AS _k"
+    ).selectExpr(
+        "user_id",
+        "event_type",
+        "_k.ts_us AS kept_ts_us",
+        "_k.event_id AS kept_event_id",
     )
 
 
@@ -180,19 +192,37 @@ def q_stream_throttle_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "set would silently diverge from the batch oracle "
                 "(check feed file mtimes / maxFilesPerTrigger)"
             )
-        out = {"user_id": [], "event_type": [], "kept_ts_us": [], "kept_event_id": []}
-        for r in pdf.itertuples(index=False):
-            if last is None or r.ts_us >= last + TTL_US:
-                out["user_id"].append(key[0])
-                out["event_type"].append(key[1])
-                out["kept_ts_us"].append(r.ts_us)
-                out["kept_event_id"].append(r.event_id)
-                last = r.ts_us
+        # vectorized greedy walk seeded from state (same searchsorted
+        # hop as the batch form's walk — guide §4.2, r13 sweep)
+        import numpy as np
+
+        ts = pdf["ts_us"].to_numpy()
+        n = len(ts)
+        i = (
+            0
+            if last is None
+            else int(np.searchsorted(ts, last + TTL_US, side="left"))
+        )
+        keep: list[int] = []
+        while i < n:
+            keep.append(i)
+            i = int(np.searchsorted(ts, ts[i] + TTL_US, side="left"))
+        kept = pdf.iloc[keep]
+        if keep:
+            last = int(kept["ts_us"].iloc[-1])
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(keep),
+                "event_type": [key[1]] * len(keep),
+                "kept_ts_us": kept["ts_us"].to_numpy(),
+                "kept_event_id": kept["event_id"].to_numpy(),
+            }
+        )
         if len(pdf):
             max_seen = max(int(pdf["ts_us"].max()), max_seen or 0)
         if last is not None:
             state.update((int(last), int(max_seen)))
-        yield pd.DataFrame(out)
+        yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
